@@ -1,0 +1,144 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs every queries() entry at a given SF dir on Spark, runs the
+matching oracle_sql() through DuckDB over the same parquet files, and
+compares row count, sorted column names, and values (columns sorted by
+name, rows sorted) — stricter than a hash: exact equality, with float
+bit-equality reported separately from tolerance-equality so we can see
+nondeterminism coming before the driver does.
+
+Usage: python tools/check.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+import traceback
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+
+def normalize(df):
+    """pandas DF -> (colnames_sorted, list of row tuples, canonical)."""
+    import pandas as pd
+
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = []
+    for tup in df.itertuples(index=False, name=None):
+        row = []
+        for v in tup:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                row.append(None)
+            elif isinstance(v, float):
+                row.append(v)
+            elif hasattr(v, "isoformat"):
+                row.append(v.isoformat())
+            elif isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+                row.append(tuple(v))
+            elif isinstance(v, pd.Timestamp):
+                row.append(v.isoformat())
+            else:
+                row.append(v)
+        rows.append(tuple(row))
+    rows.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
+    return cols, rows
+
+
+def rows_equal(a, b):
+    """exact, then tolerant compare -> ('exact'|'close'|'diff', detail)."""
+    if a == b:
+        return "exact", None
+    if len(a) != len(b):
+        return "diff", f"row count {len(a)} vs {len(b)}"
+    worst = 0.0
+    for i, (ra, rb) in enumerate(zip(a, b)):
+        if ra == rb:
+            continue
+        if len(ra) != len(rb):
+            return "diff", f"row {i} arity"
+        for va, vb in zip(ra, rb):
+            if va == vb:
+                continue
+            if isinstance(va, float) and isinstance(vb, float):
+                d = abs(va - vb) / max(1.0, abs(va), abs(vb))
+                worst = max(worst, d)
+                if d > 1e-9:
+                    return "diff", f"row {i}: {va!r} vs {vb!r} (rel {d:.2e})"
+            else:
+                return "diff", f"row {i}: {va!r} vs {vb!r}"
+    return "close", f"float-only drift, worst rel {worst:.2e}"
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as mod
+    from risk_dashboard_database_spark.session import get_spark
+
+    spark = get_spark(shuffle_partitions=8)
+    qs = mod.queries()
+    oracles = mod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    n_pass = n_close = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(get_spark(), sf_dir).toPandas()
+        except Exception:
+            print(f"FAIL  {name}: spark raised")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        el = time.time() - t0
+        if name not in oracles:
+            print(f"rows  {name}: {len(sdf)} rows (no oracle) [{el:.1f}s]")
+            n_pass += 1
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception:
+            print(f"FAIL  {name}: duckdb raised")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        scols, srows = normalize(sdf)
+        ocols, orows = normalize(odf)
+        if scols != ocols:
+            print(f"FAIL  {name}: columns {scols} vs {ocols}")
+            n_fail += 1
+            continue
+        verdict, detail = rows_equal(srows, orows)
+        if verdict == "exact":
+            print(f"PASS  {name}: {len(srows)} rows exact [{el:.1f}s]")
+            n_pass += 1
+        elif verdict == "close":
+            print(f"CLOSE {name}: {len(srows)} rows — {detail} [{el:.1f}s]")
+            n_close += 1
+        else:
+            print(f"FAIL  {name}: {detail}")
+            if len(srows) <= 10 and len(orows) <= 10:
+                print("  spark :", srows[:10])
+                print("  oracle:", orows[:10])
+            n_fail += 1
+
+    print(f"\n{n_pass} exact, {n_close} close, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
