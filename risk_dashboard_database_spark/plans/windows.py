@@ -1,0 +1,264 @@
+"""Window-function query family (SURVEY §2.5 W1-W10, §2.6 O-ops).
+
+Each query ports a reference window pattern onto the events table; the
+citations are in the operator docstrings (operators/windows.py,
+operators/sessionize.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.sessionize import episodes
+from ..operators.windows import lag_calendar, latest_per_key, trailing_rollup
+from ..tables import load_table
+from .common import USER_DAY_CTE, user_day
+from .registry import query
+
+DATE_FMT = "yyyy-MM-dd"
+TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+@query(
+    "w1_weekly_rollup",
+    oracle=f"""
+    WITH {USER_DAY_CTE}
+    SELECT
+      user_id,
+      STRFTIME(date, '%Y-%m-%d') AS date,
+      SUM(total)     OVER w AS total_7d,
+      SUM(errors)    OVER w AS errors_7d,
+      SUM(purchases) OVER w AS purchases_7d,
+      CAST(SUM(value_dec) OVER w AS DOUBLE) AS value_7d,
+      STRFTIME(MIN(date) OVER w, '%Y-%m-%d') AS window_start,
+      CAST(SUM(CASE WHEN errors >= 2 THEN 1 ELSE 0 END) OVER w AS BIGINT) AS crisis_days_7d
+    FROM user_day
+    WINDOW w AS (PARTITION BY user_id ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, date
+    """,
+)
+def w1_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-ROW rollup (`sql/entity_weekly_rollup_v.sql:2-29`):
+    ROWS frame (gap days are skipped), min(date) window-start, and a
+    conditional crisis-day count, all over one window."""
+    ud = user_day(spark, sf_dir)
+    out = trailing_rollup(
+        ud,
+        ["user_id"],
+        "date",
+        {
+            "total_7d": F.sum("total"),
+            "errors_7d": F.sum("errors"),
+            "purchases_7d": F.sum("purchases"),
+            "value_7d_dec": F.sum("value_dec"),
+            "window_start": F.min("date"),
+            "crisis_days_7d_int": F.sum(F.when(F.col("errors") >= 2, 1).otherwise(0)),
+        },
+    )
+    out = out.withColumn("value_7d", F.col("value_7d_dec").cast("double")).withColumn(
+        "crisis_days_7d", F.col("crisis_days_7d_int").cast("long")
+    )
+    return out.select(
+        "user_id",
+        F.date_format("date", DATE_FMT).alias("date"),
+        "total_7d",
+        "errors_7d",
+        "purchases_7d",
+        "value_7d",
+        F.date_format("window_start", DATE_FMT).alias("window_start"),
+        "crisis_days_7d",
+    ).orderBy("user_id", "date")
+
+
+@query(
+    "w2_anomaly_baselines",
+    oracle=f"""
+    WITH {USER_DAY_CTE}
+    SELECT
+      user_id,
+      STRFTIME(date, '%Y-%m-%d') AS date,
+      errors,
+      ROUND(CAST(SUM(errors) OVER wb AS DOUBLE) / NULLIF(COUNT(*) OVER wb, 0), 6) AS baseline_avg_errors,
+      COUNT(*) OVER wb AS obs_days,
+      MAX(errors) OVER (PARTITION BY user_id ORDER BY date ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS prior7_max,
+      MAX(errors) OVER (PARTITION BY user_id ORDER BY date ROWS BETWEEN 30 PRECEDING AND 8 PRECEDING) AS prior30_max,
+      CAST(SUM(CASE WHEN errors >= 2 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY date ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS streak3
+    FROM user_day
+    WINDOW wb AS (PARTITION BY user_id ORDER BY date ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)
+    ORDER BY user_id, date
+    """,
+)
+def w2_anomaly_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing baselines excluding the current row (W2), prior-range
+    maxes for resurfacing detection (W3), and the 3-day streak frame
+    (W4) — `sql/entity_anomalies_v.sql:4-38`."""
+    ud = user_day(spark, sf_dir)
+
+    def w(s: int, e: int) -> Window:
+        return Window.partitionBy("user_id").orderBy("date").rowsBetween(s, e)
+
+    wb = w(-30, -1)
+    return ud.select(
+        "user_id",
+        F.date_format("date", DATE_FMT).alias("date"),
+        "errors",
+        F.round(
+            F.sum("errors").over(wb).cast("double") / F.nullif(F.count("*").over(wb), F.lit(0)), 6
+        ).alias("baseline_avg_errors"),
+        F.count("*").over(wb).alias("obs_days"),
+        F.max("errors").over(w(-7, -1)).alias("prior7_max"),
+        F.max("errors").over(w(-30, -8)).alias("prior30_max"),
+        F.sum(F.when(F.col("errors") >= 2, 1).otherwise(0)).over(w(-2, 0)).cast("long").alias("streak3"),
+    ).orderBy("user_id", "date")
+
+
+@query(
+    "w5_latest_per_key",
+    oracle="""
+    SELECT user_id, event_type, event_id,
+           STRFTIME(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+)
+def w5_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins per key: Postgres `DISTINCT ON ... ORDER BY ts DESC`
+    (`sql/schema.sql:67-76`) as row_number()=1."""
+    ev = load_table(spark, sf_dir, "events")
+    latest = latest_per_key(
+        ev, ["user_id", "event_type"], [F.desc("ts"), F.desc("event_id")]
+    )
+    return latest.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.date_format("ts", TS_FMT).alias("ts"),
+        "value",
+    ).orderBy("user_id", "event_type")
+
+
+@query(
+    "w8_activity_episodes",
+    oracle=f"""
+    WITH {USER_DAY_CTE},
+    tagged AS (
+      SELECT user_id, date, total,
+             date - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY date) AS INTEGER) AS anchor
+      FROM user_day
+    )
+    SELECT user_id,
+           STRFTIME(MIN(date), '%Y-%m-%d') AS episode_start,
+           STRFTIME(MAX(date), '%Y-%m-%d') AS episode_end,
+           COUNT(*) AS episode_days,
+           CAST(SUM(total) AS BIGINT) AS total_events
+    FROM tagged
+    GROUP BY user_id, anchor
+    ORDER BY user_id, episode_start
+    """,
+)
+def w8_activity_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (`app.py:1602-1635`): runs of
+    adjacent active days -> (start, end, length, volume) episodes."""
+    ud = user_day(spark, sf_dir)
+    ep = episodes(
+        ud, ["user_id"], "date", {"total_events": F.sum("total").cast("long")}
+    )
+    return ep.select(
+        "user_id",
+        F.date_format("episode_start", DATE_FMT).alias("episode_start"),
+        F.date_format("episode_end", DATE_FMT).alias("episode_end"),
+        "episode_days",
+        "total_events",
+    ).orderBy("user_id", "episode_start")
+
+
+@query(
+    "w7_error_streak",
+    oracle=f"""
+    WITH {USER_DAY_CTE},
+    latest AS (SELECT user_id, MAX(date) AS latest_date FROM user_day GROUP BY user_id),
+    err_days AS (SELECT user_id, date FROM user_day WHERE errors >= 1),
+    tagged AS (
+      SELECT user_id, date,
+             date - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY date) AS INTEGER) AS anchor
+      FROM err_days
+    ),
+    eps AS (
+      SELECT user_id, MAX(date) AS episode_end, COUNT(*) AS episode_days
+      FROM tagged GROUP BY user_id, anchor
+    )
+    SELECT l.user_id,
+           STRFTIME(l.latest_date, '%Y-%m-%d') AS latest_date,
+           CAST(COALESCE(e.episode_days, 0) AS BIGINT) AS streak_days
+    FROM latest l
+    LEFT JOIN eps e ON e.user_id = l.user_id AND e.episode_end = l.latest_date
+    ORDER BY l.user_id
+    """,
+)
+def w7_error_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing streak ending at the latest date (`app.py:1380-1387`):
+    consecutive error-days scanning back from each user's latest
+    active day; 0 if the latest day itself had no errors."""
+    ud = user_day(spark, sf_dir).cache()
+    latest = ud.groupBy("user_id").agg(F.max("date").alias("latest_date"))
+    err_eps = episodes(ud.where(F.col("errors") >= 1), ["user_id"], "date")
+    return (
+        latest.join(
+            err_eps.withColumnRenamed("user_id", "e_user"),
+            (F.col("e_user") == F.col("user_id"))
+            & (F.col("episode_end") == F.col("latest_date")),
+            "left",
+        )
+        .select(
+            "user_id",
+            F.date_format("latest_date", DATE_FMT).alias("latest_date"),
+            F.coalesce(F.col("episode_days"), F.lit(0)).cast("long").alias("streak_days"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "w10_lag_delta",
+    oracle=f"""
+    WITH {USER_DAY_CTE},
+    lagged AS (
+      SELECT user_id, date, errors,
+             LAG(date)   OVER w AS prev_date,
+             LAG(errors) OVER w AS prev_errors
+      FROM user_day
+      WINDOW w AS (PARTITION BY user_id ORDER BY date)
+    )
+    SELECT user_id,
+           STRFTIME(date, '%Y-%m-%d') AS date,
+           errors,
+           CAST(CASE WHEN prev_date = date - 1 THEN prev_errors ELSE 0 END AS BIGINT) AS prior_errors,
+           CAST(errors - CASE WHEN prev_date = date - 1 THEN prev_errors ELSE 0 END AS BIGINT) AS errors_delta
+    FROM lagged
+    ORDER BY user_id, date
+    """,
+)
+def w10_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-day LAG delta (`crisis_event_rollups.py:647-661`): a
+    missing prior calendar day reads as 0, not as the previous row."""
+    ud = user_day(spark, sf_dir)
+    prior = lag_calendar(ud, ["user_id"], "date", "errors", default=0).cast("long")
+    return (
+        ud.withColumn("prior_errors", prior)
+        .select(
+            "user_id",
+            F.date_format("date", DATE_FMT).alias("date"),
+            "errors",
+            "prior_errors",
+            (F.col("errors") - F.col("prior_errors")).cast("long").alias("errors_delta"),
+        )
+        .orderBy("user_id", "date")
+    )
