@@ -1,0 +1,93 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints exactly
+ONE JSON line:
+
+    {"metric": "suite_seconds", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Timing methodology: one warm-up action first (pays Spark session + JIT
++ parquet footer costs once, like the reference's warm Postgres), then
+each query is materialized fully via the noop data sink (executes the
+whole plan, no driver-side collect bottleneck, no disk write skew).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: the heaviest representative per operator family.
+# Anything listed here but not (yet) registered is skipped, so bench
+# stays runnable mid-build.
+HEADLINE = [
+    "a1_pricing_summary",
+    "a1_daily_event_counts",
+    "w1_weekly_rollup",
+    "w2_anomaly_baselines",
+    "w5_latest_per_key",
+    "w8_activity_episodes",
+    "t2_crisis_chain",
+    "u4_anomaly_rules",
+    "j1_star_join",
+    "j4_entity_daily_metrics",
+    "j9_asof_freshness",
+    "a5_top_headlines",
+    "a6_screen",
+    "a7_sector_stats",
+    "u3_evidence_union",
+    "p2_override_daily",
+    "d1_exact_dedup",
+    "d2_minhash_pairs",
+    "d3_ann_topk",
+    "t_quality_score",
+]
+
+
+def materialize(df) -> None:
+    """Execute the full plan without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    import __spark_entry__ as mod
+    from risk_dashboard_database_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = mod.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # Warm-up: run the first query once, discard the timing.
+    if names:
+        materialize(qs[names[0]](spark, sf_dir))
+
+    per_query: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        materialize(qs[name](spark, sf_dir))
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": round(sum(per_query.values()), 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

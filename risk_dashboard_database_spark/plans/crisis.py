@@ -28,39 +28,39 @@ DATE_FMT = "yyyy-MM-dd"
 
 @query(
     "t2_crisis_chain",
+    # Independent oracle: evaluates the reference recurrence
+    #   active(d) = gate(d) AND (trig(d) OR (cont(d) AND active(d-1)))
+    # DIRECTLY via a recursive CTE walking consecutive calendar days,
+    # deliberately NOT the segment/linearization algorithm the Spark
+    # side uses — a shared linearization bug cannot pass this gate.
     oracle=f"""
-    WITH {USER_DAY_CTE},
+    WITH RECURSIVE {USER_DAY_CTE},
     scored AS (
       SELECT user_id, date, errors, total,
              (errors >= 3) AS trig,
              (errors >= 1 AND CAST(errors AS DOUBLE) / total >= 0.2) AS cont,
-             (total >= 2) AS gate
+             (total >= 2) AS gate,
+             LAG(date) OVER (PARTITION BY user_id ORDER BY date) AS prev_date
       FROM user_day
     ),
-    lagged AS (
-      SELECT *,
-             LAG(date) OVER w AS prev_date,
-             LAG(gate) OVER w AS prev_gate
+    chain AS (
+      SELECT user_id, date, errors, total, trig, cont, gate,
+             (gate AND trig) AS active
       FROM scored
-      WINDOW w AS (PARTITION BY user_id ORDER BY date)
-    ),
-    segged AS (
-      SELECT *,
-             SUM(CASE WHEN (NOT cont) OR prev_date IS NULL
-                        OR prev_date + 1 <> date
-                        OR NOT COALESCE(prev_gate, FALSE)
-                      THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id ORDER BY date ROWS UNBOUNDED PRECEDING) AS seg
-      FROM lagged
+      WHERE prev_date IS NULL OR prev_date + 1 <> date
+      UNION ALL
+      SELECT s.user_id, s.date, s.errors, s.total, s.trig, s.cont, s.gate,
+             (s.gate AND (s.trig OR (s.cont AND c.active))) AS active
+      FROM scored s
+      JOIN chain c ON c.user_id = s.user_id AND s.date = c.date + 1
+      WHERE s.prev_date IS NOT NULL AND s.prev_date + 1 = s.date
     )
     SELECT user_id,
            STRFTIME(date, '%Y-%m-%d') AS date,
            errors,
            total,
-           CAST(gate AND MAX(CASE WHEN trig THEN 1 ELSE 0 END)
-                  OVER (PARTITION BY user_id, seg ORDER BY date ROWS UNBOUNDED PRECEDING) = 1
-                AS INTEGER) AS active
-    FROM segged
+           CAST(active AS INTEGER) AS active
+    FROM chain
     ORDER BY user_id, date
     """,
 )
@@ -85,7 +85,7 @@ def t2_crisis_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "errors",
         "total",
         F.col("active").cast("int").alias("active"),
-    ).orderBy("user_id", "date")
+    )
 
 
 @query(
@@ -193,5 +193,4 @@ def u4_anomaly_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("r.flag"))
         .select("user_id", "date", F.col("r.rule").alias("rule"),
                 F.col("r.observed").alias("observed"), F.col("r.baseline").alias("baseline"))
-        .orderBy("user_id", "date", "rule")
     )

@@ -114,5 +114,4 @@ def a1_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.when(is_neg, 1).otherwise(0)).cast("double") / F.count("*"), 6
             ).alias("neg_pct"),
         )
-        .orderBy("date", "user_id")
     )

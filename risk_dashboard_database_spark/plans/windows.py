@@ -27,9 +27,9 @@ TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     SELECT
       user_id,
       STRFTIME(date, '%Y-%m-%d') AS date,
-      SUM(total)     OVER w AS total_7d,
-      SUM(errors)    OVER w AS errors_7d,
-      SUM(purchases) OVER w AS purchases_7d,
+      CAST(SUM(total)     OVER w AS BIGINT) AS total_7d,
+      CAST(SUM(errors)    OVER w AS BIGINT) AS errors_7d,
+      CAST(SUM(purchases) OVER w AS BIGINT) AS purchases_7d,
       CAST(SUM(value_dec) OVER w AS DOUBLE) AS value_7d,
       STRFTIME(MIN(date) OVER w, '%Y-%m-%d') AS window_start,
       CAST(SUM(CASE WHEN errors >= 2 THEN 1 ELSE 0 END) OVER w AS BIGINT) AS crisis_days_7d
@@ -68,7 +68,7 @@ def w1_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_7d",
         F.date_format("window_start", DATE_FMT).alias("window_start"),
         "crisis_days_7d",
-    ).orderBy("user_id", "date")
+    )
 
 
 @query(
@@ -111,7 +111,7 @@ def w2_anomaly_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("errors").over(w(-7, -1)).alias("prior7_max"),
         F.max("errors").over(w(-30, -8)).alias("prior30_max"),
         F.sum(F.when(F.col("errors") >= 2, 1).otherwise(0)).over(w(-2, 0)).cast("long").alias("streak3"),
-    ).orderBy("user_id", "date")
+    )
 
 
 @query(
@@ -142,7 +142,7 @@ def w5_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.date_format("ts", TS_FMT).alias("ts"),
         "value",
-    ).orderBy("user_id", "event_type")
+    )
 
 
 @query(
@@ -177,7 +177,7 @@ def w8_activity_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("episode_end", DATE_FMT).alias("episode_end"),
         "episode_days",
         "total_events",
-    ).orderBy("user_id", "episode_start")
+    )
 
 
 @query(
@@ -207,7 +207,7 @@ def w7_error_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing streak ending at the latest date (`app.py:1380-1387`):
     consecutive error-days scanning back from each user's latest
     active day; 0 if the latest day itself had no errors."""
-    ud = user_day(spark, sf_dir).cache()
+    ud = user_day(spark, sf_dir)
     latest = ud.groupBy("user_id").agg(F.max("date").alias("latest_date"))
     err_eps = episodes(ud.where(F.col("errors") >= 1), ["user_id"], "date")
     return (
@@ -222,7 +222,6 @@ def w7_error_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("latest_date", DATE_FMT).alias("latest_date"),
             F.coalesce(F.col("episode_days"), F.lit(0)).cast("long").alias("streak_days"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -260,5 +259,4 @@ def w10_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prior_errors",
             (F.col("errors") - F.col("prior_errors")).cast("long").alias("errors_delta"),
         )
-        .orderBy("user_id", "date")
     )

@@ -34,7 +34,7 @@ def get_spark(
     # Shuffle partitions: match local core count so small-SF runs don't
     # schedule hundreds of empty tasks; AQE re-coalesces anyway. On a
     # real cluster this should be ~2-3x total cores (AQE shrinks it).
-    shuffle_partitions = shuffle_partitions or int(cpus) if cpus.isdigit() else 32
+    shuffle_partitions = shuffle_partitions or (int(cpus) if cpus.isdigit() else 32)
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -53,6 +53,10 @@ def get_spark(
         # fuzzy-match, multimodal decode).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Testdata timestamps are parquet TIMESTAMP(NANOS); read them as
+        # long session-wide (loaders convert to micros). Set once here so
+        # no loader has to mutate shared session conf mid-read.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         # Reference semantics are Postgres-style permissive casts; the
         # oracle comparison also depends on non-ANSI null-on-bad-cast.

@@ -58,9 +58,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # The driver may hand us a session not built by get_spark(), so make
+    # sure nanos-as-long decoding is on before the first read. Set
+    # unconditionally (not per-table) so read behavior never flips
+    # mid-session based on which table loaded first.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ns_cols = _nanos_ts_columns(path)
-    if ns_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS LONG))"))

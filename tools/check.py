@@ -49,19 +49,33 @@ def normalize(df):
     return cols, rows
 
 
+def _num_kind(v):
+    """'i' for integer-like, 'f' for float-like, None otherwise —
+    numpy scalars included. The driver hashes typed values, so int64 5
+    vs float64 5.0 is a FAIL there; mimic that strictness here."""
+    import numbers
+
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, numbers.Integral):
+        return "i"
+    if isinstance(v, numbers.Real):
+        return "f"
+    return None
+
+
 def rows_equal(a, b):
     """exact, then tolerant compare -> ('exact'|'close'|'diff', detail)."""
-    if a == b:
-        return "exact", None
     if len(a) != len(b):
         return "diff", f"row count {len(a)} vs {len(b)}"
     worst = 0.0
     for i, (ra, rb) in enumerate(zip(a, b)):
-        if ra == rb:
-            continue
         if len(ra) != len(rb):
             return "diff", f"row {i} arity"
         for va, vb in zip(ra, rb):
+            ka, kb = _num_kind(va), _num_kind(vb)
+            if ka != kb:
+                return "diff", f"row {i}: dtype {type(va).__name__} {va!r} vs {type(vb).__name__} {vb!r}"
             if va == vb:
                 continue
             if isinstance(va, float) and isinstance(vb, float):
@@ -71,6 +85,8 @@ def rows_equal(a, b):
                     return "diff", f"row {i}: {va!r} vs {vb!r} (rel {d:.2e})"
             else:
                 return "diff", f"row {i}: {va!r} vs {vb!r}"
+    if worst == 0.0:
+        return "exact", None
     return "close", f"float-only drift, worst rel {worst:.2e}"
 
 
@@ -137,7 +153,8 @@ def main():
             n_fail += 1
 
     print(f"\n{n_pass} exact, {n_close} close, {n_fail} fail")
-    sys.exit(1 if n_fail else 0)
+    # CLOSE = float drift the driver's exact hash would reject; fail it.
+    sys.exit(1 if (n_fail or n_close) else 0)
 
 
 if __name__ == "__main__":
