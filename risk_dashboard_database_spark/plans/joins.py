@@ -1,0 +1,314 @@
+"""Join-family queries (SURVEY §2.3 J1/J5/J6/J9/J10/J11, §2.2 P5/P6).
+
+Reference shapes ported:
+- J1 star join fact->dims (`app.py:2897-2901`, `sql/article_daily_counts_mv.sql:18-20`)
+- J5 per-entity-type branch join + union (`sql/serp_daily_counts_mv.sql:15-41`)
+- J6 conditional/typed dim join (`sql/entity_daily_metrics_v.sql:84-91`)
+- J9 as-of freshness lookup (`crisis_event_rollups.py:473-474,519-520`)
+- J10 semi-join scope filter / RLS emulation (`app.py:701-736,6746-6748`)
+- J11 anti-join "unmatched items" (`narrative_runtime.py:480,499`)
+
+Scale notes: dims (region/nation/supplier, and customer at dim-like
+SFs) are broadcast so the only shuffle in J1 is the lineitem<->orders
+join, which AQE plans as a balanced sort-merge on the high-cardinality
+order key. J9 uses the union+window as-of operator (operators/joins.py)
+— one shuffle, no per-key cross product. Semi/anti joins keep the scope
+list on the broadcast side: no fact-side shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.joins import asof_join
+from ..tables import load_table
+from .registry import query
+
+DATE_FMT = "yyyy-MM-dd"
+TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+DEC = "decimal(18,2)"
+
+
+@query(
+    "j1_star_join",
+    oracle="""
+    SELECT r.r_name AS region,
+           n.n_name AS nation,
+           COUNT(*) AS line_count,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * CAST(1 - l.l_discount AS DECIMAL(8,2)) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o.o_orderdate AS DATE) <  DATE '1997-01-01'
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def j1_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner FK star join (J1): fact -> fact -> dim chain with the date
+    predicate pushed to the orders scan and every dim broadcast
+    (reference `mentions_daily >< companies >< articles`,
+    `app.py:2897-2901`). The only shuffle is lineitem<->orders."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1997-01-01"))
+    )
+    cust = F.broadcast(load_table(spark, sf_dir, "customer"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    rev = (
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+    ).cast("decimal(18,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("line_count"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "j5_branch_union",
+    oracle="""
+    SELECT STRFTIME(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS date,
+           'customer' AS entity_type,
+           c.c_name AS entity_name,
+           COUNT(*) AS total,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_priority
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 3
+    UNION ALL
+    SELECT STRFTIME(CAST(l.l_shipdate AS DATE), '%Y-%m-%d') AS date,
+           'supplier' AS entity_type,
+           s.s_name AS entity_name,
+           COUNT(*) AS total,
+           CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS high_priority
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY 1, 3
+    """,
+)
+def j5_branch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity-type branch join + union (J5/U1): the reference's
+    brand-branch/ceo-branch pattern — each entity type joins its own
+    dim path, branches align schemas and UNION ALL
+    (`sql/serp_daily_counts_mv.sql:15-41`)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = F.broadcast(load_table(spark, sf_dir, "customer"))
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+
+    brand = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.date_format(F.col("o_orderdate").cast("date"), DATE_FMT).alias("date"),
+            F.col("c_name").alias("entity_name"),
+        )
+        .agg(
+            F.count("*").alias("total"),
+            F.sum(
+                F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("high_priority"),
+        )
+        .withColumn("entity_type", F.lit("customer"))
+    )
+    ceo = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.date_format(F.col("l_shipdate").cast("date"), DATE_FMT).alias("date"),
+            F.col("s_name").alias("entity_name"),
+        )
+        .agg(
+            F.count("*").alias("total"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("high_priority"),
+        )
+        .withColumn("entity_type", F.lit("supplier"))
+    )
+    cols = ["date", "entity_type", "entity_name", "total", "high_priority"]
+    return brand.select(cols).unionByName(ceo.select(cols))
+
+
+@query(
+    "j6_conditional_join",
+    oracle="""
+    SELECT e.user_id,
+           CASE WHEN e.user_id % 2 = 0 THEN 'brand' ELSE 'ceo' END AS entity_type,
+           COALESCE(c.c_name, s.s_name, 'unknown') AS entity_name,
+           COUNT(*) AS n_events
+    FROM events e
+    LEFT JOIN customer c
+      ON (e.user_id % 2 = 0) AND c.c_custkey = e.user_id
+    LEFT JOIN supplier s
+      ON (e.user_id % 2 = 1) AND s.s_suppkey = e.user_id % 100
+    GROUP BY 1, 2, 3
+    """,
+)
+def j6_conditional_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/typed dim join (J6): LEFT join whose condition mixes
+    a type predicate with the FK equality, then name resolution via
+    coalesce across the branch dims
+    (`sql/entity_daily_metrics_v.sql:84-91`)."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = F.broadcast(load_table(spark, sf_dir, "customer"))
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    ev = ev.withColumn(
+        "entity_type", F.when(F.col("user_id") % 2 == 0, "brand").otherwise("ceo")
+    )
+    joined = ev.join(
+        cust,
+        (F.col("entity_type") == "brand") & (cust.c_custkey == ev.user_id),
+        "left",
+    ).join(
+        supp,
+        (F.col("entity_type") == "ceo") & (supp.s_suppkey == ev.user_id % 100),
+        "left",
+    )
+    return joined.groupBy(
+        "user_id",
+        "entity_type",
+        F.coalesce("c_name", "s_name", F.lit("unknown")).alias("entity_name"),
+    ).agg(F.count("*").alias("n_events"))
+
+
+@query(
+    "j9_asof_freshness",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    errors AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'error'
+    )
+    SELECT p.event_id,
+           p.user_id,
+           STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           STRFTIME(b.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_error_ts,
+           b.value AS last_error_value,
+           CAST(CASE WHEN b.ts IS NOT NULL
+                      AND DATEDIFF('day', CAST(b.ts AS DATE), CAST(p.ts AS DATE)) <= 1
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_fresh
+    FROM purchases p
+    LEFT JOIN LATERAL (
+      SELECT e.ts, e.value
+      FROM errors e
+      WHERE e.user_id = p.user_id AND e.ts <= p.ts
+      ORDER BY e.ts DESC, e.event_id DESC
+      LIMIT 1
+    ) b ON TRUE
+    """,
+)
+def j9_asof_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of freshness join (J9): each purchase looks up the user's
+    latest error at-or-before it, then flags it stale when more than a
+    day old — the reference's `published_at::date BETWEEN cad.date - 1
+    AND cad.date` article-freshness semantics
+    (`crisis_event_rollups.py:473-474,519-520`).
+
+    Uses the union+ordered-window as-of operator — one shuffle on the
+    user key, no range-join cross product. The oracle is an independent
+    LATERAL top-1 formulation."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("err_ts"), F.col("value").alias("err_value")
+    )
+    out = asof_join(
+        purchases,
+        errors,
+        on="user_id",
+        probe_time="ts",
+        build_time="err_ts",
+        build_cols=["err_ts", "err_value"],
+        tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT).alias("ts"),
+        F.date_format("err_ts", TS_FMT).alias("last_error_ts"),
+        F.col("err_value").alias("last_error_value"),
+        F.when(
+            F.col("err_ts").isNotNull()
+            & (F.datediff(F.col("ts").cast("date"), F.col("err_ts").cast("date")) <= 1),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("is_fresh"),
+    )
+
+
+@query(
+    "j10_scope_semi",
+    oracle="""
+    SELECT STRFTIME(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS date,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS scoped_total
+    FROM orders o
+    WHERE o.o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    GROUP BY 1
+    """,
+)
+def j10_scope_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join scope filter (J10/P6): the reference injects a per-user
+    allowed-entity list as `col = any(scope_ids)` (RLS emulation,
+    `app.py:701-736,6746-6748`). Spark: left_semi against the broadcast
+    scope — the fact side never shuffles."""
+    orders = load_table(spark, sf_dir, "orders")
+    scope = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    return (
+        orders.join(scope, orders.o_custkey == scope.c_custkey, "left_semi")
+        .groupBy(F.date_format(F.col("o_orderdate").cast("date"), DATE_FMT).alias("date"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("scoped_total"),
+        )
+    )
+
+
+@query(
+    "j11_unmatched_anti",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND CAST(o.o_orderdate AS DATE) >= DATE '1998-01-01'
+    )
+    """,
+)
+def j11_unmatched_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (J11): entities with no matching fact rows in the
+    window — the reference's "unmatched negative items" role
+    (`narrative_runtime.py:480,499`) as a relational left_anti."""
+    cust = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").cast("date") >= F.lit("1998-01-01")
+    )
+    return cust.join(
+        recent, cust.c_custkey == recent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
