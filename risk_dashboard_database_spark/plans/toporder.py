@@ -1,0 +1,266 @@
+"""Sort / limit / top-k family (SURVEY §2.6 O1-O7) + composite risk
+score (§2.8).
+
+These are the only queries whose ORDER BY is semantic (pagination,
+top-k slicing), so they keep their sorts; everything else in the
+engine drops global ordering (the driver compare is order-insensitive
+and a total-order exchange is waste at scale). Top-k sorts in Spark
+execute as TakeOrderedAndProject — no full sort, no single-partition
+exchange — which is the 100 TB-safe shape for every query here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .registry import query
+
+DATE_FMT = "yyyy-MM-dd"
+DEC = "decimal(18,2)"
+
+
+@query(
+    "o1_pagination",
+    oracle="""
+    SELECT o_orderkey,
+           STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS date,
+           o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS total_price
+    FROM orders
+    ORDER BY CAST(o_orderdate AS DATE) DESC, o_orderkey
+    LIMIT 50 OFFSET 100
+    """,
+)
+def o1_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY LIMIT OFFSET pagination (O1): the reference caps every
+    endpoint at limit<=500/1000 with offsets (`app.py:2903-2904`).
+    The sort key includes the unique order key so pages are stable."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.date_format(F.col("o_orderdate").cast("date"), DATE_FMT).alias("date"),
+            "o_orderpriority",
+            F.col("o_totalprice").cast("double").alias("total_price"),
+        )
+        .orderBy(F.col("date").desc(), F.col("o_orderkey"))
+        .offset(100)
+        .limit(50)
+    )
+
+
+@query(
+    "o2_topk_compound",
+    oracle="""
+    SELECT c.c_name AS entity_name,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS window_value,
+           STRFTIME(MAX(CAST(o.o_orderdate AS DATE)), '%Y-%m-%d') AS latest,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_name
+    ORDER BY window_value DESC, latest DESC, entity_name ASC
+    LIMIT 20
+    """,
+)
+def o2_topk_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k with multi-key compound sort (O2): `window_value desc,
+    latest desc, name asc` exactly as the screen endpoint's ordering
+    (`app.py:4422-4423`). Executes as TakeOrderedAndProject."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = F.broadcast(load_table(spark, sf_dir, "customer"))
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_name").alias("entity_name"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("window_value"),
+            F.date_format(F.max(F.col("o_orderdate").cast("date")), DATE_FMT).alias(
+                "latest"
+            ),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(
+            F.col("window_value").desc(), F.col("latest").desc(), F.col("entity_name")
+        )
+        .limit(20)
+    )
+
+
+@query(
+    "o3_nulls_last",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN value < 10 THEN NULL ELSE value END AS metric
+    FROM events
+    ORDER BY metric ASC NULLS LAST, event_id
+    LIMIT 100
+    """,
+)
+def o3_nulls_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULLS LAST ordering (O3): `order by position nulls last, id`
+    (`app.py:523,3411,5796`). Spark defaults to nulls-first on asc, so
+    the modifier is semantic, not cosmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    metric = F.when(F.col("value") < 10, F.lit(None)).otherwise(F.col("value"))
+    return (
+        ev.select("event_id", "user_id", metric.alias("metric"))
+        .orderBy(F.asc_nulls_last("metric"), F.col("event_id"))
+        .limit(100)
+    )
+
+
+# Composite risk score weights — reference defaults
+# (`dashboard_app/static/app/entity-store.js:131-216`, duplicated server-side
+# `app.py:175-184`): news .24, organic .24, topStories .16, aio .12,
+# paa .10, videos .07, perspectives .07, minus control .10.
+_RISK_WEIGHTS = {
+    "purchase": 0.24,
+    "view": 0.24,
+    "click": 0.16,
+    "signup": 0.12,
+    "error": 0.10,
+}
+_CTRL_WEIGHT = 0.10
+
+
+@query(
+    "o6_risk_leaderboard",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+             COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+             COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+             COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+             COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+             COUNT(*) FILTER (WHERE CAST(props->>'$.k' AS INTEGER) % 4 = 0) AS n_controlled
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(0.24 AS DOUBLE) * n_purchase + CAST(0.24 AS DOUBLE) * n_view
+             + CAST(0.16 AS DOUBLE) * n_click
+             + CAST(0.12 AS DOUBLE) * n_signup + CAST(0.10 AS DOUBLE) * n_error
+             - CAST(0.10 AS DOUBLE) * n_controlled AS risk_score,
+           CASE WHEN n_error > 0 AND n_controlled < 5 THEN 'High'
+                WHEN n_error > 0 THEN 'Medium'
+                ELSE 'Low' END AS risk_label
+    FROM per_user
+    ORDER BY risk_score DESC, user_id
+    LIMIT 10
+    """,
+)
+def o6_risk_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-score top-10 leaderboard (O6 + §2.8 risk score):
+    weighted linear blend of per-feature counts minus a control credit,
+    then High/Medium/Low labeling — `entity-store.js:131-222,1393-1399`.
+    Pure column arithmetic over one hash agg; top-k via
+    TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    n = lambda t: F.count(F.when(F.col("event_type") == t, 1))  # noqa: E731
+    per_user = ev.groupBy("user_id").agg(
+        n("purchase").alias("n_purchase"),
+        n("view").alias("n_view"),
+        n("click").alias("n_click"),
+        n("signup").alias("n_signup"),
+        n("error").alias("n_error"),
+        F.count(F.when(k % 4 == 0, 1)).alias("n_controlled"),
+    )
+    score = (
+        F.lit(0.24) * F.col("n_purchase")
+        + F.lit(0.24) * F.col("n_view")
+        + F.lit(0.16) * F.col("n_click")
+        + F.lit(0.12) * F.col("n_signup")
+        + F.lit(0.10) * F.col("n_error")
+        - F.lit(0.10) * F.col("n_controlled")
+    )
+    return (
+        per_user.select(
+            "user_id",
+            score.alias("risk_score"),
+            F.when((F.col("n_error") > 0) & (F.col("n_controlled") < 5), "High")
+            .when(F.col("n_error") > 0, "Medium")
+            .otherwise("Low")
+            .alias("risk_label"),
+        )
+        .orderBy(F.col("risk_score").desc(), F.col("user_id"))
+        .limit(10)
+    )
+
+
+@query("o7_fuzzy_topk")  # no oracle: SequenceMatcher has no SQL equivalent (F-surface)
+def o7_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-suggestion top-k (O7): score candidates with
+    `difflib.SequenceMatcher.ratio()` (exact reference parity requires
+    the same algorithm — `app.py:1048-1056,1097-1161`), keep scores
+    >= 0.72, sort (-score, name), take 5 per probe; a probe resolves
+    only if best >= 0.84 and beats the runner-up by >= 0.01
+    (`app.py:1204-1217,1253-1334`).
+
+    Probes are customer names with their last 3 chars dropped
+    (deterministic). Scoring runs as an Arrow-batched pandas UDF over a
+    broadcast candidate join — at scale candidates are a dim table, so
+    the fact side never shuffles; the UDF is the only Python in the
+    plan, batched, never row-at-a-time."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    cust = load_table(spark, sf_dir, "customer")
+    probes = (
+        cust.where(F.col("c_custkey") % 100 == 0)
+        .select(
+            F.col("c_custkey").alias("probe_id"),
+            F.expr("substring(c_name, 1, length(c_name) - 3)").alias("probe_name"),
+        )
+    )
+    candidates = cust.select(F.col("c_name").alias("candidate"))
+
+    def _seq_ratio(a, b):
+        import pandas as pd
+        from difflib import SequenceMatcher
+
+        return pd.Series(
+            [SequenceMatcher(None, x, y).ratio() for x, y in zip(a, b)]
+        )
+
+    # Explicit Series->Series eval type: type-hint inference can't see
+    # through `from __future__ import annotations` here.
+    from pyspark.sql.pandas.functions import PandasUDFType
+
+    seq_ratio = pandas_udf(_seq_ratio, "double", PandasUDFType.SCALAR)
+
+    scored = (
+        probes.join(F.broadcast(candidates))
+        .withColumn("score", seq_ratio(F.lower("probe_name"), F.lower("candidate")))
+        .where(F.col("score") >= 0.72)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), F.col("candidate"))
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+    )
+    best = F.max(F.when(F.col("rank") == 1, F.col("score"))).over(
+        Window.partitionBy("probe_id")
+    )
+    runner = F.max(F.when(F.col("rank") == 2, F.col("score"))).over(
+        Window.partitionBy("probe_id")
+    )
+    return top.select(
+        "probe_id",
+        "probe_name",
+        "candidate",
+        F.round("score", 6).alias("score"),
+        "rank",
+        (
+            (F.col("rank") == 1)
+            & (best >= 0.84)
+            & ((runner.isNull()) | (best - runner >= 0.01))
+        )
+        .cast("int")
+        .alias("resolved"),
+    )
