@@ -1,5 +1,14 @@
 """Named query library. Importing this package registers every query
 into `registry.QUERIES` / `registry.ORACLES`."""
 
-from . import crisis, joins, overrides, pricing, toporder, unions, windows  # noqa: F401
+from . import (  # noqa: F401
+    aggregates,
+    crisis,
+    joins,
+    overrides,
+    pricing,
+    toporder,
+    unions,
+    windows,
+)
 from .registry import ORACLES, QUERIES  # noqa: F401

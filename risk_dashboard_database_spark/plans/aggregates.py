@@ -1,0 +1,471 @@
+"""Aggregation family (SURVEY §2.4 A5-A16; A1-A4 live in pricing.py /
+overrides.py).
+
+Reference shapes ported, each cited on its query. Scale notes: every
+query is one or two hash aggregations; the string/map aggregations
+(A5/A10) collect only per-group top-k or per-group tag sets, so state
+per key is bounded; sector stats (A7) aggregate a dim-sized relation.
+No driver-side loops anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .common import USER_DAY_CTE, user_day
+from .registry import query
+
+DATE_FMT = "yyyy-MM-dd"
+DEC = "decimal(18,2)"
+
+
+@query(
+    "a5_top_headlines",
+    oracle="""
+    SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS date,
+           user_id,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS negative_count,
+           COALESCE(array_to_string(
+             (array_agg(event_type || '#' || CAST(event_id AS VARCHAR) ORDER BY event_type || '#' || CAST(event_id AS VARCHAR))
+                FILTER (WHERE event_type = 'error'))[1:3], ' | '), '') AS top_negative
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def a5_top_headlines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered, filtered, sliced string agg (A5/O5): top-3 negative
+    titles per (date, entity), deterministic ordering —
+    `sql/negative_summary_mv.sql:43-46` `(array_agg(title ORDER BY
+    title) FILTER (...))[1:3]`. Spark: collect_list(when(...)) drops
+    nulls, sort_array fixes the nondeterministic collect order, slice
+    takes the top-3 — per-group state is bounded by the group size but
+    the emitted value by the slice."""
+    ev = load_table(spark, sf_dir, "events")
+    title = F.concat("event_type", F.lit("#"), F.col("event_id").cast("string"))
+    neg_titles = F.sort_array(
+        F.collect_list(F.when(F.col("event_type") == "error", title))
+    )
+    return ev.groupBy(
+        F.date_format(F.col("ts").cast("date"), DATE_FMT).alias("date"), "user_id"
+    ).agg(
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("negative_count"),
+        F.coalesce(
+            F.array_join(F.slice(neg_titles, 1, 3), " | "), F.lit("")
+        ).alias("top_negative"),
+    )
+
+
+@query(
+    "a6_screen",
+    oracle=f"""
+    WITH {USER_DAY_CTE}
+    SELECT user_id,
+           CAST(SUM(total) AS BIGINT) AS window_value,
+           CAST(SUM(total) AS DOUBLE) / COUNT(*) AS avg_daily_value,
+           CAST(MAX(total) AS BIGINT) AS max_daily_value,
+           CAST(COALESCE(MAX(CASE WHEN date = DATE '2024-01-22' THEN total END), 0) AS BIGINT) AS latest_value,
+           CAST(COUNT(*) FILTER (WHERE total > 0) AS BIGINT) AS signal_days
+    FROM user_day
+    WHERE date BETWEEN DATE '2024-01-08' AND DATE '2024-01-22'
+    GROUP BY user_id
+    HAVING SUM(total) >= 30
+    ORDER BY window_value DESC, user_id
+    LIMIT 25
+    """,
+)
+def a6_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-metric windowed screen (A6): per entity over [start,end]
+    sum/avg/max, latest-day value, signal-day count, HAVING floor,
+    ORDER BY window value LIMIT n — `app.py:4400-4425,4543-4568`."""
+    ud = user_day(spark, sf_dir).where(
+        F.col("date").between(F.lit("2024-01-08"), F.lit("2024-01-22"))
+    )
+    return (
+        ud.groupBy("user_id")
+        .agg(
+            F.sum("total").cast("long").alias("window_value"),
+            (F.sum("total").cast("double") / F.count("*")).alias("avg_daily_value"),
+            F.max("total").cast("long").alias("max_daily_value"),
+            F.coalesce(
+                F.max(F.when(F.col("date") == F.lit("2024-01-22"), F.col("total"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("latest_value"),
+            F.count(F.when(F.col("total") > 0, 1)).alias("signal_days"),
+        )
+        .where(F.col("window_value") >= 30)
+        .orderBy(F.col("window_value").desc(), F.col("user_id"))
+        .limit(25)
+    )
+
+
+@query(
+    "a7_sector_stats",
+    oracle="""
+    WITH entity AS (
+      SELECT c.c_custkey, c.c_name, c.c_mktsegment AS sector,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS window_value
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT *,
+             RANK() OVER (PARTITION BY sector ORDER BY window_value DESC) AS peer_rank,
+             COUNT(*) OVER (PARTITION BY sector) AS n_peers,
+             CAST(AVG(window_value) OVER (PARTITION BY sector) AS DOUBLE) AS sector_avg,
+             CAST(MEDIAN(window_value) OVER (PARTITION BY sector) AS DOUBLE) AS sector_median,
+             MAX(window_value) OVER (PARTITION BY sector) AS sector_max
+      FROM entity
+    )
+    SELECT c_custkey, c_name, sector, window_value,
+           sector_avg, sector_median, sector_max,
+           CAST(peer_rank AS BIGINT) AS peer_rank,
+           CAST(100.0 * (n_peers - peer_rank) AS DOUBLE) / NULLIF(n_peers - 1, 0) AS percentile
+    FROM ranked
+    """,
+)
+def a7_sector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sector summary stats (A7): avg / exact median / max of entity
+    window values per sector, peer rank, percentile
+    `100*(n-rank)/(n-1)` — `app.py:4592-4631`. Exact median via
+    Spark 3.4+ `median` as a window function; everything derives from
+    one dim-sized aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = F.broadcast(load_table(spark, sf_dir, "customer"))
+    entity = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", F.col("c_mktsegment").alias("sector"))
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("window_value"))
+    )
+    ws = Window.partitionBy("sector")
+    wr = Window.partitionBy("sector").orderBy(F.col("window_value").desc())
+    ranked = entity.select(
+        "*",
+        F.rank().over(wr).alias("peer_rank"),
+        F.count("*").over(ws).alias("n_peers"),
+        F.avg("window_value").over(ws).alias("sector_avg"),
+        F.median("window_value").over(ws).alias("sector_median"),
+        F.max("window_value").over(ws).alias("sector_max"),
+    )
+    return ranked.select(
+        "c_custkey",
+        "c_name",
+        "sector",
+        "window_value",
+        "sector_avg",
+        "sector_median",
+        "sector_max",
+        F.col("peer_rank").cast("long").alias("peer_rank"),
+        (
+            (F.lit(100.0) * (F.col("n_peers") - F.col("peer_rank")))
+            / F.nullif(F.col("n_peers") - 1, F.lit(0))
+        ).alias("percentile"),
+    )
+
+
+@query(
+    "a8_index_union",
+    oracle="""
+    SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS date,
+           'engagement' AS series,
+           CAST(COUNT(*) AS BIGINT) AS total
+    FROM events WHERE event_type IN ('view','click')
+    GROUP BY 1
+    UNION ALL
+    SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d'), 'conversion', CAST(COUNT(*) AS BIGINT)
+    FROM events WHERE event_type IN ('purchase','signup')
+    GROUP BY 1
+    UNION ALL
+    SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d'), 'Index', CAST(COUNT(*) AS BIGINT)
+    FROM events WHERE event_type IN ('view','click','purchase','signup')
+    GROUP BY 1
+    """,
+)
+def a8_index_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-mode union aggregate (A8): per-type daily series plus a
+    combined 'Index' series union-appended (`app.py:6954-6990`).
+    Spark-first: aggregate (date, series) once, then derive Index rows
+    by re-agg over the (tiny) daily result instead of rescanning."""
+    ev = load_table(spark, sf_dir, "events")
+    typed = (
+        ev.where(F.col("event_type").isin("view", "click", "purchase", "signup"))
+        .groupBy(
+            F.date_format(F.col("ts").cast("date"), DATE_FMT).alias("date"),
+            F.when(F.col("event_type").isin("view", "click"), "engagement")
+            .otherwise("conversion")
+            .alias("series"),
+        )
+        .agg(F.count("*").alias("total"))
+    )
+    index = typed.groupBy("date").agg(F.sum("total").cast("long").alias("total")).select(
+        "date", F.lit("Index").alias("series"), "total"
+    )
+    return typed.unionByName(index)
+
+
+@query(
+    "a9_evidence_summary",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type AS evidence_type,
+             CASE WHEN value >= 50 THEN 'high_value' ELSE 'routine' END AS included_reason,
+             COUNT(*) AS n
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT evidence_type, included_reason, CAST(n AS BIGINT) AS n,
+           CASE WHEN included_reason = 'high_value' AND n >= 100 THEN 'material'
+                WHEN included_reason = 'high_value' THEN 'notable'
+                ELSE 'routine' END AS interpretation
+    FROM counts
+    """,
+)
+def a9_evidence_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evidence summary maps (A9): counts by (evidence_type,
+    included_reason) plus a derived interpretation label —
+    `app.py:1515-1561`."""
+    ev = load_table(spark, sf_dir, "events")
+    reason = F.when(F.col("value") >= 50, "high_value").otherwise("routine")
+    counts = ev.groupBy(
+        F.col("event_type").alias("evidence_type"), reason.alias("included_reason")
+    ).agg(F.count("*").alias("n"))
+    return counts.select(
+        "evidence_type",
+        "included_reason",
+        "n",
+        F.when(
+            (F.col("included_reason") == "high_value") & (F.col("n") >= 100), "material"
+        )
+        .when(F.col("included_reason") == "high_value", "notable")
+        .otherwise("routine")
+        .alias("interpretation"),
+    )
+
+
+@query(
+    "a10_tag_counts_map",
+    oracle="""
+    WITH per_tag AS (
+      SELECT CAST(ts AS DATE) AS date, user_id, event_type AS tag, COUNT(*) AS n
+      FROM events
+      GROUP BY 1, 2, 3
+    )
+    SELECT STRFTIME(date, '%Y-%m-%d') AS date, user_id,
+           '{' || string_agg('"' || tag || '":' || CAST(n AS VARCHAR), ',' ORDER BY tag) || '}' AS tag_counts
+    FROM per_tag
+    GROUP BY 1, 2
+    """,
+)
+def a10_tag_counts_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag-count map aggregation (A10): per (date, entity) a jsonb-like
+    map tag -> count (`narrative_runtime.py:476-478,546`,
+    `tag_counts jsonb`). Emitted as canonical sorted-key JSON text so
+    the comparison is representation-stable across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    per_tag = ev.groupBy(
+        F.date_format(F.col("ts").cast("date"), DATE_FMT).alias("date"),
+        "user_id",
+        F.col("event_type").alias("tag"),
+    ).agg(F.count("*").alias("n"))
+    return per_tag.groupBy("date", "user_id").agg(
+        F.to_json(
+            F.map_from_entries(F.sort_array(F.collect_list(F.struct("tag", "n"))))
+        ).alias("tag_counts")
+    )
+
+
+# Canonical tag priority (A11 tie-break): higher = preferred, mirroring
+# the reference's crisis-group-then-canonical-order vote
+# (`narrative_runtime.py:26-33,349-361,510-519`).
+_TAG_PRIORITY = {"error": 5, "purchase": 4, "signup": 3, "click": 2, "view": 1}
+
+
+@query(
+    "a11_majority_vote",
+    oracle="""
+    WITH per_tag AS (
+      SELECT CAST(ts AS DATE) AS date, user_id, event_type AS tag, COUNT(*) AS n,
+             CASE event_type WHEN 'error' THEN 5 WHEN 'purchase' THEN 4
+                  WHEN 'signup' THEN 3 WHEN 'click' THEN 2 ELSE 1 END AS priority
+      FROM events
+      GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY date, user_id
+                                   ORDER BY n DESC, priority DESC) AS rn
+      FROM per_tag
+    )
+    SELECT STRFTIME(date, '%Y-%m-%d') AS date, user_id,
+           tag AS primary_tag, CAST(n AS BIGINT) AS votes
+    FROM ranked WHERE rn = 1
+    """,
+)
+def a11_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote argmax (A11): primary tag = argmax of (count,
+    crisis-group priority, canonical order) — `narrative_runtime.py:
+    510-519`. Spark: `max_by(tag, struct(n, priority))` — one
+    aggregation, no window; the oracle uses row_number so the two
+    formulations cross-check."""
+    ev = load_table(spark, sf_dir, "events")
+    priority = (
+        F.when(F.col("event_type") == "error", 5)
+        .when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "signup", 3)
+        .when(F.col("event_type") == "click", 2)
+        .otherwise(1)
+    )
+    per_tag = ev.groupBy(
+        F.date_format(F.col("ts").cast("date"), DATE_FMT).alias("date"),
+        "user_id",
+        F.col("event_type").alias("tag"),
+    ).agg(F.count("*").alias("n"), F.max(priority).alias("priority"))
+    return per_tag.groupBy("date", "user_id").agg(
+        F.expr("max_by(tag, struct(n, priority))").alias("primary_tag"),
+        F.max(F.struct("n", "priority")).getField("n").alias("votes"),
+    )
+
+
+@query(
+    "a12_bucket_counts",
+    oracle="""
+    SELECT c.c_mktsegment AS sector,
+           o.o_orderpriority AS bucket,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_entities,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def a12_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level bucket group/count (A12): the storyline/crisis-impact
+    sector x tag grouping with distinct-entity counts
+    (`app.py:1968-2211,2214-2414`) as a single distinct-agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = F.broadcast(load_table(spark, sf_dir, "customer"))
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("sector"),
+            F.col("o_orderpriority").alias("bucket"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_entities"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_value"),
+        )
+    )
+
+
+@query(
+    "a13_distinct_dates",
+    oracle="""
+    SELECT DISTINCT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS date FROM events
+    """,
+)
+def a13_distinct_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-date list (A13): `select distinct date` date-picker
+    feed (`app.py:2737-2752`)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.date_format(F.col("ts").cast("date"), DATE_FMT).alias("date")
+    ).distinct()
+
+
+@query(
+    "a14_latest_lookup",
+    oracle="""
+    SELECT user_id, STRFTIME(MAX(CAST(ts AS DATE)), '%Y-%m-%d') AS latest_date,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def a14_latest_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max(date) latest-available lookup per scope (A14):
+    `app.py:4376-4387,5375-5383`."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.date_format(F.max(F.col("ts").cast("date")), DATE_FMT).alias("latest_date"),
+        F.countDistinct(F.col("ts").cast("date")).alias("active_days"),
+    )
+
+
+@query(
+    "a15_sector_company_count",
+    oracle="""
+    SELECT c_mktsegment AS sector, COUNT(*) AS n_companies
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def a15_sector_company_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sector company-count (A15): `group by sector`
+    (`app.py:1171-1182`)."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("sector"))
+        .agg(F.count("*").alias("n_companies"))
+    )
+
+
+@query(
+    "a16_confusion_matrix",
+    oracle="""
+    WITH labeled AS (
+      SELECT CASE WHEN event_type IN ('purchase','signup') THEN 'positive'
+                  WHEN event_type IN ('view','click') THEN 'neutral'
+                  ELSE 'negative' END AS truth,
+             CASE WHEN CAST(props->>'$.k' AS INTEGER) % 5 = 0 THEN
+               CASE WHEN event_type IN ('purchase','signup') THEN 'positive'
+                    WHEN event_type IN ('view','click') THEN 'neutral'
+                    ELSE 'negative' END
+             ELSE
+               CASE CAST(props->>'$.k' AS INTEGER) % 3
+                    WHEN 0 THEN 'negative' WHEN 1 THEN 'neutral' ELSE 'positive' END
+             END AS predicted
+      FROM events
+    )
+    SELECT truth, predicted, COUNT(*) AS n,
+           CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY truth) AS frac_of_truth,
+           CAST(SUM(CASE WHEN truth = predicted THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS cell_agreement
+    FROM labeled
+    GROUP BY truth, predicted
+    """,
+)
+def a16_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-agreement confusion matrix (A16): baseline label vs
+    candidate label counts + per-truth fractions — the sentiment
+    bakeoff harness (`scripts/sentiment_bakeoff.py:416-490`). The
+    'candidate' here is the llm layer with override->raw fallback
+    precedence, mirroring the bakeoff's label precedence."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    truth = (
+        F.when(F.col("event_type").isin("purchase", "signup"), "positive")
+        .when(F.col("event_type").isin("view", "click"), "neutral")
+        .otherwise("negative")
+    )
+    llm = (
+        F.when(k % 3 == 0, "negative").when(k % 3 == 1, "neutral").otherwise("positive")
+    )
+    predicted = F.when(k % 5 == 0, truth).otherwise(llm)
+    labeled = ev.select(truth.alias("truth"), predicted.alias("predicted"))
+    counts = labeled.groupBy("truth", "predicted").agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("truth")
+    return counts.select(
+        "truth",
+        "predicted",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wt)).alias("frac_of_truth"),
+        F.when(F.col("truth") == F.col("predicted"), 1.0).otherwise(0.0).alias(
+            "cell_agreement"
+        ),
+    )
