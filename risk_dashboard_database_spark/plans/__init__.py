@@ -5,8 +5,10 @@ from . import (  # noqa: F401
     aggregates,
     crisis,
     joins,
+    narrative,
     overrides,
     pricing,
+    scalars,
     toporder,
     unions,
     windows,
