@@ -150,8 +150,10 @@ def state_scan(
         pdf = pdf.sort_values(order_key).reset_index(drop=True)
         state: dict = {}
         extra: dict[str, list] = {n: [] for n in state_cols}
-        for _, row in pdf.iterrows():
-            state = step(state, row)
+        # itertuples, not iterrows: no per-row Series construction
+        # (~10x less overhead for the unavoidable sequential scan).
+        for row in pdf.itertuples(index=False):
+            state = step(state, row._asdict())
             for n in state_cols:
                 extra[n].append(state.get(n))
         for n, vals in extra.items():
