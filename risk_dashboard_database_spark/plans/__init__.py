@@ -4,11 +4,14 @@ into `registry.QUERIES` / `registry.ORACLES`."""
 from . import (  # noqa: F401
     aggregates,
     crisis,
+    dedup,
     joins,
+    multimodal,
     narrative,
     overrides,
     pricing,
     scalars,
+    textstats,
     toporder,
     unions,
     windows,

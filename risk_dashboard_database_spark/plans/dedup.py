@@ -1,0 +1,478 @@
+"""Large-scale training-data dedup + similarity search (brief §extras;
+reference analog: articles dedup by canonical-url hash,
+`sql/schema.sql:163-173`, `src/url_utils.py:12-47`).
+
+Components, each a driver-checked query:
+
+- d1_exact_dedup      — exact dedup by sha256(normalized url) with
+                        first-seen-wins + duplicate counts
+- d2_minhash_pairs    — MinHash + LSH banding near-dup pairs: shingle
+                        -> 12 md5-order minhashes -> 4 bands x 3 rows
+                        -> band-bucket join -> exact Jaccard on
+                        candidates only (never all-pairs)
+- d4_ngram_jaccard    — word-3-gram Jaccard, language-blocked
+                        all-pairs (the small-scale baseline d2 must
+                        agree with on its candidates)
+- d6_simhash          — 32-bit SimHash fingerprints from token hashes
+- d3_ann_topk         — brute-force cosine top-k over embeddings
+                        (broadcast queries; the correctness baseline)
+- d5_ann_lsh_bucket   — sign-LSH bucketed ANN (the scale path: probes
+                        only search their bucket)
+
+Determinism: all "random" hash functions are md5-based (identical in
+Spark and DuckDB); MinHash uses the lexicographic order of md5 hex
+strings as its random total order, so Spark and the oracle agree
+bit-for-bit. Cosines are left-fold dot products over float->double
+casts — the same IEEE expression tree on both engines, so raw doubles
+hash-match without rounding.
+
+Scale notes: d2 shuffles on band keys only (candidate sets), d5 on
+LSH buckets; d1 is one hash-agg; d3 broadcasts the (small) query set
+against the corpus — the classic brute-force layout; at 100 TB you
+shard candidates and keep the same plan. d4 is quadratic by design
+(the oracle-grade baseline) and stays language-blocked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.urls import url_hash
+from ..tables import load_table
+from .registry import query
+from .synth import K_SQL, k_col, normalized_url_sql, url_col
+
+N_MINHASH = 12
+N_BANDS = 4
+ROWS_PER_BAND = 3
+JACCARD_THRESHOLD = 0.5
+
+
+# ---------------------------------------------------------------- d1
+@query(
+    "d1_exact_dedup",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT event_id, user_id,
+             sha256({normalized_url_sql()}) AS url_hash
+      FROM events
+    )
+    SELECT url_hash,
+           MIN(event_id) AS canonical_event_id,
+           COUNT(*) AS n_copies,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_duplicates
+    FROM hashed
+    GROUP BY url_hash
+    """,
+)
+def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content identity hash (reference: articles
+    unique on canonical_url -> sha256(normalize_url),
+    `sql/schema.sql:163-173` + `src/url_utils.py:43-47`): one hash-agg
+    keyed on the hash, first-seen row is canonical."""
+    ev = load_table(spark, sf_dir, "events")
+    hashed = ev.select(
+        "event_id", url_hash(url_col(k_col(), F.col("event_type"))).alias("url_hash")
+    )
+    return hashed.groupBy("url_hash").agg(
+        F.min("event_id").alias("canonical_event_id"),
+        F.count("*").alias("n_copies"),
+        (F.count("*") - 1).cast("long").alias("n_duplicates"),
+    )
+
+
+# ------------------------------------------------------------ shingles
+def _shingles_spark(text: F.Column) -> F.Column:
+    """Distinct word-3-gram shingles (1-based element_at)."""
+    words = F.split(text, " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(words, i),
+                F.element_at(words, i + 1),
+                F.element_at(words, i + 2),
+            ),
+        )
+    )
+
+
+_SHINGLES_SQL = """
+  list_distinct(list_transform(
+    range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+    i -> string_split(text, ' ')[i] || ' ' ||
+         string_split(text, ' ')[i+1] || ' ' ||
+         string_split(text, ' ')[i+2]))
+"""
+
+_MINHASH_SQL = f"""
+  list_transform(range(0, {N_MINHASH}),
+    j -> list_min(list_transform(sh, s -> md5(CAST(j AS VARCHAR) || '|' || s))))
+"""
+
+
+def _minhash_spark(shingles: F.Column) -> F.Column:
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: F.md5(F.concat(j.cast("string"), F.lit("|"), s)),
+            )
+        ),
+    )
+
+
+_JACCARD_SQL = """
+  CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+    / (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x))))
+"""
+
+
+# ---------------------------------------------------------------- d2
+@query(
+    "d2_minhash_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id, sh, {_MINHASH_SQL} AS mh
+      FROM toks WHERE len(sh) > 0
+    ),
+    bands AS (
+      SELECT doc_id,
+             b AS band,
+             md5(CAST(b AS VARCHAR) || ':' || mh[3*b+1] || mh[3*b+2] || mh[3*b+3]) AS band_key
+      FROM sigs, UNNEST(range(0, {N_BANDS})) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+      FROM bands b1 JOIN bands b2
+        ON b1.band_key = b2.band_key AND b1.band = b2.band
+       AND b1.doc_id < b2.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS BIGINT) AS n_common,
+           {_JACCARD_SQL} AS jaccard
+    FROM cand c
+    JOIN toks a ON a.doc_id = c.doc_a
+    JOIN toks b ON b.doc_id = c.doc_b
+    WHERE {_JACCARD_SQL} >= {JACCARD_THRESHOLD}
+    """,
+)
+def d2_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banded near-dup detection: per doc a 12-element
+    minhash signature (min md5 over shingles — md5 hex order is the
+    deterministic 'random' permutation), 4 bands of 3 rows hashed to
+    bucket keys, candidate pairs = docs sharing a band bucket, then
+    exact Jaccard on candidates only. The shuffle key is the band
+    hash; no all-pairs comparison ever happens — at 100 TB the bucket
+    join is the only quadratic-risk spot and buckets stay tiny under
+    any real near-dup density."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _shingles_spark(F.col("text")).alias("sh"))
+    sigs = toks.where(F.size("sh") > 0).withColumn("mh", _minhash_spark(F.col("sh")))
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat(
+                            b.cast("string"),
+                            F.lit(":"),
+                            F.element_at(F.col("mh"), b * 3 + 1),
+                            F.element_at(F.col("mh"), b * 3 + 2),
+                            F.element_at(F.col("mh"), b * 3 + 3),
+                        )
+                    ).alias("band_key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    left = bands.alias("b1")
+    right = bands.alias("b2")
+    cand = (
+        left.join(
+            right,
+            (F.col("b1.band_key") == F.col("b2.band_key"))
+            & (F.col("b1.band") == F.col("b2.band"))
+            & (F.col("b1.doc_id") < F.col("b2.doc_id")),
+        )
+        .select(F.col("b1.doc_id").alias("doc_a"), F.col("b2.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("long").alias("n_common"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------- d4
+@query(
+    "d4_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_SHINGLES_SQL} AS sh FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+           {_JACCARD_SQL} AS jaccard
+    FROM toks a
+    JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(a.sh) > 0 AND len(b.sh) > 0
+      AND {_JACCARD_SQL} >= {JACCARD_THRESHOLD}
+    """,
+)
+def d4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup baseline: language-blocked all-pairs
+    word-3-gram similarity. This is the oracle-grade ground truth d2's
+    LSH path approximates; quadratic by design, so it stays blocked
+    (per-language) and is the small-data baseline only."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", _shingles_spark(F.col("text")).alias("sh")).where(
+        F.size("sh") > 0
+    )
+    a = toks.select(
+        F.col("doc_id").alias("doc_a"), "lang", F.col("sh").alias("sh_a")
+    )
+    b = toks.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"), F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        a.join(b, (F.col("lang") == F.col("lang_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select(
+            "doc_a",
+            "doc_b",
+            "lang",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------- d6
+# bit j of md5(token): hex nibble (j//4)-th char -> int 0..15 -> bit (j%4)
+_BIT_SQL = (
+    "((instr('0123456789abcdef', substr(md5(t), 1 + (j // 4), 1)) - 1)"
+    " // CAST(pow(2, j % 4) AS INTEGER)) % 2"
+)
+
+
+@query(
+    "d6_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(
+             list_transform(range(0, 32), j ->
+               CASE WHEN list_reduce(
+                      list_transform(tk, t -> 2 * ({_BIT_SQL}) - 1),
+                      (a, x) -> a + x) >= 0
+                    THEN '1' ELSE '0' END),
+             (a, x) -> a || x) AS simhash32
+    FROM toks
+    """,
+)
+def d6_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprints: 32 bit positions, each the sign
+    of sum over distinct tokens of (+1/-1) from bit j of md5(token).
+    Emitted as a 32-char bitstring. Near-dup candidates at scale come
+    from banding the fingerprint (same join shape as d2); the
+    fingerprint itself is the hash-checked unit here. Pure JVM
+    expression (nested higher-order functions), no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("tk")
+    )
+    simhash = F.expr(
+        """
+        reduce(
+          transform(sequence(0, 31), j ->
+            CASE WHEN aggregate(
+                   transform(tk, t ->
+                     2 * (CAST(FLOOR(
+                           (instr('0123456789abcdef',
+                                  substring(md5(t), 1 + CAST(FLOOR(j / 4) AS INT), 1)) - 1)
+                           / CAST(pow(2, j % 4) AS INT)) AS INT) % 2) - 1
+                   ), 0, (a, x) -> a + x) >= 0
+                 THEN '1' ELSE '0' END),
+          '', (a, x) -> concat(a, x))
+        """
+    )
+    return toks.select("doc_id", simhash.alias("simhash32"))
+
+
+# ------------------------------------------------------------- cosine
+def _dot_spark(a: F.Column, b: F.Column) -> F.Column:
+    """Left-fold dot product over double casts — matches the oracle's
+    list_reduce expression tree bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+_DOT_SQL = """
+  list_reduce(list_transform(list_zip({a}, {b}),
+    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+"""
+
+
+# ---------------------------------------------------------------- d3
+@query(
+    "d3_ann_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS candidate_id, e.label,
+             {_DOT_SQL.format(a='q.embedding', b='e.embedding')}
+               / (sqrt({_DOT_SQL.format(a='q.embedding', b='q.embedding')})
+                  * sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})) AS cosine
+      FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, candidate_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, candidate_id, label, cosine, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def d3_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k similarity search (the ANN correctness
+    baseline): broadcast the (small) query set against the corpus, fold
+    dot products JVM-side, TakeOrdered top-5 per query. At scale the
+    corpus shards and this exact plan runs per shard + a final top-k
+    merge — no index needed for the baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.where(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        )
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("candidate_id"), "label", F.col("embedding").alias("ce")
+    )
+    scored = q.join(cand, F.col("candidate_id") != F.col("query_id")).select(
+        "query_id",
+        "candidate_id",
+        "label",
+        (
+            _dot_spark(F.col("qe"), F.col("ce"))
+            / (
+                F.sqrt(_dot_spark(F.col("qe"), F.col("qe")))
+                * F.sqrt(_dot_spark(F.col("ce"), F.col("ce")))
+            )
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("candidate_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )
+
+
+# ---------------------------------------------------------------- d5
+_BUCKET_SQL = """
+  list_reduce(list_transform(range(1, 9),
+    i -> CASE WHEN {e}[i] >= 0 THEN '1' ELSE '0' END), (a, x) -> a || x)
+"""
+
+
+@query(
+    "d5_ann_lsh_bucket",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, label, embedding,
+             {_BUCKET_SQL.format(e='embedding')} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM b WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS candidate_id, c.label, q.bucket,
+             {_DOT_SQL.format(a='q.embedding', b='c.embedding')}
+               / (sqrt({_DOT_SQL.format(a='q.embedding', b='q.embedding')})
+                  * sqrt({_DOT_SQL.format(a='c.embedding', b='c.embedding')})) AS cosine
+      FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, candidate_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, candidate_id, label, bucket, cosine, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def d5_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (the scale path): bucket = sign bits of
+    the first 8 dimensions (a deterministic random-projection stand-in:
+    the basis vectors are axis-aligned), probes only score candidates
+    in their own bucket. Trades recall for a bucket-local join — the
+    shuffle key is the bucket, so 100 TB of vectors never cross-join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = F.array_join(
+        F.transform(
+            F.slice(F.col("embedding"), 1, 8),
+            lambda x: F.when(x >= 0, "1").otherwise("0"),
+        ),
+        "",
+    )
+    b = emb.select("vec_id", "label", "embedding", bucket.alias("bucket"))
+    q = b.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    )
+    c = b.select(
+        F.col("vec_id").alias("candidate_id"),
+        "label",
+        F.col("embedding").alias("ce"),
+        "bucket",
+    )
+    scored = q.join(
+        c,
+        (F.col("bucket") == F.col("qbucket")) & (F.col("candidate_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "candidate_id",
+        "label",
+        "bucket",
+        (
+            _dot_spark(F.col("qe"), F.col("ce"))
+            / (
+                F.sqrt(_dot_spark(F.col("qe"), F.col("qe")))
+                * F.sqrt(_dot_spark(F.col("ce"), F.col("ce")))
+            )
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("candidate_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )

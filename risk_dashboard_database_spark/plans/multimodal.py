@@ -1,0 +1,129 @@
+"""Multimodal column handling (brief §extras): opaque binary payloads
+with typed metadata, decode / feature-extraction plumbing as
+Arrow-batched mapInPandas.
+
+The container has no image/audio libraries and the testdata carries no
+real media, so:
+
+- the binary payloads are deterministic (utf-8 bytes of document
+  text), making every metadata query oracle-checkable;
+- the DECODE step is stubbed: `decode_media` raises
+  NotImplementedError for real codecs and provides a deterministic
+  fake for 'fake/deterministic' payloads. The Spark-side plumbing —
+  binary column schema, mapInPandas batch shape, partition behavior —
+  is real and tested.
+
+Scale notes: m1 is a narrow per-row projection over binary columns
+(no shuffle); m2's mapInPandas is the one Python stage in the whole
+engine beside o7 — Arrow-batched, stateless, linear, exactly how a
+real decoder would run across 100 TB of media shards.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .registry import query
+
+
+@query(
+    "m1_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           sha256(text) AS content_sha256,
+           hex(encode(substr(text, 1, 4))) AS magic_hex,
+           CASE WHEN substr(text, 1, 4) = 'key ' THEN 'KEY0'
+                WHEN octet_length(encode(text)) % 3 = 0 THEN 'IMG'
+                WHEN octet_length(encode(text)) % 3 = 1 THEN 'AUD'
+                ELSE 'VID' END AS media_type
+    FROM documents
+    """,
+)
+def m1_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary column + typed metadata (m1): payload = utf-8 bytes,
+    metadata = byte length, sha256 content hash, magic-prefix hex, and
+    a deterministic media-type classification from the magic bytes —
+    the schema shape a real media lake uses (binary + typed metadata
+    columns, media-type-partitioned at scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    byte_len = F.octet_length(payload)
+    return docs.select(
+        "doc_id",
+        byte_len.cast("long").alias("byte_len"),
+        F.sha2(payload, 256).alias("content_sha256"),
+        F.hex(F.encode(F.substring(F.col("text"), 1, 4), "utf-8")).alias("magic_hex"),
+        F.when(F.substring(F.col("text"), 1, 4) == "key ", "KEY0")
+        .when(byte_len % 3 == 0, "IMG")
+        .when(byte_len % 3 == 1, "AUD")
+        .otherwise("VID")
+        .alias("media_type"),
+    )
+
+
+def decode_media(payload: bytes, codec: str) -> dict:
+    """Decode stub: deterministic fake for 'fake/deterministic';
+    real codecs are NOT implemented in this container (no PIL/ffmpeg)
+    and raise so callers fail loudly rather than silently fake."""
+    if codec == "fake/deterministic":
+        n = len(payload)
+        return {
+            "width": 16 + n % 624,
+            "height": 16 + (n * 7) % 464,
+            "n_frames": 1 + n % 30,
+        }
+    raise NotImplementedError(
+        f"codec {codec!r}: media decoding requires image/audio libraries "
+        "not present in this environment"
+    )
+
+
+@query(
+    "m2_decode_features",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+    )
+    SELECT doc_id,
+           CAST(16 + n % 624 AS INTEGER) AS width,
+           CAST(16 + (n * 7) % 464 AS INTEGER) AS height,
+           CAST(1 + n % 30 AS INTEGER) AS n_frames,
+           CAST(LEAST(4, 1 + n % 30) AS INTEGER) AS sampled_frames
+    FROM meta
+    """,
+)
+def m2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode plumbing (m2): Arrow batches of binary
+    payloads run through the decode stub, emitting typed feature
+    columns (width/height/frame-count/sample plan). The oracle
+    recomputes the deterministic fake arithmetic in SQL, so the whole
+    Python batch path — schema, batch iteration, null handling — is
+    value-checked, not just row-counted."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [decode_media(bytes(p), "fake/deterministic") for p in pdf["payload"]]
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "n_frames": [f["n_frames"] for f in feats],
+                    "sampled_frames": [min(4, f["n_frames"]) for f in feats],
+                }
+            )
+            yield out
+
+    return src.mapInPandas(
+        run,
+        schema="doc_id long, width int, height int, n_frames int, sampled_frames int",
+    )

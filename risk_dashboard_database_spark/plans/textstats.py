@@ -1,0 +1,222 @@
+"""Text-analysis pipeline over the documents corpus (brief §extras):
+language-ID heuristic, quality scoring, token counting, rolling-hash
+fingerprinting. All pure JVM expressions (split + higher-order array
+functions + regex); ratios derive from integer counts so doubles are
+bit-identical with the oracle.
+
+Scale notes: every query is a narrow per-row projection (plus one
+tiny agg in t_lang_confusion) — no shuffle on the document corpus,
+which is exactly what you want when 'documents' is 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .registry import query
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deterministic and shared verbatim with the oracles.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "for", "on"],
+    "fr": ["le", "la", "les", "de", "des", "et", "un", "une", "est", "dans"],
+    "de": ["der", "die", "das", "und", "ein", "eine", "ist", "von", "mit", "zu"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "es", "en", "por"],
+}
+
+
+def _tokens(text: F.Column) -> F.Column:
+    return F.split(text, " ")
+
+
+def _stop_count(tokens: F.Column, lang: str) -> F.Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens, lambda t: t.isin(*words)))
+
+
+def _stop_count_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(string_split(text, ' '), t -> t IN ({words})))"
+
+
+@query(
+    "t_lang_id",
+    oracle=f"""
+    SELECT doc_id,
+           lang AS actual_lang,
+           CASE
+             WHEN GREATEST({_stop_count_sql('en')}, {_stop_count_sql('fr')},
+                           {_stop_count_sql('de')}, {_stop_count_sql('es')}) = 0 THEN 'und'
+             WHEN {_stop_count_sql('en')} >= GREATEST({_stop_count_sql('fr')},
+                  {_stop_count_sql('de')}, {_stop_count_sql('es')}) THEN 'en'
+             WHEN {_stop_count_sql('fr')} >= GREATEST({_stop_count_sql('de')},
+                  {_stop_count_sql('es')}) THEN 'fr'
+             WHEN {_stop_count_sql('de')} >= {_stop_count_sql('es')} THEN 'de'
+             ELSE 'es'
+           END AS predicted_lang,
+           CAST({_stop_count_sql('en')} AS BIGINT) AS en_hits
+    FROM documents
+    """,
+)
+def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: argmax of per-language stopword hits with
+    a fixed priority tie-break (en > fr > de > es), 'und' when no list
+    hits. The real pipeline's n-gram scorer reduces to exactly this
+    shape — per-row array ops, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = _tokens(F.col("text"))
+    en, fr, de, es = (_stop_count(tk, lang) for lang in ("en", "fr", "de", "es"))
+    predicted = (
+        F.when(F.greatest(en, fr, de, es) == 0, "und")
+        .when(en >= F.greatest(fr, de, es), "en")
+        .when(fr >= F.greatest(de, es), "fr")
+        .when(de >= es, "de")
+        .otherwise("es")
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        predicted.alias("predicted_lang"),
+        en.cast("long").alias("en_hits"),
+    )
+
+
+@query(
+    "t_quality_score",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_unique,
+             length(text) AS n_chars_measured,
+             {_stop_count_sql('en')} AS stop_hits
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_unique AS BIGINT) AS n_unique,
+           CAST(n_unique AS DOUBLE) / n_tokens AS unique_ratio,
+           CAST(stop_hits AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(n_chars_measured - n_tokens + 1 AS DOUBLE) / n_tokens AS mean_token_len,
+           CAST(CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1 ELSE 0 END
+              + CASE WHEN CAST(n_unique AS DOUBLE) / n_tokens >= 0.5 THEN 1 ELSE 0 END
+              + CASE WHEN CAST(stop_hits AS DOUBLE) / n_tokens BETWEEN 0.01 AND 0.6
+                     THEN 1 ELSE 0 END AS INTEGER) AS quality_score
+    FROM scored
+    """,
+)
+def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length band, lexical diversity
+    (unique-token ratio), stopword-ratio band -> integer 0-3 score —
+    the standard pre-training quality-filter shape. All ratios are
+    int/int double divisions (bit-identical cross-engine)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = _tokens(F.col("text"))
+    n_tokens = F.size(tk)
+    n_unique = F.size(F.array_distinct(tk))
+    stop_hits = _stop_count(tk, "en")
+    unique_ratio = n_unique.cast("double") / n_tokens
+    stopword_ratio = stop_hits.cast("double") / n_tokens
+    mean_token_len = (F.length("text") - n_tokens + 1).cast("double") / n_tokens
+    score = (
+        F.when(n_tokens.between(20, 80), 1).otherwise(0)
+        + F.when(unique_ratio >= 0.5, 1).otherwise(0)
+        + F.when(stopword_ratio.between(0.01, 0.6), 1).otherwise(0)
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        n_unique.cast("long").alias("n_unique"),
+        unique_ratio.alias("unique_ratio"),
+        stopword_ratio.alias("stopword_ratio"),
+        mean_token_len.alias("mean_token_len"),
+        score.cast("int").alias("quality_score"),
+    )
+
+
+@query(
+    "t_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_ish_tokens,
+           CAST(CEIL(length(text) / 4.0) AS BIGINT) AS byte_len_estimate
+    FROM documents
+    """,
+)
+def t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, a BPE-ish regex segmentation
+    (letter runs / digit runs / single symbols), and the chars/4
+    estimate — the three standard budget counters for training-data
+    accounting."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("ws_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("byte_len_estimate"),
+    )
+
+
+@query(
+    "t_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           CAST(list_reduce(
+             list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ' '),
+               t -> CAST(unicode(t) * 31 + length(t) AS BIGINT))),
+             (acc, v) -> (acc * 131 + v) % 2147483647) AS BIGINT) AS fingerprint
+    FROM documents
+    """,
+)
+def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial document fingerprint: per-token value
+    (first-codepoint*31 + length) folded left with h = (h*131 + v) mod
+    (2^31 - 1). Order-sensitive (unlike a bag-of-words hash), so
+    reordered near-dupes fingerprint differently; identical prefixes
+    collide as rolling hashes should."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.aggregate(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda t: F.ascii(t) * 31 + F.length(t),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * 131 + v) % 2147483647,
+    )
+    return docs.select("doc_id", fp.cast("long").alias("fingerprint"))
+
+
+@query(
+    "t_lang_confusion",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang AS actual_lang,
+             CASE
+               WHEN GREATEST({_stop_count_sql('en')}, {_stop_count_sql('fr')},
+                             {_stop_count_sql('de')}, {_stop_count_sql('es')}) = 0 THEN 'und'
+               WHEN {_stop_count_sql('en')} >= GREATEST({_stop_count_sql('fr')},
+                    {_stop_count_sql('de')}, {_stop_count_sql('es')}) THEN 'en'
+               WHEN {_stop_count_sql('fr')} >= GREATEST({_stop_count_sql('de')},
+                    {_stop_count_sql('es')}) THEN 'fr'
+               WHEN {_stop_count_sql('de')} >= {_stop_count_sql('es')} THEN 'de'
+               ELSE 'es'
+             END AS predicted_lang
+      FROM documents
+    )
+    SELECT actual_lang, predicted_lang, COUNT(*) AS n
+    FROM pred GROUP BY 1, 2
+    """,
+)
+def t_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID agreement matrix (A16 applied to the text pipeline):
+    actual vs predicted language counts — the bakeoff-harness shape
+    over the heuristic classifier."""
+    pred = t_lang_id(spark, sf_dir)
+    return pred.groupBy(
+        "actual_lang", F.col("predicted_lang")
+    ).agg(F.count("*").alias("n"))
