@@ -84,18 +84,22 @@ def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------ shingles
 def _shingles_spark(text: F.Column) -> F.Column:
-    """Distinct word-3-gram shingles (1-based element_at)."""
+    """Distinct word-3-gram shingles (1-based element_at). Guarded for
+    short docs: Spark's sequence(1, 0) yields a DESCENDING [1, 0] (not
+    an empty array), which would index element_at(words, 0) and throw."""
     words = F.split(text, " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(0)))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(words, i),
-                F.element_at(words, i + 1),
-                F.element_at(words, i + 2),
-            ),
+    idx = F.sequence(F.lit(1), F.size(words) - 2)
+    return F.when(F.size(words) < 3, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(words, i),
+                    F.element_at(words, i + 1),
+                    F.element_at(words, i + 2),
+                ),
+            )
         )
     )
 
