@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     overrides,
     pricing,
     scalars,
+    sources_q,
     textstats,
     toporder,
     unions,

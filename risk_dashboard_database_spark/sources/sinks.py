@@ -1,0 +1,155 @@
+"""Write-path sinks (SURVEY §2.1 S6-S11, S13).
+
+Reference semantics:
+- S6 upsert: `INSERT ... ON CONFLICT DO UPDATE` on natural keys
+  (`src/ingest_v2.py:195-222`) — idempotent re-ingest.
+- S7 conditional merge: `coalesce(excluded.x, old.x)`,
+  `least/greatest(first_seen/last_seen)` (`src/ingest_v2.py:201-215`).
+- S8 delete+rebuild window: delete a date range then insert
+  (`crisis_event_rollups.py:108-137,725-754`).
+- S9 dynamic date partitions (`src/ingest_v2.py:234-250`).
+- S10/S11 CSV/JSON serving exports (`app.py:6387-6739,925-941`).
+- S13 TTL result cache with prefix invalidation (`app.py:56-57,
+  944-957,7051-7056`).
+
+Spark-first mappings: upsert = full-outer merge + atomic directory
+swap (plain parquet; Delta's MERGE INTO is the managed-table
+equivalent); delete+rebuild = dynamic partition overwrite, which at
+100 TB touches ONLY the affected date partitions — the same targeted
+recompute scope the reference uses.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _atomic_swap(tmp: str, dest: str) -> None:
+    """Replace dest dir with tmp dir (local-FS swap; on object stores
+    this becomes a manifest/table-format commit)."""
+    old = dest + ".old-" + uuid.uuid4().hex[:8]
+    if os.path.exists(dest):
+        os.rename(dest, old)
+    os.rename(tmp, dest)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    conditional: dict[str, str] | None = None,
+) -> DataFrame:
+    """MERGE-style upsert into a parquet target on natural keys (S6).
+
+    Default column semantics: the incoming row wins (ON CONFLICT DO
+    UPDATE). `conditional` overrides per column (S7):
+      'coalesce' -> coalesce(new, old)   (keep old when update is null)
+      'least'    -> least(new, old)      (first_seen)
+      'greatest' -> greatest(new, old)   (last_seen)
+    Returns the merged frame (also written to target_path)."""
+    conditional = conditional or {}
+    if os.path.exists(target_path):
+        existing = spark.read.parquet(target_path)
+        n = updates.select(
+            *keys, *[F.col(c).alias(f"__new_{c}") for c in updates.columns if c not in keys]
+        )
+        merged = existing.join(n, keys, "full_outer")
+        value_cols = [c for c in updates.columns if c not in keys]
+        out_cols = [F.col(k) for k in keys]
+        for c in value_cols:
+            new, old = F.col(f"__new_{c}"), F.col(c)
+            mode = conditional.get(c, "new_wins")
+            if mode == "coalesce":
+                expr = F.coalesce(new, old)
+            elif mode == "least":
+                expr = F.least(new, old)
+            elif mode == "greatest":
+                expr = F.greatest(new, old)
+            else:  # new row wins wholesale, but absent update keeps old
+                expr = F.when(new.isNotNull(), new).otherwise(old)
+            out_cols.append(expr.alias(c))
+        merged = merged.select(out_cols)
+    else:
+        merged = updates
+    tmp = target_path + ".tmp-" + uuid.uuid4().hex[:8]
+    merged.write.mode("overwrite").parquet(tmp)
+    _atomic_swap(tmp, target_path)
+    return spark.read.parquet(target_path)
+
+
+def write_date_partitioned(df: DataFrame, path: str, date_col: str = "date") -> None:
+    """Date-partitioned parquet write (S9): partitions materialize
+    dynamically per value, the Spark analog of the reference's
+    CREATE-PARTITION-on-ingest DDL."""
+    df.write.mode("overwrite").partitionBy(date_col).parquet(path)
+
+
+def replace_window(
+    spark: SparkSession,
+    path: str,
+    rebuilt: DataFrame,
+    date_col: str = "date",
+) -> None:
+    """Delete+rebuild a date window (S8): dynamic partition overwrite
+    replaces ONLY the partitions present in `rebuilt`, leaving every
+    other date untouched — the `replaceWhere` / targeted-recompute
+    shape of `crisis_event_rollups.py:725-754`."""
+    (
+        rebuilt.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(date_col)
+        .parquet(path)
+    )
+
+
+def csv_sink(df: DataFrame, path: str) -> None:
+    """CSV serving export (S10)."""
+    df.write.mode("overwrite").option("header", True).csv(path)
+
+
+def json_rows(df: DataFrame) -> list[dict]:
+    """JSON serving rows with type coercion (S11, `app.py:925-941`):
+    dates/timestamps -> ISO strings, Decimal -> float, handled by
+    Spark's JSON writer semantics."""
+    import json
+
+    return [json.loads(s) for s in df.toJSON().collect()]
+
+
+class TTLCache:
+    """Serving-layer result cache with TTL + prefix invalidation (S13,
+    `app.py:56-57,944-957,7051-7056`): write-paths invalidate every
+    key under the affected endpoint prefix."""
+
+    def __init__(self, ttl_seconds: float = 300.0, clock=time.monotonic):
+        self.ttl = ttl_seconds
+        self._clock = clock
+        self._store: dict[str, tuple[float, object]] = {}
+
+    def get(self, key: str):
+        hit = self._store.get(key)
+        if hit is None:
+            return None
+        stamp, value = hit
+        if self._clock() - stamp > self.ttl:
+            del self._store[key]
+            return None
+        return value
+
+    def set(self, key: str, value) -> None:
+        self._store[key] = (self._clock(), value)
+
+    def invalidate_prefix(self, prefix: str) -> int:
+        doomed = [k for k in self._store if k.startswith(prefix)]
+        for k in doomed:
+            del self._store[k]
+        return len(doomed)

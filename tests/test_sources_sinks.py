@@ -1,0 +1,142 @@
+"""Round-trip tests for sources (alias CSV, pipe-series) and sinks
+(merge upsert incl. conditional semantics, window rebuild, CSV/JSON,
+TTL cache)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from risk_dashboard_database_spark.sources.csv import coerce_bool, read_aliased_csv
+from risk_dashboard_database_spark.sources.series import explode_pipe_series
+from risk_dashboard_database_spark.sources.sinks import (
+    TTLCache,
+    csv_sink,
+    json_rows,
+    merge_upsert,
+    replace_window,
+    write_date_partitioned,
+)
+
+
+def test_read_aliased_csv(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("Company Name,URL,Is Controlled\nAcme,https://a.com,Yes\nBeta,,no\n")
+    df = read_aliased_csv(
+        spark,
+        str(p),
+        aliases={
+            "company": ["company", "Company Name", "brand"],
+            "url": ["url", "URL", "link"],
+            "controlled": ["controlled", "Is Controlled"],
+        },
+        bool_cols=["controlled"],
+    )
+    rows = {r["company"]: (r["url"], r["controlled"]) for r in df.collect()}
+    assert rows == {"Acme": ("https://a.com", True), "Beta": (None, False)}
+
+
+def test_read_aliased_csv_missing_alias_errors(spark, tmp_path):
+    p = tmp_path / "in2.csv"
+    p.write_text("a,b\n1,2\n")
+    with pytest.raises(ValueError, match="none of the aliases"):
+        read_aliased_csv(spark, str(p), aliases={"x": ["x", "X"]})
+
+
+def test_coerce_bool_tristate(spark):
+    df = spark.createDataFrame(
+        [("TRUE",), ("y",), ("0",), ("No",), ("maybe",), (None,)], "v string"
+    )
+    got = [r["b"] for r in df.select(coerce_bool(F.col("v")).alias("b")).collect()]
+    assert got == [True, True, False, False, None, None]
+
+
+def test_explode_pipe_series_alignment(spark):
+    df = spark.createDataFrame(
+        [("A", "2024-01-01|2024-01-02", "1.5|2.5"),
+         ("B", "2024-01-01|2024-01-02|2024-01-03", "9.0|8.0")],  # ragged: extra date
+        "name string, date_history string, value_history string",
+    )
+    out = explode_pipe_series(df, "date_history", "value_history")
+    got = sorted((r["name"], r["date"], r["value"]) for r in out.collect())
+    assert got == [
+        ("A", "2024-01-01", "1.5"),
+        ("A", "2024-01-02", "2.5"),
+        ("B", "2024-01-01", "9.0"),
+        ("B", "2024-01-02", "8.0"),
+    ]
+
+
+def test_merge_upsert_new_wins_and_conditionals(spark, tmp_path):
+    target = str(tmp_path / "tgt")
+    base = spark.createDataFrame(
+        [(1, "old", 5, 10), (2, "keep", 3, 30)],
+        "id int, label string, first_seen int, last_seen int",
+    )
+    merge_upsert(spark, target, base, keys=["id"])
+    updates = spark.createDataFrame(
+        [(1, None, 7, 8), (3, "new", 1, 1)],
+        "id int, label string, first_seen int, last_seen int",
+    )
+    merged = merge_upsert(
+        spark,
+        target,
+        updates,
+        keys=["id"],
+        conditional={"label": "coalesce", "first_seen": "least", "last_seen": "greatest"},
+    )
+    rows = {r["id"]: (r["label"], r["first_seen"], r["last_seen"]) for r in merged.collect()}
+    assert rows[1] == ("old", 5, 10)   # coalesce kept old label; least/greatest merged
+    assert rows[2] == ("keep", 3, 30)  # untouched row survives
+    assert rows[3] == ("new", 1, 1)    # inserted row
+    # idempotent: re-applying the same updates changes nothing
+    # (materialize before the re-merge swaps the underlying files)
+    before = {tuple(r) for r in merged.collect()}
+    again = merge_upsert(
+        spark, target, updates, keys=["id"],
+        conditional={"label": "coalesce", "first_seen": "least", "last_seen": "greatest"},
+    )
+    assert {tuple(r) for r in again.collect()} == before
+
+
+def test_replace_window_rebuilds_only_target_dates(spark, tmp_path):
+    path = str(tmp_path / "daily")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1, 10), ("2024-01-02", 1, 20), ("2024-01-03", 1, 30)],
+        "date string, user_id int, total int",
+    )
+    write_date_partitioned(base, path)
+    rebuilt = spark.createDataFrame(
+        [("2024-01-02", 1, 99)], "date string, user_id int, total int"
+    )
+    replace_window(spark, path, rebuilt)
+    got = {str(r["date"]): r["total"] for r in spark.read.parquet(path).collect()}
+    assert got == {"2024-01-01": 10, "2024-01-02": 99, "2024-01-03": 30}
+
+
+def test_csv_and_json_sinks(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string")
+    out = str(tmp_path / "csv_out")
+    csv_sink(df, out)
+    back = spark.read.csv(out, header=True)
+    assert sorted((r["id"], r["name"]) for r in back.collect()) == [("1", "a"), ("2", "b")]
+    rows = sorted(json_rows(df), key=lambda r: r["id"])
+    assert rows == [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]
+
+
+def test_ttl_cache_expiry_and_prefix_invalidation():
+    now = [0.0]
+    cache = TTLCache(ttl_seconds=10, clock=lambda: now[0])
+    cache.set("trend:acme", 1)
+    cache.set("trend:beta", 2)
+    cache.set("screen:all", 3)
+    assert cache.get("trend:acme") == 1
+    now[0] = 11.0
+    assert cache.get("trend:acme") is None          # expired
+    cache.set("trend:acme", 4)
+    # beta is past TTL but still stored; prefix invalidation sweeps both
+    assert cache.invalidate_prefix("trend:") == 2
+    assert cache.get("trend:acme") is None
+    assert cache.get("screen:all") is None          # also past TTL
