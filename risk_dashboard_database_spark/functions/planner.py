@@ -1,0 +1,82 @@
+"""Heuristic NL query planner (SURVEY §2.11 F7).
+
+The reference routes natural-language questions to tool plans with
+regex heuristics (`insights agent/query_planner.py:179-416`); every
+tool bottoms out in a named analytical query. Here the tools ARE the
+registry queries, so a plan is {plan_type, assumption, tool_calls:
+[{name: <registry query>, arguments}]} — executable by calling
+`plans.QUERIES[name](spark, sf_dir)` and applying the window
+arguments as date filters.
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import date
+
+from .period import resolve_time_window
+
+_COMPARE_RE = re.compile(
+    r"\bcompare\s+(.+?)\s+(?:vs\.?|versus|against|and)\s+(.+?)(?:\s+over|\s+in|\s+for|[.?!]|$)",
+    re.IGNORECASE,
+)
+_TOPK_RE = re.compile(r"\btop\s+(\d{1,2})\b", re.IGNORECASE)
+
+# route table: (predicate over lowered text) -> (plan_type, query name)
+_ROUTES = [
+    (lambda t: "anomal" in t or "spike" in t or "unusual" in t,
+     ("anomaly_scan", "u4_anomaly_rules")),
+    (lambda t: "crisis" in t and ("active" in t or "ongoing" in t or "chain" in t),
+     ("crisis_state", "t2_crisis_chain")),
+    (lambda t: "screen" in t or "top performers" in t or "leaderboard" in t,
+     ("entity_screen", "a6_screen")),
+    (lambda t: "sector" in t and ("median" in t or "baseline" in t or "stats" in t),
+     ("sector_baseline", "a7_sector_stats")),
+    (lambda t: "duplicate" in t or "dedup" in t or "near-dup" in t,
+     ("dedup_scan", "d2_minhash_pairs")),
+    (lambda t: "similar" in t or "nearest" in t or "neighbors" in t,
+     ("similarity_search", "d3_ann_topk")),
+    (lambda t: "risk" in t and ("score" in t or "ranking" in t or "riskiest" in t),
+     ("risk_leaderboard", "o6_risk_leaderboard")),
+    (lambda t: "streak" in t, ("streak_lookup", "w7_error_streak")),
+    (lambda t: "trend" in t or "summary" in t or "rollup" in t,
+     ("trend_summary", "w1_weekly_rollup")),
+]
+
+
+def plan_query(user_message: str, today: date | None = None) -> dict | None:
+    """NL -> executable plan; None when the question doesn't route
+    (reference behavior: the caller falls through to the LLM planner)."""
+    text = (user_message or "").strip()
+    if not text:
+        return None
+    lowered = text.casefold()
+    window = resolve_time_window(text, today=today, default_days=90)
+
+    m = _COMPARE_RE.search(text)
+    if m:
+        a, b = m.group(1).strip(), m.group(2).strip()
+        return {
+            "plan_type": "entity_comparison",
+            "assumption": f"Compare {a} and {b} over {window['display_label']}.",
+            "tool_calls": [
+                {
+                    "name": "j4_entity_daily_metrics",
+                    "arguments": {"entities": [a, b], "window": window},
+                }
+            ],
+        }
+
+    for pred, (plan_type, query_name) in _ROUTES:
+        if pred(lowered):
+            args: dict = {"window": window}
+            k = _TOPK_RE.search(lowered)
+            if k:
+                args["limit"] = min(int(k.group(1)), 50)
+            return {
+                "plan_type": plan_type,
+                "assumption": f"Interpret as {plan_type.replace('_', ' ')} over "
+                f"{window['display_label']}.",
+                "tool_calls": [{"name": query_name, "arguments": args}],
+            }
+    return None

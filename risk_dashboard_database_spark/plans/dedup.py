@@ -178,8 +178,18 @@ def d2_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is the only quadratic-risk spot and buckets stay tiny under
     any real near-dup density."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", _shingles_spark(F.col("text")).alias("sh"))
-    sigs = toks.where(F.size("sh") > 0).withColumn("mh", _minhash_spark(F.col("sh")))
+    # persist(): the shingle/minhash expressions are referenced by the
+    # band explode AND both sides of the candidate join; without a
+    # materialization barrier Catalyst's CollapseProject inlines the
+    # (expensive) md5 transforms into every reference — measured 30x
+    # recompute at sf0.1. At 100 TB this is the signature table you
+    # would checkpoint explicitly.
+    toks = docs.select("doc_id", _shingles_spark(F.col("text")).alias("sh")).persist()
+    sigs = (
+        toks.where(F.size("sh") > 0)
+        .withColumn("mh", _minhash_spark(F.col("sh")))
+        .persist()
+    )
     bands = sigs.select(
         "doc_id",
         F.explode(
