@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis): URL normalization laws,
+chain_active equivalence with the reference recurrence on random
+fixtures, and MinHash containment behavior."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from risk_dashboard_database_spark.functions.urls import normalize_url
+from risk_dashboard_database_spark.operators.sessionize import chain_active
+
+_slow = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+_host = st.from_regex(r"[a-z]{1,8}\.(com|org|io)", fullmatch=True)
+_path = st.from_regex(r"(/[a-z0-9]{0,6}){0,3}", fullmatch=True)
+_qkey = st.from_regex(r"[a-z]{1,5}", fullmatch=True)
+_qval = st.from_regex(r"[a-z0-9]{0,4}", fullmatch=True)
+
+
+@st.composite
+def _urls(draw):
+    host = draw(_host)
+    www = draw(st.sampled_from(["", "www.", "WWW."]))
+    path = draw(_path)
+    pairs = draw(st.lists(st.tuples(_qkey, _qval), max_size=4))
+    tracking = draw(st.sampled_from(["", "utm_source=x", "gclid=1", "gaa_ts=9"]))
+    q = "&".join(
+        [f"{k}={v}" for k, v in pairs] + ([tracking] if tracking else [])
+    )
+    frag = draw(st.sampled_from(["", "#frag"]))
+    return f"https://{www}{host}{path}" + (f"?{q}" if q else "") + frag
+
+
+@_slow
+@given(st.lists(_urls(), min_size=1, max_size=8))
+def test_normalize_idempotent_and_clean(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = [r["n"] for r in df.select(normalize_url(F.col("url")).alias("n")).collect()]
+    df2 = spark.createDataFrame([(u,) for u in once], "url string")
+    twice = [r["n"] for r in df2.select(normalize_url(F.col("url")).alias("n")).collect()]
+    assert once == twice
+    for n in once:
+        assert "#" not in n
+        assert "utm_" not in n and "gclid" not in n and "gaa_" not in n
+        assert "//" not in n.split("://", 1)[1]
+        assert not n.split("://", 1)[1].startswith("www.")
+
+
+@st.composite
+def _user_days(draw):
+    rows = []
+    for u in range(draw(st.integers(1, 3))):
+        day = dt.date(2024, 1, 1)
+        for _ in range(draw(st.integers(1, 12))):
+            day += dt.timedelta(days=draw(st.integers(1, 3)))  # gaps of 1-3
+            errors = draw(st.integers(0, 4))
+            total = draw(st.integers(1, 6))
+            rows.append((u, day, errors, total))
+    return rows
+
+
+def _reference(rows):
+    out = {}
+    by_user: dict = {}
+    for r in sorted(rows, key=lambda r: (r[0], r[1])):
+        by_user.setdefault(r[0], []).append(r)
+    for urows in by_user.values():
+        prev_date, prev_active = None, False
+        for (u, date, errors, total) in urows:
+            gate, trig = total >= 2, errors >= 3
+            cont = errors >= 1 and errors / total >= 0.2
+            carried = prev_active and prev_date and (date - prev_date).days == 1
+            active = gate and (trig or (cont and carried))
+            out[(u, date)] = active
+            prev_date, prev_active = date, active
+    return out
+
+
+@_slow
+@given(_user_days())
+def test_chain_active_matches_reference_recurrence(spark, rows):
+    df = spark.createDataFrame(rows, "user_id int, date date, errors int, total int")
+    got = {
+        (r["user_id"], r["date"]): r["active"]
+        for r in chain_active(
+            df,
+            ["user_id"],
+            "date",
+            trig=F.col("errors") >= 3,
+            cont=(F.col("errors") >= 1)
+            & (F.col("errors") / F.col("total") >= 0.2),
+            gate=F.col("total") >= 2,
+        ).collect()
+    }
+    assert got == _reference(rows)
