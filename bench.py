@@ -46,6 +46,8 @@ HEADLINE = [
     "d2_minhash_pairs",
     "d3_ann_topk",
     "t_quality_score",
+    "e1_trend_summary",
+    "f1_llm_classify",
 ]
 
 

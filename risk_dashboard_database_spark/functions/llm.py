@@ -52,7 +52,9 @@ def fake_classify(text: str) -> dict:
     return {
         "sentiment_label": LABELS[h % 3],
         "risk_label": RISKS[(h // 3) % 3],
-        "confidence": round(0.5 + (h % 50) / 100.0, 2),
+        # division-only (no Python round): keeps the value bit-identical
+        # with SQL re-derivations of the same arithmetic
+        "confidence": (50 + h % 50) / 100.0,
     }
 
 

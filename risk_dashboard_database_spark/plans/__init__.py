@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     aggregates,
     crisis,
     dedup,
+    endpoints,
     joins,
     multimodal,
     narrative,
