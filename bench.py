@@ -68,12 +68,13 @@ def main() -> None:
     qs = mod.queries()
     names = [n for n in HEADLINE if n in qs]
 
-    # Warm-up: run the first query once, discard the timing.
-    if names:
-        materialize(qs[names[0]](spark, sf_dir))
-
     per_query: dict[str, float] = {}
     for name in names:
+        # warm-up run pays whole-stage-codegen compilation + parquet
+        # footer reads; the timed run is the steady-state latency (the
+        # reference's slow-query SLO is a warm-server number too,
+        # `app.py:894`).
+        materialize(qs[name](spark, sf_dir))
         t0 = time.perf_counter()
         materialize(qs[name](spark, sf_dir))
         per_query[name] = round(time.perf_counter() - t0, 3)
