@@ -1,0 +1,128 @@
+"""Tests for the scale-technique operators: salted aggregation/join
+equivalence, bucketed-join exchange elimination, and the stateful
+streaming crisis chain vs its batch formulation."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from risk_dashboard_database_spark.operators.skew import (
+    salted_agg,
+    salted_broadcast_left,
+)
+
+from conftest import d
+
+
+def test_salted_agg_matches_plain_agg(spark):
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 7).alias("key"),          # key 0 is not hot here,
+        (F.col("id") % 13).cast("double").alias("v"),  # equivalence is the point
+    )
+    plain = {
+        (r["key"]): (r["n"], r["s"], r["mx"])
+        for r in df.groupBy("key")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"), F.max("v").alias("mx"))
+        .collect()
+    }
+    salted = {
+        (r["key"]): (r["n"], r["s"], r["mx"])
+        for r in salted_agg(
+            df,
+            ["key"],
+            partials={"n": F.count("*"), "s": F.sum("v"), "mx": F.max("v")},
+            merges={"n": F.sum("n"), "s": F.sum("s"), "mx": F.max("mx")},
+            n_salts=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_broadcast_left_matches_plain_join(spark):
+    probe = spark.range(0, 2000).select((F.col("id") % 5).alias("k"), F.col("id").alias("pid"))
+    build = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k long, tag string")
+    plain = {
+        (r["pid"]): r["tag"] for r in probe.join(build, "k", "left").collect()
+    }
+    salted = {
+        (r["pid"]): r["tag"]
+        for r in salted_broadcast_left(probe, build, on="k", n_salts=4).collect()
+    }
+    assert salted == plain
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    from risk_dashboard_database_spark.sources.bucketed import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    left = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("a"))
+    right = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("b"))
+    write_bucketed(left, "t_bucket_left", "k", n_buckets=4, sort_col="k")
+    write_bucketed(right, "t_bucket_right", "k", n_buckets=4, sort_col="k")
+    prev_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path: at real scale neither side
+        # broadcasts, which is exactly when bucketing pays off
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "t_bucket_left", "t_bucket_right", "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_threshold)
+        spark.sql("DROP TABLE IF EXISTS t_bucket_left")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_right")
+        shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_stream_crisis_chain_matches_batch(spark, tmp_path):
+    from risk_dashboard_database_spark.operators.sessionize import chain_active
+    from risk_dashboard_database_spark.streaming.stateful import stream_crisis_chain
+
+    rows = [
+        (1, d("2024-01-01"), 3, 4),
+        (1, d("2024-01-02"), 1, 4),
+        (1, d("2024-01-04"), 1, 4),   # gap resets
+        (2, d("2024-01-01"), 0, 5),
+        (2, d("2024-01-02"), 4, 4),
+        (2, d("2024-01-03"), 1, 1),   # gate fails
+    ]
+    daily = spark.createDataFrame(rows, "user_id long, date date, errors long, total long")
+
+    src_dir = tmp_path / "daily_stream"
+    daily.coalesce(1).write.mode("overwrite").parquet(str(src_dir))
+    stream_src = spark.readStream.schema(
+        "user_id long, date date, errors long, total long"
+    ).parquet(str(src_dir))
+
+    q = (
+        stream_crisis_chain(stream_src)
+        .writeStream.format("memory")
+        .queryName("t_stream_chain")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["user_id"], r["date"]): r["active"]
+        for r in spark.table("t_stream_chain").collect()
+    }
+    batch = {
+        (r["user_id"], r["date"]): r["active"]
+        for r in chain_active(
+            daily,
+            ["user_id"],
+            "date",
+            trig=F.col("errors") >= 3,
+            cont=(F.col("errors") >= 1)
+            & (F.col("errors") / F.col("total") >= 0.2),
+            gate=F.col("total") >= 2,
+        ).collect()
+    }
+    assert streamed == batch and len(streamed) == 6
