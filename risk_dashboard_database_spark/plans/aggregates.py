@@ -363,6 +363,63 @@ def a12_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a12b_storylines",
+    oracle="""
+    WITH tagged AS (
+      SELECT c.c_mktsegment AS sector,
+             o.o_orderpriority AS tag,
+             c.c_name AS entity,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    grouped AS (
+      SELECT sector, tag,
+             CAST(COUNT(DISTINCT entity) AS BIGINT) AS n_entities,
+             COUNT(*) AS n_events,
+             CAST(SUM(price) AS DOUBLE) AS total_value,
+             array_to_string(list_sort(list_distinct(array_agg(entity)))[1:3], ', ') AS sample_entities
+      FROM tagged
+      GROUP BY sector, tag
+    )
+    SELECT sector, tag, n_entities, n_events, total_value, sample_entities,
+           CAST(2.0 AS DOUBLE) * n_entities + CAST(0.5 AS DOUBLE) * n_events AS score
+    FROM grouped
+    ORDER BY score DESC, sector, tag
+    LIMIT 10
+    """,
+)
+def a12b_storylines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storyline scan (A12 full shape, `app.py:1968-2211`): per
+    (sector, tag) distinct-entity counts, volumes, a deterministic
+    top-3 entity sample (`slice(sort_array(collect_set(...)))` — O5),
+    a weighted storyline score, and the top-10 compound-sorted slice
+    (O4-style composed sort key)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = F.broadcast(load_table(spark, sf_dir, "customer"))
+    tagged = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("sector"),
+        F.col("o_orderpriority").alias("tag"),
+        F.col("c_name").alias("entity"),
+        F.col("o_totalprice").cast(DEC).alias("price"),
+    )
+    grouped = tagged.groupBy("sector", "tag").agg(
+        F.countDistinct("entity").alias("n_entities"),
+        F.count("*").alias("n_events"),
+        F.sum("price").cast("double").alias("total_value"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_set("entity")), 1, 3), ", "
+        ).alias("sample_entities"),
+    )
+    score = F.lit(2.0) * F.col("n_entities") + F.lit(0.5) * F.col("n_events")
+    return (
+        grouped.withColumn("score", score)
+        .orderBy(F.col("score").desc(), F.col("sector"), F.col("tag"))
+        .limit(10)
+    )
+
+
+@query(
     "a13_distinct_dates",
     oracle="""
     SELECT DISTINCT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS date FROM events
