@@ -80,3 +80,28 @@ def plan_query(user_message: str, today: date | None = None) -> dict | None:
                 "tool_calls": [{"name": query_name, "arguments": args}],
             }
     return None
+
+
+def execute_plan(plan: dict, spark, sf_dir: str) -> list:
+    """Execute a plan's tool calls against the registry
+    (`insights agent/ai_insights_api.py:357-561` executes its plans as
+    HTTP calls over the same named-query surface). Window arguments
+    become date-range filters when the result exposes a date column;
+    `limit` caps the result."""
+    from pyspark.sql import functions as F
+
+    from ..plans import QUERIES
+
+    results = []
+    for call in plan["tool_calls"]:
+        df = QUERIES[call["name"]](spark, sf_dir)
+        args = call.get("arguments", {})
+        window = args.get("window") or {}
+        if window.get("mode") == "calendar" and "date" in df.columns:
+            df = df.where(
+                F.col("date").between(window["start_date"], window["end_date"])
+            )
+        if "limit" in args:
+            df = df.limit(args["limit"])
+        results.append(df)
+    return results

@@ -79,6 +79,54 @@ def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a1b_rounding_parity",
+    oracle="""
+    SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS date,
+           'brand' AS entity_type,
+           user_id,
+           COUNT(*) AS total,
+           ROUND(CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS neg_pct
+    FROM events WHERE user_id % 2 = 0
+    GROUP BY 1, 3
+    UNION ALL
+    SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d'),
+           'ceo',
+           user_id,
+           COUNT(*),
+           ROUND(CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 1)
+    FROM events WHERE user_id % 2 = 1
+    GROUP BY 1, 3
+    """,
+)
+def a1b_rounding_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rounding-parity branch union (SURVEY hard part #3): the
+    reference rounds `neg_pct` to SIX decimals on the brand branch but
+    ONE decimal on the ceo branch (`sql/article_daily_counts_mv.sql:
+    16,37`) — an easy hash-mismatch trap replicated here as the same
+    two-branch UNION ALL with per-branch rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    is_neg = F.col("event_type") == "error"
+
+    def branch(parity: int, tag: str, digits: int) -> DataFrame:
+        return (
+            ev.where(F.col("user_id") % 2 == parity)
+            .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("date"), "user_id")
+            .agg(
+                F.count("*").alias("total"),
+                F.round(
+                    F.sum(F.when(is_neg, 1).otherwise(0)).cast("double") / F.count("*"),
+                    digits,
+                ).alias("neg_pct"),
+            )
+            .select("date", F.lit(tag).alias("entity_type"), "user_id", "total", "neg_pct")
+        )
+
+    return branch(0, "brand", 6).unionByName(branch(1, "ceo", 1))
+
+
+@query(
     "a1_daily_event_counts",
     oracle="""
     SELECT

@@ -84,6 +84,52 @@ def _reference(rows):
     return out
 
 
+@st.composite
+def _asof_fixture(draw):
+    builds = draw(
+        st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 99)),
+            min_size=0, max_size=12, unique=True,
+        )
+    )
+    probes = draw(
+        st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 50)),
+            min_size=1, max_size=8,
+        )
+    )
+    return builds, probes
+
+
+@_slow
+@given(_asof_fixture())
+def test_asof_join_matches_bruteforce(spark, fixture):
+    from risk_dashboard_database_spark.operators.joins import asof_join
+
+    builds, probes = fixture
+    base = dt.datetime(2024, 1, 1)
+    bdf = spark.createDataFrame(
+        [(k, base + dt.timedelta(minutes=t), i) for k, t, i in builds],
+        "k int, bts timestamp, bid int",
+    )
+    pdf = spark.createDataFrame(
+        [(k, base + dt.timedelta(minutes=t), j) for j, (k, t) in enumerate(probes)],
+        "k int, ts timestamp, pid int",
+    )
+    out = {
+        r["pid"]: r["bid"]
+        for r in asof_join(
+            pdf, bdf, on="k", probe_time="ts", build_time="bts",
+            build_cols=["bid"], tiebreak="bid",
+        ).collect()
+    }
+    # brute-force reference: max (t, bid) at-or-before the probe
+    for j, (k, t) in enumerate(probes):
+        eligible = [(bt, bid) for bk, bt, bid in builds if bk == k and bt <= t]
+        expected = max(eligible)[1] if eligible else None
+        assert out[j] == expected, (j, k, t, eligible)
+
+
 @_slow
 @given(_user_days())
 def test_chain_active_matches_reference_recurrence(spark, rows):
