@@ -98,6 +98,78 @@ def e1_trend_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "e2_crisis_durations",
+    oracle=f"""
+    WITH RECURSIVE {USER_DAY_CTE},
+    scored AS (
+      SELECT user_id, date, errors, total,
+             (errors >= 3) AS trig,
+             (errors >= 1 AND CAST(errors AS DOUBLE) / total >= 0.2) AS cont,
+             (total >= 2) AS gate,
+             LAG(date) OVER (PARTITION BY user_id ORDER BY date) AS prev_date
+      FROM user_day
+    ),
+    chain AS (
+      SELECT user_id, date, trig, cont, gate, prev_date,
+             (gate AND trig) AS active
+      FROM scored WHERE prev_date IS NULL OR prev_date + 1 <> date
+      UNION ALL
+      SELECT s.user_id, s.date, s.trig, s.cont, s.gate, s.prev_date,
+             (s.gate AND (s.trig OR (s.cont AND c.active)))
+      FROM scored s
+      JOIN chain c ON c.user_id = s.user_id AND s.date = c.date + 1
+      WHERE s.prev_date IS NOT NULL AND s.prev_date + 1 = s.date
+    ),
+    active_days AS (SELECT user_id, date FROM chain WHERE active),
+    islands AS (
+      SELECT user_id, date,
+             date - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY date) AS INTEGER) AS anchor
+      FROM active_days
+    ),
+    eps AS (
+      SELECT user_id, MIN(date) AS ep_start, MAX(date) AS ep_end, COUNT(*) AS ep_days
+      FROM islands GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_episodes,
+           CAST(SUM(ep_days) AS BIGINT) AS total_crisis_days,
+           CAST(SUM(ep_days) AS DOUBLE) / COUNT(*) AS avg_duration,
+           CAST(MAX(ep_days) AS BIGINT) AS max_duration,
+           STRFTIME(MAX(ep_end), '%Y-%m-%d') AS last_active_day
+    FROM eps
+    GROUP BY user_id
+    """,
+)
+def e2_crisis_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crisis-duration endpoint (the planner's industry-duration shape,
+    `app.py:2294-2318,4097-4120`): T2 active days -> gaps-and-islands
+    episodes (T4) -> per-entity episode count / total days / average
+    and max duration / last active day. Three window passes + one agg,
+    all shuffled on the entity key. The oracle recomputes T2 through
+    the independent recursive CTE, then islands in SQL."""
+    from ..operators.sessionize import chain_active, episodes
+
+    ud = user_day(spark, sf_dir)
+    chain = chain_active(
+        ud,
+        ["user_id"],
+        "date",
+        trig=F.col("errors") >= 3,
+        cont=(F.col("errors") >= 1)
+        & (F.col("errors").cast("double") / F.col("total") >= 0.2),
+        gate=F.col("total") >= 2,
+    )
+    eps = episodes(chain.where(F.col("active")), ["user_id"], "date")
+    return eps.groupBy("user_id").agg(
+        F.count("*").alias("n_episodes"),
+        F.sum("episode_days").cast("long").alias("total_crisis_days"),
+        (F.sum("episode_days").cast("double") / F.count("*")).alias("avg_duration"),
+        F.max("episode_days").cast("long").alias("max_duration"),
+        F.date_format(F.max("episode_end"), DATE_FMT).alias("last_active_day"),
+    )
+
+
 # DuckDB re-derivation of functions/llm.fake_classify: h = first 8 hex
 # chars of md5(text) as an integer, folded digit by digit.
 _H_SQL = """
