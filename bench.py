@@ -47,6 +47,8 @@ HEADLINE = [
     "d3_ann_topk",
     "t_quality_score",
     "e1_trend_summary",
+    "e2_crisis_durations",
+    "a12b_storylines",
     "f1_llm_classify",
 ]
 

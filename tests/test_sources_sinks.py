@@ -126,6 +126,24 @@ def test_csv_and_json_sinks(spark, tmp_path):
     assert rows == [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]
 
 
+def test_object_store_routing_with_file_uri(spark, tmp_path):
+    from risk_dashboard_database_spark.sources.object_store import (
+        object_exists,
+        read_objects,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id int, v string")
+    path = tmp_path / "obj"
+    df.write.parquet(str(path))
+    uri = f"file://{path}"
+    assert object_exists(spark, uri)
+    assert not object_exists(spark, f"file://{tmp_path}/missing")
+    back = read_objects(spark, uri, "parquet")
+    assert back.collect() == df.collect()
+    with pytest.raises(ValueError, match="unsupported format"):
+        read_objects(spark, uri, "avro")
+
+
 def test_ttl_cache_expiry_and_prefix_invalidation():
     now = [0.0]
     cache = TTLCache(ttl_seconds=10, clock=lambda: now[0])
