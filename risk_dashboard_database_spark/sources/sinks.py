@@ -125,6 +125,17 @@ def json_rows(df: DataFrame) -> list[dict]:
     return [json.loads(s) for s in df.toJSON().collect()]
 
 
+def gzip_response(payload: bytes, min_size: int = 1024) -> tuple[bytes, bool]:
+    """Serving-layer gzip (S12, `app.py:5694-5719`): compress payloads
+    at or above the threshold; smaller ones pass through untouched.
+    Returns (body, was_compressed)."""
+    import gzip
+
+    if len(payload) < min_size:
+        return payload, False
+    return gzip.compress(payload, mtime=0), True
+
+
 class TTLCache:
     """Serving-layer result cache with TTL + prefix invalidation (S13,
     `app.py:56-57,944-957,7051-7056`): write-paths invalidate every

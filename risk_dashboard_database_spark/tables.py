@@ -61,8 +61,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The driver may hand us a session not built by get_spark(), so make
     # sure nanos-as-long decoding is on before the first read. Set
     # unconditionally (not per-table) so read behavior never flips
-    # mid-session based on which table loaded first.
+    # mid-session based on which table loaded first. Session timezone is
+    # pinned too: `CAST(ts AS DATE)` is timezone-sensitive and the DuckDB
+    # oracle treats the stored instants as naive/UTC.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ns_cols = _nanos_ts_columns(path)
     df = spark.read.parquet(path)
     for c in ns_cols:

@@ -126,6 +126,19 @@ def test_csv_and_json_sinks(spark, tmp_path):
     assert rows == [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]
 
 
+def test_gzip_response_threshold():
+    import gzip
+
+    from risk_dashboard_database_spark.sources.sinks import gzip_response
+
+    small, compressed = gzip_response(b"x" * 100)
+    assert (small, compressed) == (b"x" * 100, False)
+    body, compressed = gzip_response(b"y" * 5000)
+    assert compressed and gzip.decompress(body) == b"y" * 5000
+    # deterministic output (mtime pinned)
+    assert body == gzip_response(b"y" * 5000)[0]
+
+
 def test_object_store_routing_with_file_uri(spark, tmp_path):
     from risk_dashboard_database_spark.sources.object_store import (
         object_exists,
