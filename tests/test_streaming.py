@@ -39,3 +39,64 @@ def test_stream_matches_batch(spark, tmp_path):
     s = {tuple(r) for r in streamed.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert s == b and len(s) > 0
+
+
+def test_stream_incremental_late_arrival(spark, tmp_path):
+    """Checkpointed incremental run: a second drain discovers only the
+    newly arrived file, and a late-but-within-watermark event updates
+    its day's aggregate."""
+    import datetime as dt
+
+    events_dir = tmp_path / "ev_inc"
+    events_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, "
+                  "value double, props string"
+        )
+        # TIMESTAMP(NANOS)-free local fixture: bypass the nanos path by
+        # writing micros and overriding the stream schema accordingly
+        df.coalesce(1).write.mode("append").parquet(str(events_dir))
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    write_batch("b1", [(1, t0, 7, "view", 1.0, "{}"),
+                       (2, t0 + dt.timedelta(hours=1), 7, "error", 1.0, "{}")])
+
+    ev = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(str(events_dir))
+    from pyspark.sql import functions as F
+
+    agg = (
+        ev.withWatermark("ts", "2 days")
+        .groupBy(F.window("ts", "1 day").alias("w"), "user_id")
+        .agg(F.count("*").alias("total"))
+        .select(F.col("w.start").cast("date").alias("date"), "user_id", "total")
+    )
+
+    def drain():
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("t_inc_daily")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (str(r["date"]), r["user_id"]): r["total"]
+            for r in spark.table("t_inc_daily").collect()
+        }
+
+    first = drain()
+    assert first == {("2024-01-10", 7): 2}
+
+    # late event for the SAME day arrives in a later file — within the
+    # watermark, so the day's aggregate updates on the next drain
+    write_batch("b2", [(3, t0 + dt.timedelta(hours=2), 7, "click", 1.0, "{}")])
+    second = drain()
+    assert second == {("2024-01-10", 7): 3}
