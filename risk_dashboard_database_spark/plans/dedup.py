@@ -418,6 +418,66 @@ _BUCKET_SQL = """
 
 
 @query(
+    "d7_embedding_dedup",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {{bucket}} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, a.bucket,
+           {{dot}}
+             / (sqrt({{na}}) * sqrt({{nb}})) AS cosine
+    FROM b a JOIN b c ON c.bucket = a.bucket AND a.vec_id < c.vec_id
+    WHERE {{dot}}
+             / (sqrt({{na}}) * sqrt({{nb}})) >= 0.40
+    """.format(
+        bucket=_BUCKET_SQL.format(e="embedding"),
+        dot=_DOT_SQL.format(a="a.embedding", b="c.embedding"),
+        na=_DOT_SQL.format(a="a.embedding", b="a.embedding"),
+        nb=_DOT_SQL.format(a="c.embedding", b="c.embedding"),
+    ),
+)
+def d7_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: sign-LSH bucket join
+    (same bucketing as d5) then exact cosine on candidates — the
+    embedding-space twin of d2's text near-dup path. Shuffles on the
+    bucket key only; at 100 TB the bucket width (here 8 sign bits) is
+    the recall/cost dial. The 0.40 threshold is calibrated to this
+    corpus (random synthetic embeddings top out at cosine ~0.51; real
+    near-dup corpora would use ~0.95+) — the operator shape, not the
+    cutoff, is what transfers."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = F.array_join(
+        F.transform(
+            F.slice(F.col("embedding"), 1, 8),
+            lambda x: F.when(x >= 0, "1").otherwise("0"),
+        ),
+        "",
+    )
+    b = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    a = b.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket"
+    )
+    c = b.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    pairs = a.join(
+        c, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b"))
+    )
+    cosine = _dot_spark(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_dot_spark(F.col("ea"), F.col("ea")))
+        * F.sqrt(_dot_spark(F.col("eb"), F.col("eb")))
+    )
+    return (
+        pairs.select("vec_a", "vec_b", "bucket", cosine.alias("cosine"))
+        .where(F.col("cosine") >= 0.40)
+    )
+
+
+@query(
     "d5_ann_lsh_bucket",
     oracle=f"""
     WITH b AS (
