@@ -13,6 +13,7 @@ Usage: python tools/check.py [sf_dir] [query_name ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 import traceback
@@ -95,9 +96,21 @@ def main():
     only = set(sys.argv[2:])
 
     import __spark_entry__ as mod
-    from risk_dashboard_database_spark.session import get_spark
 
-    spark = get_spark(shuffle_partitions=8)
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # Simulate the driver: a plain session with none of our confs
+        # (notably Spark 4's ANSI-on default). Queries must still
+        # hash-match — loaders carry their own nanos/timezone insurance.
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName("vanilla").getOrCreate()
+
+        def get_spark(**_):
+            return spark
+    else:
+        from risk_dashboard_database_spark.session import get_spark
+
+        spark = get_spark(shuffle_partitions=8)
     qs = mod.queries()
     oracles = mod.oracle_sql()
 
