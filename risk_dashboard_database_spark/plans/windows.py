@@ -31,6 +31,12 @@ TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
       CAST(SUM(errors)    OVER w AS BIGINT) AS errors_7d,
       CAST(SUM(purchases) OVER w AS BIGINT) AS purchases_7d,
       CAST(SUM(value_dec) OVER w AS DOUBLE) AS value_7d,
+      CAST(MAX(total)  OVER w AS BIGINT) AS max_daily_7d,
+      CAST(MIN(total)  OVER w AS BIGINT) AS min_daily_7d,
+      CAST(COUNT(*)    OVER w AS BIGINT) AS obs_days_7d,
+      ROUND(CAST(SUM(total) OVER w AS DOUBLE) / COUNT(*) OVER w, 6) AS avg_daily_7d,
+      ROUND(CAST(SUM(errors) OVER w AS DOUBLE)
+            / NULLIF(CAST(SUM(total) OVER w AS DOUBLE), 0), 6) AS error_rate_7d,
       STRFTIME(MIN(date) OVER w, '%Y-%m-%d') AS window_start,
       CAST(SUM(CASE WHEN errors >= 2 THEN 1 ELSE 0 END) OVER w AS BIGINT) AS crisis_days_7d
     FROM user_day
@@ -40,8 +46,11 @@ TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 )
 def w1_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 7-ROW rollup (`sql/entity_weekly_rollup_v.sql:2-29`):
-    ROWS frame (gap days are skipped), min(date) window-start, and a
-    conditional crisis-day count, all over one window."""
+    the reference computes ELEVEN metrics over one shared window —
+    replicated here (sums, extrema, observation days, derived
+    rates, min(date) window-start, conditional crisis-day count), all
+    ROWS-framed so gap days are skipped rows, one window = one
+    shuffle regardless of metric count."""
     ud = user_day(spark, sf_dir)
     out = trailing_rollup(
         ud,
@@ -52,6 +61,9 @@ def w1_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "errors_7d": F.sum("errors"),
             "purchases_7d": F.sum("purchases"),
             "value_7d_dec": F.sum("value_dec"),
+            "max_daily_7d": F.max("total"),
+            "min_daily_7d": F.min("total"),
+            "obs_days_7d": F.count("*"),
             "window_start": F.min("date"),
             "crisis_days_7d_int": F.sum(F.when(F.col("errors") >= 2, 1).otherwise(0)),
         },
@@ -66,6 +78,17 @@ def w1_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "errors_7d",
         "purchases_7d",
         "value_7d",
+        "max_daily_7d",
+        "min_daily_7d",
+        "obs_days_7d",
+        F.round(
+            F.col("total_7d").cast("double") / F.col("obs_days_7d"), 6
+        ).alias("avg_daily_7d"),
+        F.round(
+            F.col("errors_7d").cast("double")
+            / F.nullif(F.col("total_7d").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("error_rate_7d"),
         F.date_format("window_start", DATE_FMT).alias("window_start"),
         "crisis_days_7d",
     )

@@ -42,6 +42,29 @@ def test_minhash_deterministic_and_banding_catches_near_dupes(spark):
     assert shared_far == 0
 
 
+def test_minhash_lsh_agrees_with_bruteforce_on_corpus(spark):
+    """d2's banded candidates must contain every brute-force pair at
+    the threshold on the real corpus (recall check — banding may
+    legitimately miss borderline pairs, but this corpus is bimodal
+    with all true pairs near Jaccard 0.99, where 4x3 banding recall
+    is ~1)."""
+    from risk_dashboard_database_spark.plans.dedup import (
+        d2_minhash_pairs,
+        d4_ngram_jaccard,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    lsh = {
+        (r["doc_a"], r["doc_b"]) for r in d2_minhash_pairs(spark, sf).collect()
+    }
+    brute_same_lang = {
+        (r["doc_a"], r["doc_b"]) for r in d4_ngram_jaccard(spark, sf).collect()
+    }
+    # d4 is language-blocked, so it sees a subset of true pairs; every
+    # pair it finds must also be found by the unblocked LSH path
+    assert brute_same_lang <= lsh
+
+
 def test_decode_media_fake_deterministic():
     out = decode_media(b"x" * 100, "fake/deterministic")
     assert out == {"width": 16 + 100 % 624, "height": 16 + 700 % 464, "n_frames": 1 + 100 % 30}
