@@ -418,6 +418,100 @@ _BUCKET_SQL = """
 
 
 @query(
+    "d8_ann_ivf",
+    oracle=f"""
+    WITH centroids AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    assigned AS (
+      SELECT e.vec_id, e.label, e.embedding,
+             (SELECT c.cid FROM centroids c
+              ORDER BY {_DOT_SQL.format(a='e.embedding', b='c.ce')}
+                       / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+                          * sqrt({_DOT_SQL.format(a='c.ce', b='c.ce')})) DESC, c.cid
+              LIMIT 1) AS cell
+      FROM embeddings e
+    ),
+    q AS (SELECT * FROM assigned WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS candidate_id, c.label, q.cell,
+             {_DOT_SQL.format(a='q.embedding', b='c.embedding')}
+               / (sqrt({_DOT_SQL.format(a='q.embedding', b='q.embedding')})
+                  * sqrt({_DOT_SQL.format(a='c.embedding', b='c.embedding')})) AS cosine
+      FROM q JOIN assigned c ON c.cell = q.cell AND c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, candidate_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, candidate_id, label, cell, cosine, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def d8_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (the other scale path beside d5's sign-LSH):
+    deterministic 'centroids' (every 100th vector — a trained k-means
+    codebook in a real system), every vector assigned to its
+    max-cosine centroid cell, probes search ONLY their own cell. The
+    assignment pass broadcasts the centroid set (codebooks are tiny);
+    the search shuffles on the cell id. Oracle derives assignments via
+    an independent correlated-subquery argmax."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = F.broadcast(
+        emb.where(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+        )
+    )
+    cos_to_centroid = _dot_spark(F.col("embedding"), F.col("ce")) / (
+        F.sqrt(_dot_spark(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(_dot_spark(F.col("ce"), F.col("ce")))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("__cos").desc(), F.col("cid")
+    )
+    assigned = (
+        emb.join(centroids)
+        .withColumn("__cos", cos_to_centroid)
+        .withColumn("__rn", F.row_number().over(w_assign))
+        .where(F.col("__rn") == 1)
+        .select("vec_id", "label", "embedding", F.col("cid").alias("cell"))
+    )
+    q = assigned.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("cell").alias("qcell"),
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("candidate_id"),
+        "label",
+        F.col("embedding").alias("ce2"),
+        "cell",
+    )
+    scored = q.join(
+        c, (F.col("cell") == F.col("qcell")) & (F.col("candidate_id") != F.col("query_id"))
+    ).select(
+        "query_id",
+        "candidate_id",
+        "label",
+        "cell",
+        (
+            _dot_spark(F.col("qe"), F.col("ce2"))
+            / (
+                F.sqrt(_dot_spark(F.col("qe"), F.col("qe")))
+                * F.sqrt(_dot_spark(F.col("ce2"), F.col("ce2")))
+            )
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("candidate_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )
+
+
+@query(
     "d7_embedding_dedup",
     oracle=f"""
     WITH b AS (

@@ -1,0 +1,31 @@
+"""Registry consistency: every oracle belongs to a registered query,
+names follow the survey-op convention, and the entry module forwards
+the registry faithfully."""
+
+from __future__ import annotations
+
+import re
+
+import __spark_entry__ as entry_mod
+from risk_dashboard_database_spark.plans import ORACLES, QUERIES
+
+
+def test_every_oracle_has_a_query():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+def test_only_known_rows_only_queries_lack_oracles():
+    # o7 is the single intentional rows-only entry (SequenceMatcher has
+    # no SQL equivalent); anything else missing an oracle is a mistake
+    assert set(QUERIES) - set(ORACLES) == {"o7_fuzzy_topk"}
+
+
+def test_names_follow_survey_convention():
+    pat = re.compile(r"^[a-z]\d{0,2}b?_[a-z0-9_]+$|^[a-z]_[a-z0-9_]+$")
+    for name in QUERIES:
+        assert pat.match(name), name
+
+
+def test_entry_module_forwards_registry():
+    assert entry_mod.queries().keys() == QUERIES.keys()
+    assert entry_mod.oracle_sql().keys() == ORACLES.keys()
