@@ -16,6 +16,29 @@ from datetime import date
 
 from .period import resolve_time_window
 
+# Full 15-tool contract (`insights agent/ai-insights-tool-contract.json`)
+# -> the engine query that serves each tool. resolve_* are driver-side
+# lookups (fuzzy resolution = the o7 machinery); everything else is a
+# registry query, exactly as the reference's tools are HTTP wrappers
+# over its endpoint queries (`ai_insights_api.py:357-561`).
+TOOL_CONTRACT: dict[str, str] = {
+    "resolve_entity": "o7_fuzzy_topk",
+    "resolve_sector": "s_name_normalize",
+    "get_trend_summary": "e1_trend_summary",
+    "screen_entities": "a6_screen",
+    "get_sector_baseline": "a7_sector_stats",
+    "aggregate_crisis_patterns": "a12b_storylines",
+    "aggregate_industry_durations": "e2_crisis_durations",
+    "find_storylines": "a12b_storylines",
+    "get_narrative_timeline": "t1_narrative_rollup",
+    "get_narrative_tags": "a11_majority_vote",
+    "get_search_feature_series": "p2_override_daily",
+    "get_search_feature_items": "a3_feature_index",
+    "compare_entities": "j4_entity_daily_metrics",
+    "get_anomalies": "u4_anomaly_rules",
+    "get_evidence": "u3_evidence_union",
+}
+
 _COMPARE_RE = re.compile(
     r"\bcompare\s+(.+?)\s+(?:vs\.?|versus|against|and)\s+(.+?)(?:\s+over|\s+in|\s+for|[.?!]|$)",
     re.IGNORECASE,

@@ -89,6 +89,20 @@ def test_planner_tools_exist_in_registry():
     assert not missing
 
 
+def test_tool_contract_complete_and_resolvable():
+    import json
+
+    from risk_dashboard_database_spark.functions.planner import TOOL_CONTRACT
+    from risk_dashboard_database_spark.plans import QUERIES
+
+    # every declared tool maps to a registered query
+    assert set(TOOL_CONTRACT.values()) <= set(QUERIES)
+    # and the mapping covers the reference's full 15-tool contract
+    ref = json.load(open("/root/reference/insights agent/ai-insights-tool-contract.json"))
+    ref_names = {t["name"] for t in ref["tools"]}
+    assert set(TOOL_CONTRACT) == ref_names
+
+
 def test_salvage_json():
     assert salvage_json('{"a": 1}') == {"a": 1}
     assert salvage_json('Sure! Here: {"a": 1} hope it helps') == {"a": 1}
