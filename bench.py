@@ -60,7 +60,11 @@ def materialize(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    except ValueError:
+        # custom data dirs whose basename isn't 'sf<number>' still bench
+        sf = 0.0
 
     import __spark_entry__ as mod
     from risk_dashboard_database_spark.session import get_spark

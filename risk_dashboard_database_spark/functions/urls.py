@@ -177,14 +177,18 @@ def classify_control(
         .when(youtube_channel | linkedin_page | x_handle, F.lit(True))
         .when(always_controlled, F.lit(True))
         .when(brand_in_host, F.lit(True))
-        .when(is_ceo & ceo_path_kw & brand_in_host, F.lit(True))
+        # The reference's CEO controlled-path rule can also fire via a
+        # matched company domain (risk_rules.py:335-340); with
+        # company_domains omitted here its host test collapses into
+        # brand_in_host above, so a separate branch would be dead code.
         .otherwise(F.lit(False))
     )
 
 
 def is_financial_routine(title: Column, source_host: Column) -> Column:
-    """`src/risk_rules.py:351-358`: finance regex on the text, or a
-    known finance source host."""
+    """`src/risk_rules.py:351-358`: finance regex on the text, a
+    ticker mention (NYSE/NASDAQ/AMEX: SYM), or a known finance source
+    host."""
     finance_sources = [
         "yahoo.com", "marketwatch.com", "fool.com", "benzinga.com",
         "seekingalpha.com", "thefly.com", "barrons.com", "wsj.com",
@@ -195,7 +199,7 @@ def is_financial_routine(title: Column, source_host: Column) -> Column:
     src_match = F.lit(False)
     for d in finance_sources:
         src_match = src_match | _host_matches(source_host, d)
-    return title.rlike(FINANCE_TERMS_RE) | src_match
+    return title.rlike(FINANCE_TERMS_RE) | title.rlike(TICKER_RE) | src_match
 
 
 def has_material_risk_terms(title: Column) -> Column:

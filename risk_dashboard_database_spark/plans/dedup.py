@@ -48,6 +48,14 @@ N_BANDS = 4
 ROWS_PER_BAND = 3
 JACCARD_THRESHOLD = 0.5
 
+# d2's persisted signature relations from the most recent invocation;
+# unpersisted on the next call so repeated runs (check.py over 70+
+# queries, bench warm-up + timed run) don't accumulate cached blocks
+# for the session lifetime. Spark's CacheManager dedups identical
+# plans, so same-sf_dir re-runs reuse (not duplicate) the entry, but
+# cross-sf_dir runs would otherwise pile up.
+_D2_PERSISTED: list[DataFrame] = []
+
 
 # ---------------------------------------------------------------- d1
 @query(
@@ -69,16 +77,34 @@ JACCARD_THRESHOLD = 0.5
 def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content identity hash (reference: articles
     unique on canonical_url -> sha256(normalize_url),
-    `sql/schema.sql:163-173` + `src/url_utils.py:43-47`): one hash-agg
-    keyed on the hash, first-seen row is canonical."""
+    `sql/schema.sql:163-173` + `src/url_utils.py:43-47`).
+
+    Two-phase aggregation: phase 1 hash-aggs on the RAW url string
+    (cheap concat key, map-side combine collapses duplicates before
+    the shuffle), phase 2 runs the expensive normalize+sha256 pipeline
+    on the surviving DISTINCT raw urls only and re-aggregates on the
+    hash. raw_url -> url_hash is functional, so min-of-mins /
+    sum-of-counts gives the identical result to a single-phase agg.
+    In any dedup-worthy corpus the duplicate rate is high, so phase 1
+    shrinks normalize invocations by orders of magnitude (sf0.1:
+    ~2.3M rows -> ~1.4k distinct raw urls; 3.5s -> well under the 1s
+    budget); the extra exchange is tiny (distinct-raw-url rows only)."""
     ev = load_table(spark, sf_dir, "events")
-    hashed = ev.select(
-        "event_id", url_hash(url_col(k_col(), F.col("event_type"))).alias("url_hash")
+    by_raw = (
+        ev.select(
+            "event_id", url_col(k_col(), F.col("event_type")).alias("raw_url")
+        )
+        .groupBy("raw_url")
+        .agg(F.min("event_id").alias("min_event_id"), F.count("*").alias("n"))
     )
-    return hashed.groupBy("url_hash").agg(
-        F.min("event_id").alias("canonical_event_id"),
-        F.count("*").alias("n_copies"),
-        (F.count("*") - 1).cast("long").alias("n_duplicates"),
+    return (
+        by_raw.select(url_hash(F.col("raw_url")).alias("url_hash"), "min_event_id", "n")
+        .groupBy("url_hash")
+        .agg(
+            F.min("min_event_id").alias("canonical_event_id"),
+            F.sum("n").cast("long").alias("n_copies"),
+            (F.sum("n") - 1).cast("long").alias("n_duplicates"),
+        )
     )
 
 
@@ -184,12 +210,16 @@ def d2_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (expensive) md5 transforms into every reference — measured 30x
     # recompute at sf0.1. At 100 TB this is the signature table you
     # would checkpoint explicitly.
+    for df in _D2_PERSISTED:
+        df.unpersist()
+    _D2_PERSISTED.clear()
     toks = docs.select("doc_id", _shingles_spark(F.col("text")).alias("sh")).persist()
     sigs = (
         toks.where(F.size("sh") > 0)
         .withColumn("mh", _minhash_spark(F.col("sh")))
         .persist()
     )
+    _D2_PERSISTED.extend([toks, sigs])
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -467,15 +497,24 @@ def d8_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(_dot_spark(F.col("embedding"), F.col("embedding")))
         * F.sqrt(_dot_spark(F.col("ce"), F.col("ce")))
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("__cos").desc(), F.col("cid")
-    )
+    # argmax-per-vector as an aggregate, NOT a row_number window: the
+    # window formulation shuffles+sorts the full n*k assignment
+    # relation, while groupBy gets map-side partial aggregation and
+    # shuffles ~n rows — a ~k x shuffle-volume difference at scale.
+    # max_by orders by (cosine desc, cid asc) via the (-cid) struct
+    # field, matching the oracle's ORDER BY ... DESC, c.cid LIMIT 1.
     assigned = (
         emb.join(centroids)
-        .withColumn("__cos", cos_to_centroid)
-        .withColumn("__rn", F.row_number().over(w_assign))
-        .where(F.col("__rn") == 1)
-        .select("vec_id", "label", "embedding", F.col("cid").alias("cell"))
+        .select("vec_id", "label", "embedding", "cid", cos_to_centroid.alias("__cos"))
+        .groupBy("vec_id")
+        .agg(
+            F.any_value("label").alias("label"),
+            F.any_value("embedding").alias("embedding"),
+            F.max_by(
+                F.col("cid"),
+                F.struct(F.col("__cos").alias("c"), (-F.col("cid")).alias("nc")),
+            ).alias("cell"),
+        )
     )
     q = assigned.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"),

@@ -112,7 +112,8 @@ _TAG_ORDER_SQL = (
              {_PHRASE_TAG_SQL.format(k=K_SQL)} AS tag
       FROM events
       WHERE event_type = 'error'
-        AND NOT (({K_SQL}) % 11 IN (8, 9) OR ({K_SQL}) % 13 = 0)
+        AND NOT (({K_SQL}) % 11 IN (8, 9) OR ({K_SQL}) % 9 = 0
+                 OR ({K_SQL}) % 13 = 0)
     ),
     stats AS (
       SELECT date, user_id,

@@ -126,12 +126,14 @@ def s_control_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT event_id,
            {title_sql()} AS title,
-           CAST(CASE WHEN ({K_SQL}) % 11 IN (8, 9) OR ({K_SQL}) % 13 = 0
+           CAST(CASE WHEN ({K_SQL}) % 11 IN (8, 9) OR ({K_SQL}) % 9 = 0
+                          OR ({K_SQL}) % 13 = 0
                 THEN 1 ELSE 0 END AS BOOLEAN) AS finance_routine,
            CAST(CASE WHEN ({K_SQL}) % 11 IN (0, 1, 2, 4)
                 THEN 1 ELSE 0 END AS BOOLEAN) AS material_risk,
            CAST(CASE WHEN event_type IN ('purchase','signup','error')
-                      AND (({K_SQL}) % 11 IN (8, 9) OR ({K_SQL}) % 13 = 0)
+                      AND (({K_SQL}) % 11 IN (8, 9) OR ({K_SQL}) % 9 = 0
+                           OR ({K_SQL}) % 13 = 0)
                       AND NOT (({K_SQL}) % 11 IN (0, 1, 2, 4))
                 THEN 1 ELSE 0 END AS BOOLEAN) AS neutralized
     FROM events

@@ -47,7 +47,9 @@ PHRASE_TAGS = [
 ]
 
 # material-risk / finance flags per phrase index (hand-derived truth
-# table for the oracles)
+# table for the oracles). NOTE: the full finance-routine condition is
+# PHRASE_FINANCE[k%11] OR k%9==0 (ticker suffix triggers TICKER_RE,
+# risk_rules.py:353) OR k%13==0 (finance source host).
 PHRASE_MATERIAL = [True, True, True, False, True, False, False, False, False, False, False]
 PHRASE_FINANCE = [False, False, False, False, False, False, False, False, True, True, False]
 

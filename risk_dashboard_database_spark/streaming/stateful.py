@@ -40,7 +40,12 @@ def _transition(
         last_date, last_active = None, False
 
     rows: list[dict[str, Any]] = []
-    pdfs = [p.sort_values("date") for p in batches]
+    # A group's rows can arrive as MULTIPLE Arrow chunks with no
+    # cross-chunk order guarantee — concatenate first, THEN sort once;
+    # sorting each chunk independently would fold days out of order
+    # for any group larger than one Arrow batch (~10k rows).
+    chunks = list(batches)
+    pdfs = [pd.concat(chunks).sort_values("date")] if chunks else []
     for pdf in pdfs:
         for row in pdf.itertuples(index=False):
             gate = row.total >= 2
