@@ -19,7 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.llm import classify_batch
+from ..functions.llm import classify_batch, summarize_cached
+from ..functions.urls import is_financial_routine
 from ..tables import load_table
 from .common import USER_DAY_CTE, user_day
 from .registry import query
@@ -201,3 +202,421 @@ def f1_llm_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     out = classify_batch(docs, "text")
     return out.select("doc_id", "sentiment_label", "risk_label", "confidence")
+
+
+# ------------------------------------------------------------ e3/e4
+# Shared narrative-row relation for the storyline / crisis-impact
+# compositions: tagged negative days per entity, enriched with the
+# customer dim (sector + display name) — the reference's input is the
+# daily narrative rollup joined to companies (`app.py:1968-2000`).
+_NARRATIVE_ROWS_CTE = """
+    cand AS (
+      SELECT CAST(ts AS DATE) AS date, user_id,
+             {tag} AS tag, CAST(COUNT(*) AS BIGINT) AS neg
+      FROM events
+      WHERE event_type = 'error'
+        AND NOT (({k}) % 11 IN (8, 9) OR ({k}) % 9 = 0 OR ({k}) % 13 = 0)
+        AND {tag} IS NOT NULL
+      GROUP BY 1, 2, 3
+    ),
+    enriched AS (
+      SELECT cand.*, c.c_mktsegment AS sector, c.c_name AS entity
+      FROM cand JOIN customer c ON c.c_custkey = cand.user_id
+    )
+"""
+
+
+def _narrative_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(date, user_id, tag, neg, sector, entity) — the real regex
+    tagger + finance filter on the Spark side (the oracle uses the
+    hand-derived phrase-wheel truth table instead)."""
+    from .narrative import narrative_tag
+    from .synth import k_col, source_host_col, title_col
+
+    ev = load_table(spark, sf_dir, "events")
+    k = k_col()
+    title = title_col(k)
+    cand = (
+        ev.where(
+            (F.col("event_type") == "error")
+            & ~is_financial_routine(title, source_host_col(k))
+        )
+        .select(
+            F.col("ts").cast("date").alias("date"),
+            "user_id",
+            narrative_tag(title).alias("tag"),
+        )
+        .where(F.col("tag").isNotNull())
+        .groupBy("date", "user_id", "tag")
+        .agg(F.count("*").alias("neg"))
+    )
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", F.col("c_mktsegment").alias("sector"), F.col("c_name").alias("entity")
+        )
+    )
+    return cand.join(cust, cand.user_id == cust.c_custkey).drop("c_custkey")
+
+
+def _e3_oracle() -> str:
+    from .narrative import _PHRASE_TAG_SQL
+    from .synth import K_SQL
+
+    rows = _NARRATIVE_ROWS_CTE.format(tag=_PHRASE_TAG_SQL.format(k=K_SQL), k=K_SQL)
+    return f"""
+    WITH {rows},
+    anch AS (
+      SELECT *, date - CAST(ROW_NUMBER() OVER (
+               PARTITION BY sector, tag, user_id ORDER BY date) AS INTEGER) AS anchor
+      FROM enriched
+    ),
+    epi AS (
+      SELECT sector, tag, user_id, entity, anchor,
+             COUNT(*) AS dur, SUM(neg) AS negsum
+      FROM anch GROUP BY 1, 2, 3, 4, 5
+    ),
+    durs AS (
+      SELECT sector, tag, SUM(dur) AS sum_dur, COUNT(*) AS n_eps, MAX(dur) AS max_dur
+      FROM epi GROUP BY 1, 2
+    ),
+    ent AS (
+      SELECT sector, tag, user_id, entity, SUM(negsum) AS ent_neg
+      FROM epi GROUP BY 1, 2, 3, 4
+    ),
+    samples AS (
+      SELECT sector, tag,
+             array_to_string((list(entity ORDER BY ent_neg DESC, lower(entity), entity))[1:3],
+                             ', ') AS sample_entities
+      FROM ent GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT sector, tag,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS affected_entities,
+             CAST(COUNT(DISTINCT date) AS BIGINT) AS active_days,
+             CAST(SUM(neg) AS BIGINT) AS total_negative_items
+      FROM enriched GROUP BY 1, 2
+    )
+    SELECT s.sector, s.tag,
+           s.affected_entities,
+           CAST(d.n_eps AS BIGINT) AS episode_count,
+           ROUND(CAST(d.sum_dur AS DOUBLE) / d.n_eps, 2) AS avg_duration_days,
+           CAST(d.max_dur AS BIGINT) AS max_duration_days,
+           s.total_negative_items,
+           s.active_days,
+           ROUND(s.affected_entities * 6
+                 + s.total_negative_items * CAST(0.35 AS DOUBLE)
+                 + ROUND(CAST(d.sum_dur AS DOUBLE) / d.n_eps, 2) * 2
+                 + s.active_days * CAST(0.4 AS DOUBLE), 2) AS score,
+           sm.sample_entities,
+           s.sector || ' saw concentrated ' || lower(s.tag) || ' pressure' AS headline
+    FROM stats s
+    JOIN durs d ON d.sector = s.sector AND d.tag = s.tag
+    JOIN samples sm ON sm.sector = s.sector AND sm.tag = s.tag
+    """
+
+
+@query("e3_storylines", oracle=_e3_oracle())
+def e3_storylines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storylines endpoint composition — the sector x tag pattern
+    candidate family of `build_storyline_candidates`
+    (`app.py:1968-2110`) as one DataFrame program: tagged negative
+    days per entity -> consecutive-day episode durations
+    (gaps-and-islands) -> per-(sector, tag) affected counts, avg/max
+    durations, active days, the weighted storyline score
+    (affected*6 + items*0.35 + avg_dur*2 + days*0.4), a deterministic
+    top-3 entity sample, and the headline string.
+
+    Scale shape: the entity-day relation shuffles once on
+    (sector, tag, user) for the episode window; every rollup above it
+    re-aggregates small relations; the customer dim is broadcast."""
+    rows = _narrative_rows(spark, sf_dir)
+    w = Window.partitionBy("sector", "tag", "user_id").orderBy("date")
+    anch = rows.withColumn(
+        "anchor", F.date_sub(F.col("date"), F.row_number().over(w))
+    )
+    epi = anch.groupBy("sector", "tag", "user_id", "entity", "anchor").agg(
+        F.count("*").alias("dur"), F.sum("neg").alias("negsum")
+    )
+    durs = epi.groupBy("sector", "tag").agg(
+        F.sum("dur").alias("sum_dur"),
+        F.count("*").alias("n_eps"),
+        F.max("dur").alias("max_dur"),
+    )
+    ent = epi.groupBy("sector", "tag", "user_id", "entity").agg(
+        F.sum("negsum").alias("ent_neg")
+    )
+    samples = ent.groupBy("sector", "tag").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("ent_neg")).alias("a"),
+                                F.lower("entity").alias("b"),
+                                F.col("entity").alias("c"),
+                            )
+                        )
+                    ),
+                    lambda s: s["c"],
+                ),
+                1,
+                3,
+            ),
+            ", ",
+        ).alias("sample_entities")
+    )
+    stats = rows.groupBy("sector", "tag").agg(
+        F.countDistinct("user_id").alias("affected_entities"),
+        F.countDistinct("date").alias("active_days"),
+        F.sum("neg").alias("total_negative_items"),
+    )
+    avg_dur = F.round(F.col("sum_dur").cast("double") / F.col("n_eps"), 2)
+    return (
+        stats.join(durs, ["sector", "tag"])
+        .join(samples, ["sector", "tag"])
+        .select(
+            "sector",
+            "tag",
+            "affected_entities",
+            F.col("n_eps").cast("long").alias("episode_count"),
+            avg_dur.alias("avg_duration_days"),
+            F.col("max_dur").cast("long").alias("max_duration_days"),
+            "total_negative_items",
+            "active_days",
+            F.round(
+                F.col("affected_entities") * 6
+                + F.col("total_negative_items") * F.lit(0.35)
+                + avg_dur * 2
+                + F.col("active_days") * F.lit(0.4),
+                2,
+            ).alias("score"),
+            "sample_entities",
+            F.concat(
+                F.col("sector"),
+                F.lit(" saw concentrated "),
+                F.lower("tag"),
+                F.lit(" pressure"),
+            ).alias("headline"),
+        )
+    )
+
+
+def _e4_oracle() -> str:
+    from .narrative import _PHRASE_TAG_SQL
+    from .synth import K_SQL
+
+    rows = _NARRATIVE_ROWS_CTE.format(tag=_PHRASE_TAG_SQL.format(k=K_SQL), k=K_SQL)
+    return f"""
+    WITH {rows},
+    anch AS (
+      SELECT *, date - CAST(ROW_NUMBER() OVER (
+               PARTITION BY tag, user_id ORDER BY date) AS INTEGER) AS anchor
+      FROM enriched
+    )
+    SELECT tag,
+           user_id AS brand_id,
+           entity AS brand,
+           sector,
+           CAST(COUNT(*) AS BIGINT) AS days_affected,
+           STRFTIME(MIN(date), '%Y-%m-%d') AS first_seen_date,
+           STRFTIME(MAX(date), '%Y-%m-%d') AS last_seen_date,
+           MAX(date) = (SELECT MAX(CAST(ts AS DATE)) FROM events) AS active_on_window_end,
+           CAST(COUNT(DISTINCT anchor) AS BIGINT) AS episodes,
+           CAST(SUM(neg) AS BIGINT) AS total_negative_items
+    FROM anch
+    GROUP BY tag, user_id, entity, sector
+    """
+
+
+@query("e4_crisis_impact", oracle=_e4_oracle())
+def e4_crisis_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crisis-brand-impact endpoint (`build_crisis_brand_impact_summary`,
+    `app.py:2214-2414`): per (crisis tag, brand) — days affected,
+    first/last seen, whether the brand is still active on the window's
+    end date, consecutive-day episode count, and tagged negative item
+    totals. One shuffle on (tag, brand) for the episode window; the
+    window-end date is a 1-row broadcast (the reference's end_date
+    parameter, here the data's latest date)."""
+    rows = _narrative_rows(spark, sf_dir)
+    w = Window.partitionBy("tag", "user_id").orderBy("date")
+    anch = rows.withColumn(
+        "anchor", F.date_sub(F.col("date"), F.row_number().over(w))
+    )
+    wend = F.broadcast(
+        load_table(spark, sf_dir, "events").agg(
+            F.max(F.col("ts").cast("date")).alias("window_end")
+        )
+    )
+    return (
+        anch.crossJoin(wend)
+        .groupBy("tag", "user_id", "entity", "sector")
+        .agg(
+            F.count("*").alias("days_affected"),
+            F.date_format(F.min("date"), DATE_FMT).alias("first_seen_date"),
+            F.date_format(F.max("date"), DATE_FMT).alias("last_seen_date"),
+            (F.max("date") == F.first("window_end")).alias("active_on_window_end"),
+            F.countDistinct("anchor").alias("episodes"),
+            F.sum("neg").cast("long").alias("total_negative_items"),
+        )
+        .select(
+            "tag",
+            F.col("user_id").alias("brand_id"),
+            F.col("entity").alias("brand"),
+            "sector",
+            "days_affected",
+            "first_seen_date",
+            "last_seen_date",
+            "active_on_window_end",
+            "episodes",
+            "total_negative_items",
+        )
+    )
+
+
+def _e5_oracle() -> str:
+    from .overrides import ITEMS_CTE
+
+    eff_s = "COALESCE(ov.override_label, uov.url_override_label, i.llm_label, i.raw_label)"
+    eff_c = "COALESCE(ov.override_control, i.llm_control, i.raw_control)"
+    return f"""
+    WITH {ITEMS_CTE},
+    evidence AS (
+      SELECT STRFTIME(i.date, '%Y-%m-%d') AS date,
+             CASE WHEN i.event_type IN ('purchase','signup') THEN 'article'
+                  WHEN i.event_type IN ('view','click') THEN 'serp'
+                  ELSE 'top_stories' END AS evidence_type,
+             'event ' || i.event_type AS title,
+             'u' || CAST(i.event_id % 500 AS VARCHAR) AS url,
+             {eff_s} AS sentiment_label,
+             COALESCE({eff_c}, '') AS control_class,
+             CASE WHEN {eff_s} = 'negative' AND {eff_c} = 'earned'
+                    THEN 'negative_and_uncontrolled'
+                  WHEN {eff_s} = 'negative' THEN 'negative'
+                  ELSE 'uncontrolled' END AS included_reason,
+             CASE WHEN i.event_type IN ('purchase','signup') THEN 2
+                  WHEN i.event_type IN ('view','click')
+                    THEN CASE WHEN {eff_c} = 'earned' THEN 3 ELSE 1 END
+                  ELSE 4 END AS sort_weight,
+             i.event_id
+      FROM items i
+      LEFT JOIN item_overrides ov ON ov.event_id = i.event_id
+      LEFT JOIN url_overrides uov
+        ON uov.user_id = i.user_id AND uov.event_type = i.event_type
+       AND uov.hash_bucket = i.hash_bucket
+      WHERE {eff_s} = 'negative' OR {eff_c} = 'earned'
+    ),
+    deduped AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY date, evidence_type, url, title
+               ORDER BY sort_weight DESC, event_id) AS rn
+      FROM evidence
+    )
+    SELECT date, evidence_type, title, url, sentiment_label, control_class,
+           included_reason, CAST(sort_weight AS INTEGER) AS sort_weight
+    FROM deduped WHERE rn = 1
+    ORDER BY date DESC, sort_weight DESC, title, url, evidence_type
+    LIMIT 500
+    """
+
+
+@query("e5_evidence", oracle=_e5_oracle())
+def e5_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evidence endpoint assembly (`app.py:5398-5523`) over u3's core
+    op: override-resolved sentiment (4-level coalesce) and control
+    (3-level), the negative-OR-uncontrolled inclusion filter, the
+    included_reason classification, per-branch conditional
+    sort_weight (uncontrolled serp outranks controlled), keep-best
+    dedup on (date, evidence_type, url, title), and the final
+    date-desc / weight-desc ordered top-500 slice.
+
+    Scale shape: both override tables broadcast; one shuffle for the
+    dedup window; the ordered LIMIT is a TakeOrdered, never a global
+    sort materialization."""
+    from .overrides import item_overrides, items, url_overrides
+
+    it = items(spark, sf_dir)
+    ov = F.broadcast(item_overrides(spark, sf_dir))
+    uov = F.broadcast(url_overrides(spark, sf_dir))
+    eff_s = F.coalesce("override_label", "url_override_label", "llm_label", "raw_label")
+    eff_c = F.coalesce("override_control", "llm_control", "raw_control")
+    etype = (
+        F.when(F.col("event_type").isin("purchase", "signup"), "article")
+        .when(F.col("event_type").isin("view", "click"), "serp")
+        .otherwise("top_stories")
+    )
+    weight = (
+        F.when(F.col("event_type").isin("purchase", "signup"), 2)
+        .when(
+            F.col("event_type").isin("view", "click"),
+            F.when(eff_c == "earned", 3).otherwise(1),
+        )
+        .otherwise(4)
+    )
+    evidence = (
+        it.join(ov, "event_id", "left")
+        .join(uov, ["user_id", "event_type", "hash_bucket"], "left")
+        .where((eff_s == "negative") | (eff_c == "earned"))
+        .select(
+            F.date_format("date", DATE_FMT).alias("date"),
+            etype.alias("evidence_type"),
+            F.concat(F.lit("event "), F.col("event_type")).alias("title"),
+            F.concat(F.lit("u"), (F.col("event_id") % 500).cast("string")).alias("url"),
+            eff_s.alias("sentiment_label"),
+            F.coalesce(eff_c, F.lit("")).alias("control_class"),
+            F.when(
+                (eff_s == "negative") & (eff_c == "earned"), "negative_and_uncontrolled"
+            )
+            .when(eff_s == "negative", "negative")
+            .otherwise("uncontrolled")
+            .alias("included_reason"),
+            weight.alias("sort_weight"),
+            "event_id",
+        )
+    )
+    w = Window.partitionBy("date", "evidence_type", "url", "title").orderBy(
+        F.col("sort_weight").desc(), F.col("event_id")
+    )
+    return (
+        evidence.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .orderBy(
+            F.col("date").desc(),
+            F.col("sort_weight").desc(),
+            "title",
+            "url",
+            "evidence_type",
+        )
+        .limit(500)
+        .select(
+            "date",
+            "evidence_type",
+            "title",
+            "url",
+            "sentiment_label",
+            "control_class",
+            "included_reason",
+            F.col("sort_weight").cast("int").alias("sort_weight"),
+        )
+    )
+
+
+@query(
+    "f2_feature_summary",
+    oracle="""
+    SELECT lang, source,
+           'summary of ' || CAST(COUNT(*) AS VARCHAR) || ' items: ' ||
+           array_to_string((list(text ORDER BY text))[1:12], '; ') AS summary
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def f2_feature_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached feature-summary surface (F2, `app.py:236-261,643-685`):
+    per (lang, source) cache key, the deterministic fake summarizer
+    joins the first 12 texts in stable order — the real provider is a
+    drop-in backend swap; the cache-table contract (one summary row
+    per key) is what this checks. The oracle re-derives the fake's
+    string arithmetic independently."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "source", "text")
+    return summarize_cached(docs, ["lang", "source"], "text")

@@ -25,9 +25,36 @@ import os
 import shutil
 import time
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def _ingest_lock(target_path: str, timeout: float = 120.0):
+    """Serialize concurrent upserts to one target — the analog of the
+    reference's per-table advisory lock (`src/ingest_v2.py:77-103`),
+    which makes ingest read-modify-write atomic. An O_EXCL lock file
+    is the portable local/NFS mutex; on a real deployment the table
+    format's commit protocol (Delta/Iceberg optimistic commit) plays
+    this role."""
+    lock = target_path + ".lock"
+    os.makedirs(os.path.dirname(target_path) or ".", exist_ok=True)
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            if time.monotonic() > deadline:
+                raise TimeoutError(f"ingest lock busy: {lock}")
+            time.sleep(0.05)
+    try:
+        os.close(fd)
+        yield
+    finally:
+        os.remove(lock)
 
 
 def _atomic_swap(tmp: str, dest: str) -> None:
@@ -55,7 +82,24 @@ def merge_upsert(
       'coalesce' -> coalesce(new, old)   (keep old when update is null)
       'least'    -> least(new, old)      (first_seen)
       'greatest' -> greatest(new, old)   (last_seen)
-    Returns the merged frame (also written to target_path)."""
+    Returns the merged frame (also written to target_path).
+
+    Concurrent writers serialize on an advisory lock (see
+    `_ingest_lock`): each upsert's read-merge-swap is atomic, so
+    interleaved upserts behave as if run one after the other — no
+    lost updates, last writer wins per conflicting key (the
+    reference's `src/ingest_v2.py:77-103` guarantee)."""
+    with _ingest_lock(target_path):
+        return _merge_upsert_locked(spark, target_path, updates, keys, conditional)
+
+
+def _merge_upsert_locked(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    conditional: dict[str, str] | None = None,
+) -> DataFrame:
     conditional = conditional or {}
     if os.path.exists(target_path):
         existing = spark.read.parquet(target_path)
@@ -116,12 +160,21 @@ def csv_sink(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").option("header", True).csv(path)
 
 
-def json_rows(df: DataFrame) -> list[dict]:
+def json_rows(df: DataFrame, limit: int = 1000) -> list[dict]:
     """JSON serving rows with type coercion (S11, `app.py:925-941`):
     dates/timestamps -> ISO strings, Decimal -> float, handled by
-    Spark's JSON writer semantics."""
+    Spark's JSON writer semantics.
+
+    This is the ONE sanctioned driver-side collect (it serializes an
+    endpoint response), so it clamps to `limit` rows like the
+    reference clamps every endpoint (`app.py:2872-2873`) — a miswired
+    caller can't collect a fact table. Pass limit=None to opt out
+    explicitly (exports that stream to a file should use csv_sink /
+    the JSON writer instead)."""
     import json
 
+    if limit is not None:
+        df = df.limit(limit)
     return [json.loads(s) for s in df.toJSON().collect()]
 
 

@@ -101,6 +101,51 @@ def test_merge_upsert_new_wins_and_conditionals(spark, tmp_path):
     assert {tuple(r) for r in again.collect()} == before
 
 
+def test_merge_upsert_concurrent_writers_no_lost_update(spark, tmp_path):
+    """Two interleaved upserts to the same key window: the advisory
+    lock serializes read-merge-swap, so BOTH writers' inserts survive
+    and the conflicting key holds the last writer's value — the
+    reference's advisory-lock guarantee (`src/ingest_v2.py:77-103`).
+    Without the lock, both writers read the same base and the second
+    swap would drop the first writer's rows."""
+    import threading
+
+    target = str(tmp_path / "tgt_conc")
+    base = spark.createDataFrame([(1, "base")], "id int, label string")
+    merge_upsert(spark, target, base, keys=["id"])
+
+    start = threading.Barrier(2)
+    errors: list[Exception] = []
+    order: list[str] = []
+
+    def writer(rows, tag):
+        try:
+            upd = spark.createDataFrame(rows, "id int, label string")
+            start.wait()
+            merge_upsert(spark, target, upd, keys=["id"])
+            order.append(tag)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    ta = threading.Thread(target=writer, args=([(1, "A"), (2, "onlyA")], "A"))
+    tb = threading.Thread(target=writer, args=([(1, "B"), (3, "onlyB")], "B"))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert not errors
+    got = {r["id"]: r["label"] for r in spark.read.parquet(target).collect()}
+    # no lost update: both writers' non-conflicting inserts survive
+    assert got[2] == "onlyA" and got[3] == "onlyB"
+    # conflicting key: last writer to commit wins
+    assert got[1] == order[-1]
+    assert not os.path.exists(target + ".lock")
+
+
+def test_json_rows_clamps_to_limit(spark):
+    df = spark.range(5000).select(F.col("id").cast("int").alias("id"))
+    assert len(json_rows(df)) == 1000          # default endpoint clamp
+    assert len(json_rows(df, limit=7)) == 7
+    assert len(json_rows(df, limit=None)) == 5000
+
+
 def test_replace_window_rebuilds_only_target_dates(spark, tmp_path):
     path = str(tmp_path / "daily")
     base = spark.createDataFrame(
