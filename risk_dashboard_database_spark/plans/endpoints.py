@@ -372,9 +372,11 @@ def e3_storylines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("neg").alias("total_negative_items"),
     )
     avg_dur = F.round(F.col("sum_dur").cast("double") / F.col("n_eps"), 2)
+    # durs/samples are (sector x tag)-sized — force broadcast so the
+    # static plan is BHJ, not a stats-blind SortMergeJoin.
     return (
-        stats.join(durs, ["sector", "tag"])
-        .join(samples, ["sector", "tag"])
+        stats.join(F.broadcast(durs), ["sector", "tag"])
+        .join(F.broadcast(samples), ["sector", "tag"])
         .select(
             "sector",
             "tag",

@@ -1,0 +1,95 @@
+"""Physical-plan audit as a test (VERDICT r2 item #4): the invariants
+PLANS.md documents in prose are asserted here over EVERY registered
+query, so a new query (or a regression in an old one) that introduces
+a cartesian product, an unintended nested-loop or sort-merge join, or
+an exchange explosion fails CI instead of silently drifting.
+
+Plans are compiled (never executed), so the whole sweep is cheap.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from risk_dashboard_database_spark.plans import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Intentional BroadcastNestedLoopJoins: tiny broadcast fan-outs whose
+# join condition is non-equi (or absent) BY DESIGN.
+BNLJ_OK = {
+    "d3_ann_topk",      # broadcast probe set x corpus (brute-force ANN baseline)
+    "d5_ann_lsh_bucket",  # bucket-equi but probe side broadcast w/ <> residual
+    "d8_ann_ivf",       # broadcast centroid codebook fan-out (assignment pass)
+    "o7_fuzzy_topk",    # broadcast candidate dim for the fuzzy scorer
+    "e4_crisis_impact",  # 1-row window-end scalar crossJoin
+}
+
+# Intentional statically-planned SortMergeJoins: both sides large at
+# scale, equi-keyed — the correct 100 TB plan (AQE flips them to
+# broadcast at small SF at runtime).
+SMJ_OK = {
+    "d8_ann_ivf",  # cell-local search join: probes x corpus shuffled on cell id
+}
+
+MAX_EXCHANGES = 3
+
+
+def _summaries():
+    from risk_dashboard_database_spark.session import get_spark
+
+    spark = get_spark(shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {}
+    for name, fn in QUERIES.items():
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        counts = {"Exchange": 0, "SortMergeJoin": 0,
+                  "BroadcastNestedLoopJoin": 0, "CartesianProduct": 0}
+        for line in plan.splitlines():
+            ls = line.strip().lstrip("+-* ")
+            for k in counts:
+                if ls.startswith(k):
+                    counts[k] += 1
+        out[name] = counts
+    return out
+
+
+@pytest.fixture(scope="module")
+def summaries():
+    return _summaries()
+
+
+def test_every_registered_query_compiles(summaries):
+    assert set(summaries) == set(QUERIES)
+
+
+def test_no_cartesian_products(summaries):
+    bad = {n: c for n, c in summaries.items() if c["CartesianProduct"]}
+    assert not bad, f"cartesian products crept in: {bad}"
+
+
+def test_nested_loop_joins_only_where_intended(summaries):
+    bad = {
+        n: c["BroadcastNestedLoopJoin"]
+        for n, c in summaries.items()
+        if c["BroadcastNestedLoopJoin"] and n not in BNLJ_OK
+    }
+    assert not bad, f"unexpected BroadcastNestedLoopJoin: {bad}"
+
+
+def test_sort_merge_joins_only_where_intended(summaries):
+    bad = {
+        n: c["SortMergeJoin"]
+        for n, c in summaries.items()
+        if c["SortMergeJoin"] and n not in SMJ_OK
+    }
+    assert not bad, f"unexpected static SortMergeJoin (broadcast the small side): {bad}"
+
+
+def test_exchange_budget(summaries):
+    bad = {n: c["Exchange"] for n, c in summaries.items() if c["Exchange"] > MAX_EXCHANGES}
+    assert not bad, f"queries over the {MAX_EXCHANGES}-exchange budget: {bad}"
