@@ -50,7 +50,16 @@ HEADLINE = [
     "e2_crisis_durations",
     "a12b_storylines",
     "f1_llm_classify",
+    "e3_storylines",
+    "e4_crisis_impact",
+    "e5_evidence",
+    "f2_feature_summary",
+    "d8_ann_ivf",
 ]
+
+# timed runs per query (after one warm-up); the reported number is the
+# median, so one GC pause / JIT blip can't fake a regression.
+N_RUNS = 3
 
 
 def materialize(df) -> None:
@@ -77,13 +86,17 @@ def main() -> None:
     per_query: dict[str, float] = {}
     for name in names:
         # warm-up run pays whole-stage-codegen compilation + parquet
-        # footer reads; the timed run is the steady-state latency (the
+        # footer reads; the timed runs are steady-state latency (the
         # reference's slow-query SLO is a warm-server number too,
-        # `app.py:894`).
+        # `app.py:894`). Median of N_RUNS for stability.
         materialize(qs[name](spark, sf_dir))
-        t0 = time.perf_counter()
-        materialize(qs[name](spark, sf_dir))
-        per_query[name] = round(time.perf_counter() - t0, 3)
+        times = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            materialize(qs[name](spark, sf_dir))
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        per_query[name] = round(times[len(times) // 2], 3)
 
     print(
         json.dumps(

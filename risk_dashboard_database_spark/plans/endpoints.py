@@ -229,7 +229,20 @@ _NARRATIVE_ROWS_CTE = """
 def _narrative_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(date, user_id, tag, neg, sector, entity) — the real regex
     tagger + finance filter on the Spark side (the oracle uses the
-    hand-derived phrase-wheel truth table instead)."""
+    hand-derived phrase-wheel truth table instead).
+
+    Cached per dataset (`relcache`): this is the daily narrative
+    rollup the reference materializes as a table; e3 and e4 both read
+    it, and e3 alone consumes it from three aggregation paths — the
+    regex tagging pass over the fact table must run once, not 4x."""
+    from .relcache import cached_relation
+
+    return cached_relation(
+        "narrative_rows", sf_dir, lambda: _build_narrative_rows(spark, sf_dir)
+    )
+
+
+def _build_narrative_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .narrative import narrative_tag
     from .synth import k_col, source_host_col, title_col
 
