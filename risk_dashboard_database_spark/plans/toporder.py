@@ -232,8 +232,17 @@ def o7_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     seq_ratio = pandas_udf(_seq_ratio, "double", PandasUDFType.SCALAR)
 
+    # Lossless length-band prefilter BEFORE the Python UDF:
+    # SequenceMatcher.ratio() = 2*M/(la+lb) with M <= min(la, lb), so
+    # any pair with 2*min(la,lb)/(la+lb) < 0.72 can never reach the
+    # score cutoff — prune it JVM-side and never invoke the UDF on it
+    # (~10x fewer Python invocations at wide candidate dims; results
+    # provably identical).
+    la, lb = F.length("probe_name"), F.length("candidate")
+    length_ub = F.lit(2.0) * F.least(la, lb) / (la + lb)
     scored = (
         probes.join(F.broadcast(candidates))
+        .where(length_ub >= 0.72)
         .withColumn("score", seq_ratio(F.lower("probe_name"), F.lower("candidate")))
         .where(F.col("score") >= 0.72)
     )

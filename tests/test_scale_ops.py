@@ -80,6 +80,53 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         shutil.rmtree("spark-warehouse", ignore_errors=True)
 
 
+def test_stream_crisis_chain_multichunk_group(spark, tmp_path):
+    """A group LARGER than one Arrow batch arrives as multiple chunks
+    with no cross-chunk order guarantee (rows written shuffled here).
+    The transition must concatenate all chunks before sorting; sorting
+    each chunk independently folds days out of order and breaks the
+    active chain (ADVICE r2). 400 consecutive days, batch size 50 ->
+    ~8 chunks; day 0 triggers, every later day only continues, so ANY
+    out-of-order fold drops the chain."""
+    import datetime as dt
+
+    from risk_dashboard_database_spark.streaming.stateful import stream_crisis_chain
+
+    n = 400
+    start = dt.date(2024, 1, 1)
+    rows = [(1, start, 3, 4)] + [
+        (1, start + dt.timedelta(days=i), 1, 4) for i in range(1, n)
+    ]
+    daily = spark.createDataFrame(
+        rows, "user_id long, date date, errors long, total long"
+    )
+    src = tmp_path / "mc_stream"
+    daily.orderBy(F.rand(42)).coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+    try:
+        stream_src = spark.readStream.schema(
+            "user_id long, date date, errors long, total long"
+        ).parquet(str(src))
+        q = (
+            stream_crisis_chain(stream_src)
+            .writeStream.format("memory")
+            .queryName("t_mc_chain")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            r["date"]: r["active"] for r in spark.table("t_mc_chain").collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    assert len(got) == n
+    assert all(got.values()), f"chain broke on {sum(not v for v in got.values())} days"
+
+
 def test_stream_crisis_chain_matches_batch(spark, tmp_path):
     from risk_dashboard_database_spark.operators.sessionize import chain_active
     from risk_dashboard_database_spark.streaming.stateful import stream_crisis_chain
