@@ -1,0 +1,64 @@
+"""Distributed graph operators.
+
+connected_components() is the standard iterative min-label-propagation
+formulation (cf. GraphX's ConnectedComponents / the MapReduce CC
+literature): every vertex starts labeled with itself, each round takes
+the min label over neighbors, then pointer-jumps (label <-
+label(label)) so chains collapse in O(log n) rounds instead of
+O(diameter). Each round is two shuffle joins over bounded-size
+relations plus a localCheckpoint to truncate lineage; the only driver
+action is a 1-row convergence probe per round — no data is collected.
+
+Used by plans/dedup.py d9_dedup_clusters to turn near-dup PAIRS into
+dedup CLUSTERS (the "which copies do I drop" answer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+) -> DataFrame:
+    """Edges (undirected; pass each pair once or twice, both work) ->
+    (id, label) with label = min vertex id in the component. Vertices
+    are the edge endpoints; isolated vertices should be unioned in by
+    the caller (their label is trivially themselves)."""
+    und = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    und = und.union(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+    labels = (
+        und.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = und.join(
+            labels.select(F.col("id").alias("dst"), "label"), "dst"
+        ).select(F.col("src").alias("id"), "label")
+        merged = (
+            labels.select("id", "label")
+            .union(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        )
+        hop = labels.select(F.col("id").alias("lid"), F.col("label").alias("llabel"))
+        new_labels = (
+            merged.join(hop, merged.label == hop.lid, "left")
+            .select("id", F.coalesce("llabel", "label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -680,3 +680,107 @@ def d5_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .withColumn("rank", F.col("rank").cast("int"))
     )
+
+
+# ---------------------------------------------------------------- d9
+def _d9_oracle() -> str:
+    """Recursive-CTE transitive closure over the d2 pair graph: an
+    independent formulation (closure + MIN label) of what the Spark
+    side computes iteratively (label propagation + pointer jumping)."""
+    return f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id, sh, {_MINHASH_SQL} AS mh
+      FROM toks WHERE len(sh) > 0
+    ),
+    bands AS (
+      SELECT doc_id,
+             b AS band,
+             md5(CAST(b AS VARCHAR) || ':' || mh[3*b+1] || mh[3*b+2] || mh[3*b+3]) AS band_key
+      FROM sigs, UNNEST(range(0, {N_BANDS})) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+      FROM bands b1 JOIN bands b2
+        ON b1.band_key = b2.band_key AND b1.band = b2.band
+       AND b1.doc_id < b2.doc_id
+    ),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN toks a ON a.doc_id = c.doc_a
+      JOIN toks b ON b.doc_id = c.doc_b
+      WHERE {_JACCARD_SQL} >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    walk AS (
+      SELECT u AS id, u AS reach FROM edges
+      UNION
+      SELECT w.id, e.v FROM walk w JOIN edges e ON e.u = w.reach
+    ),
+    comp AS (
+      SELECT id AS doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY id
+    ),
+    sized AS (
+      SELECT c.cluster_id, c.doc_id, d.n_chars,
+             COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY d.n_chars DESC, c.doc_id) AS rn
+      FROM comp c JOIN documents d USING (doc_id)
+    )
+    SELECT cluster_id, doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(cluster_size AS BIGINT) AS cluster_size,
+           rn = 1 AS is_canonical
+    FROM sized
+    """
+
+
+@query("d9_dedup_clusters", oracle=_d9_oracle())
+def d9_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS (the step after d2's pairs): connected
+    components over the MinHash+LSH pair graph, then canonical-doc
+    selection per cluster — the end-to-end "which copies do I drop"
+    answer a training-data dedup pipeline actually executes
+    (reference analog: articles collapse to one canonical row per
+    url_hash, `sql/schema.sql:163-173`; near-dup generalizes the
+    equality key to a similarity graph).
+
+    Algorithm (the standard distributed CC formulation, cf. GraphX /
+    connected-components-over-MapReduce): every vertex starts labeled
+    with itself; each round takes the min label over neighbors, then
+    pointer-jumps (label <- label(label)) so chains collapse in
+    O(log n) rounds, not O(diameter). Each round is two shuffles on
+    bounded-size relations (edges x labels, labels x labels) and a
+    localCheckpoint to truncate lineage — no driver-side data, only a
+    1-row convergence count per round. Near-dup components are tiny
+    and dense, so in practice this converges in 2-3 rounds regardless
+    of corpus size; the final stats/canonical pass is ONE window
+    shuffle on cluster_id.
+
+    cluster_id = min doc_id in the component (deterministic);
+    canonical = longest text (n_chars), doc_id tiebreak."""
+    from ..operators.graph import connected_components
+
+    pairs = d2_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    comp = labels.select(
+        F.col("label").alias("cluster_id"), F.col("id").alias("doc_id")
+    ).join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id")
+    wo = w.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return comp.select(
+        "cluster_id",
+        "doc_id",
+        "n_chars",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.row_number().over(wo) == 1).alias("is_canonical"),
+    )

@@ -635,3 +635,167 @@ def f2_feature_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     string arithmetic independently."""
     docs = load_table(spark, sf_dir, "documents").select("lang", "source", "text")
     return summarize_cached(docs, ["lang", "source"], "text")
+
+
+def _e6_oracle() -> str:
+    return f"""
+    WITH {USER_DAY_CTE},
+    rows_ AS (
+      SELECT ud.*, c.c_mktsegment AS sector, c.c_name AS entity
+      FROM user_day ud JOIN customer c ON c.c_custkey = ud.user_id
+    ),
+    wnd AS (
+      SELECT *, MAX(date) OVER (PARTITION BY sector) AS window_end
+      FROM rows_
+    ),
+    ent AS (
+      SELECT sector, user_id, entity,
+             MAX(window_end) AS window_end,
+             CAST(SUM(errors) AS BIGINT) AS window_value,
+             CAST(COUNT(*) AS BIGINT) AS days_present,
+             CAST(COALESCE(MAX(CASE WHEN date = window_end THEN errors END), 0)
+                  AS BIGINT) AS latest_value,
+             CAST(MAX(errors) AS BIGINT) AS peak_value,
+             CAST(COUNT(*) FILTER (WHERE errors > 0) AS BIGINT) AS signal_days
+      FROM wnd
+      WHERE date >= window_end - 29
+      GROUP BY 1, 2, 3
+    ),
+    summ AS (
+      SELECT sector,
+             CAST(COUNT(*) AS BIGINT) AS peer_count,
+             CAST(COUNT(*) FILTER (WHERE window_value > 0) AS BIGINT)
+               AS active_entity_count,
+             ROUND(AVG(CAST(window_value AS DOUBLE)), 4) AS avg_window_value,
+             ROUND(CAST(MEDIAN(window_value) AS DOUBLE), 4) AS median_window_value,
+             CAST(MAX(window_value) AS BIGINT) AS max_window_value
+      FROM ent GROUP BY 1
+    ),
+    ranked AS (
+      SELECT e.*, ROW_NUMBER() OVER (
+               PARTITION BY e.sector
+               ORDER BY e.window_value DESC, e.latest_value DESC, e.entity
+             ) AS rank
+      FROM ent e
+    )
+    SELECT r.sector, r.user_id, r.entity,
+           STRFTIME(r.window_end, '%Y-%m-%d') AS window_end,
+           r.window_value, r.days_present,
+           ROUND(CAST(r.window_value AS DOUBLE) / r.days_present, 4)
+             AS avg_daily_value,
+           r.latest_value, r.peak_value, r.signal_days,
+           CAST(r.rank AS INTEGER) AS rank,
+           s.peer_count, s.active_entity_count,
+           CASE WHEN s.peer_count > 1
+                THEN ROUND(100.0 * (s.peer_count - r.rank) / (s.peer_count - 1), 1)
+                ELSE CAST(100.0 AS DOUBLE) END AS percentile,
+           ROUND(CAST(r.window_value AS DOUBLE) - s.avg_window_value, 4)
+             AS vs_sector_avg,
+           ROUND(CAST(r.window_value AS DOUBLE) - s.median_window_value, 4)
+             AS vs_sector_median,
+           s.avg_window_value, s.median_window_value, s.max_window_value
+    FROM ranked r JOIN summ s USING (sector)
+    """
+
+
+@query("e6_sector_baseline", oracle=_e6_oracle())
+def e6_sector_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sector-baseline endpoint (`/api/v1/insights/sector_baseline`,
+    `app.py:4466-4666`) generalized to every sector at once: a
+    30-day metric window anchored at each sector's own latest date,
+    per-entity window stats (window/latest/peak/signal-days), the
+    in-sector rank + percentile the reference computes for the peer
+    entity, vs-sector-average and vs-sector-median deltas, and the
+    sector summary block (entity counts, avg/median/max window value).
+
+    Divergence note: the reference ranks with Postgres NULLS-FIRST
+    descending semantics when an entity has no row on the end date;
+    here latest_value is COALESCEd to 0 on both sides instead (the
+    ordering the endpoint's consumers actually expect).
+
+    Scale shape: one shuffle for the daily agg, one sector-window max
+    (reused by the in-window filter), one per-entity agg; the sector
+    summary is a tiny agg broadcast back; the customer dim is
+    broadcast. Exact median via percentile() on integer values —
+    deterministic on both engines."""
+    ud = user_day(spark, sf_dir)
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey",
+            F.col("c_mktsegment").alias("sector"),
+            F.col("c_name").alias("entity"),
+        )
+    )
+    rows = ud.join(cust, ud.user_id == cust.c_custkey).drop("c_custkey")
+    wnd = rows.withColumn(
+        "window_end", F.max("date").over(Window.partitionBy("sector"))
+    )
+    ent = (
+        wnd.where(F.col("date") >= F.date_sub("window_end", 29))
+        .groupBy("sector", "user_id", "entity")
+        .agg(
+            F.max("window_end").alias("window_end"),
+            F.sum("errors").cast("long").alias("window_value"),
+            F.count("*").alias("days_present"),
+            F.coalesce(
+                F.max(F.when(F.col("date") == F.col("window_end"), F.col("errors"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("latest_value"),
+            F.max("errors").cast("long").alias("peak_value"),
+            F.sum(F.when(F.col("errors") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("signal_days"),
+        )
+    )
+    summ = ent.groupBy("sector").agg(
+        F.count("*").alias("peer_count"),
+        F.sum(F.when(F.col("window_value") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("active_entity_count"),
+        F.round(F.avg(F.col("window_value").cast("double")), 4).alias(
+            "avg_window_value"
+        ),
+        F.round(F.expr("percentile(window_value, 0.5)"), 4).alias(
+            "median_window_value"
+        ),
+        F.max("window_value").alias("max_window_value"),
+    )
+    w = Window.partitionBy("sector").orderBy(
+        F.col("window_value").desc(), F.col("latest_value").desc(), "entity"
+    )
+    ranked = ent.withColumn("rank", F.row_number().over(w))
+    pc = F.col("peer_count")
+    return ranked.join(F.broadcast(summ), "sector").select(
+        "sector",
+        "user_id",
+        "entity",
+        F.date_format("window_end", DATE_FMT).alias("window_end"),
+        "window_value",
+        "days_present",
+        F.round(F.col("window_value").cast("double") / F.col("days_present"), 4).alias(
+            "avg_daily_value"
+        ),
+        "latest_value",
+        "peak_value",
+        "signal_days",
+        F.col("rank").cast("int").alias("rank"),
+        "peer_count",
+        "active_entity_count",
+        F.when(
+            pc > 1,
+            F.round(100.0 * (pc - F.col("rank")) / (pc - 1), 1),
+        )
+        .otherwise(F.lit(100.0))
+        .alias("percentile"),
+        F.round(
+            F.col("window_value").cast("double") - F.col("avg_window_value"), 4
+        ).alias("vs_sector_avg"),
+        F.round(
+            F.col("window_value").cast("double") - F.col("median_window_value"), 4
+        ).alias("vs_sector_median"),
+        "avg_window_value",
+        "median_window_value",
+        "max_window_value",
+    )
