@@ -799,3 +799,291 @@ def e6_sector_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "median_window_value",
         "max_window_value",
     )
+
+
+def _e7_oracle() -> str:
+    from .narrative import _PHRASE_TAG_SQL
+    from .synth import K_SQL
+
+    rows = _NARRATIVE_ROWS_CTE.format(tag=_PHRASE_TAG_SQL.format(k=K_SQL), k=K_SQL)
+    return f"""
+    WITH {rows},
+    tgt AS (SELECT MAX(CAST(ts AS DATE)) AS target FROM events),
+    win AS (
+      SELECT e.*, t.target FROM enriched e, tgt t
+      WHERE e.date >= t.target - 89
+    ),
+    anch AS (
+      SELECT *, date - CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id, tag ORDER BY date) AS INTEGER) AS anchor
+      FROM win
+    ),
+    isl AS (
+      SELECT user_id, entity, tag, anchor,
+             MAX(target) AS target,
+             COUNT(*) AS cnt,
+             MIN(date) AS istart,
+             MAX(date) AS iend,
+             SUM(neg) AS inegs,
+             SUM(CASE WHEN date = target THEN neg ELSE 0 END) AS on_date
+      FROM anch GROUP BY 1, 2, 3, 4
+    ),
+    per AS (
+      SELECT user_id, entity, tag,
+             MAX(target) AS target,
+             CAST(SUM(on_date) AS BIGINT) AS mentions_on_date,
+             CAST(SUM(inegs) AS BIGINT) AS mentions_total,
+             CAST(SUM(cnt) AS BIGINT) AS days_present,
+             MIN(istart) AS first_seen,
+             MAX(iend) AS last_seen,
+             CAST(COALESCE(MAX(CASE WHEN iend = target THEN cnt END), 0)
+                  AS BIGINT) AS current_duration_days,
+             MAX(CASE WHEN iend = target THEN istart END) AS cur_start
+      FROM isl GROUP BY 1, 2, 3
+    )
+    SELECT user_id, entity, tag,
+           mentions_on_date, mentions_total, days_present,
+           STRFTIME(first_seen, '%Y-%m-%d') AS first_seen_date,
+           STRFTIME(last_seen, '%Y-%m-%d') AS last_seen_date,
+           last_seen = target AS active_on_date,
+           current_duration_days,
+           CASE WHEN current_duration_days > 0
+                THEN STRFTIME(cur_start, '%Y-%m-%d') END AS current_start_date,
+           'crisis' AS tag_group,
+           TRUE AS is_crisis
+    FROM per
+    """
+
+
+@query("e7_narrative_timeline", oracle=_e7_oracle())
+def e7_narrative_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Narrative-timeline endpoint (`/api/v1/narrative_timeline`,
+    `app.py:3637-3905`) generalized to every entity at once: per
+    (entity, tag) over a 90-day window anchored at the data's latest
+    date — mention totals and on-date mentions, days present,
+    first/last seen, whether the tag is active on the anchor date, and
+    the CURRENT consecutive-day streak ending at the anchor (the
+    reference walks days backward in Python; here it is the
+    gaps-and-islands island whose end is the anchor date), plus the
+    crisis/non-crisis group (the synthetic phrase wheel emits only
+    crisis-group tags, so the vote is constant — the streak math is
+    what this query checks).
+
+    Scale shape: one window + one island agg + one per-tag agg, all
+    shuffled on (entity, tag); the anchor date is a 1-row broadcast
+    crossJoin exactly like e4."""
+    from .narrative import CRISIS_TAGS
+
+    rows = _narrative_rows(spark, sf_dir)
+    tgt = F.broadcast(
+        load_table(spark, sf_dir, "events").agg(
+            F.max(F.col("ts").cast("date")).alias("target")
+        )
+    )
+    win = rows.crossJoin(tgt).where(
+        F.col("date") >= F.date_sub(F.col("target"), 89)
+    )
+    w = Window.partitionBy("user_id", "tag").orderBy("date")
+    anch = win.withColumn("anchor", F.date_sub(F.col("date"), F.row_number().over(w)))
+    isl = anch.groupBy("user_id", "entity", "tag", "anchor").agg(
+        F.max("target").alias("target"),
+        F.count("*").alias("cnt"),
+        F.min("date").alias("istart"),
+        F.max("date").alias("iend"),
+        F.sum("neg").alias("inegs"),
+        F.sum(F.when(F.col("date") == F.col("target"), F.col("neg")).otherwise(0)).alias(
+            "on_date"
+        ),
+    )
+    at_target = F.col("iend") == F.col("target")
+    per = isl.groupBy("user_id", "entity", "tag").agg(
+        F.max("target").alias("target"),
+        F.sum("on_date").cast("long").alias("mentions_on_date"),
+        F.sum("inegs").cast("long").alias("mentions_total"),
+        F.sum("cnt").cast("long").alias("days_present"),
+        F.min("istart").alias("first_seen"),
+        F.max("iend").alias("last_seen"),
+        F.coalesce(F.max(F.when(at_target, F.col("cnt"))), F.lit(0))
+        .cast("long")
+        .alias("current_duration_days"),
+        F.max(F.when(at_target, F.col("istart"))).alias("cur_start"),
+    )
+    return per.select(
+        "user_id",
+        "entity",
+        "tag",
+        "mentions_on_date",
+        "mentions_total",
+        "days_present",
+        F.date_format("first_seen", DATE_FMT).alias("first_seen_date"),
+        F.date_format("last_seen", DATE_FMT).alias("last_seen_date"),
+        (F.col("last_seen") == F.col("target")).alias("active_on_date"),
+        "current_duration_days",
+        F.when(
+            F.col("current_duration_days") > 0, F.date_format("cur_start", DATE_FMT)
+        ).alias("current_start_date"),
+        F.when(F.col("tag").isin(*sorted(CRISIS_TAGS)), "crisis")
+        .otherwise("non_crisis")
+        .alias("tag_group"),
+        F.col("tag").isin(*sorted(CRISIS_TAGS)).alias("is_crisis"),
+    )
+
+
+def _e8_oracle() -> str:
+    from .narrative import _PHRASE_TAG_SQL
+    from .synth import K_SQL
+
+    rows = _NARRATIVE_ROWS_CTE.format(tag=_PHRASE_TAG_SQL.format(k=K_SQL), k=K_SQL)
+    return f"""
+    WITH {rows},
+    tgt AS (SELECT MAX(CAST(ts AS DATE)) AS target FROM events),
+    win AS (
+      SELECT e.*, t.target FROM enriched e, tgt t
+      WHERE e.date >= t.target - 89
+    ),
+    anch AS (
+      SELECT *, date - CAST(ROW_NUMBER() OVER (
+               PARTITION BY tag, user_id ORDER BY date) AS INTEGER) AS anchor
+      FROM win
+    ),
+    epi AS (
+      SELECT tag, user_id, entity, anchor,
+             MAX(target) AS target,
+             COUNT(*) AS dur,
+             MAX(date) AS iend,
+             SUM(neg) AS negsum
+      FROM anch GROUP BY 1, 2, 3, 4
+    ),
+    durs AS (
+      SELECT tag,
+             CAST(COUNT(*) AS BIGINT) AS episode_count,
+             ROUND(CAST(SUM(dur) AS DOUBLE) / COUNT(*), 2) AS avg_duration_days,
+             CAST(MEDIAN(dur) AS DOUBLE) AS median_duration_days,
+             CAST(MAX(dur) AS BIGINT) AS max_duration_days,
+             CAST(COUNT(DISTINCT CASE WHEN iend = target THEN user_id END)
+                  AS BIGINT) AS active_entities_latest
+      FROM epi GROUP BY 1
+    ),
+    ent AS (
+      SELECT tag, user_id, entity, SUM(negsum) AS ent_neg
+      FROM epi GROUP BY 1, 2, 3
+    ),
+    stats AS (
+      SELECT tag,
+             CAST(COUNT(*) AS BIGINT) AS entities_affected,
+             CAST(SUM(ent_neg) AS BIGINT) AS total_negative_items
+      FROM ent GROUP BY 1
+    ),
+    samples AS (
+      SELECT tag,
+             array_to_string((list(entity ORDER BY ent_neg DESC, lower(entity), entity))[1:3],
+                             ', ') AS sample_entities
+      FROM ent GROUP BY 1
+    )
+    SELECT s.tag,
+           s.entities_affected,
+           d.episode_count,
+           d.avg_duration_days,
+           d.median_duration_days,
+           d.max_duration_days,
+           d.active_entities_latest,
+           s.total_negative_items,
+           sm.sample_entities,
+           TRUE AS is_crisis
+    FROM stats s
+    JOIN durs d ON d.tag = s.tag
+    JOIN samples sm ON sm.tag = s.tag
+    """
+
+
+@query("e8_crisis_patterns", oracle=_e8_oracle())
+def e8_crisis_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-crisis-patterns endpoint
+    (`/api/v1/insights/aggregate_crisis_patterns`, `app.py:4666-4790`):
+    per narrative tag across all entities in a 90-day window anchored
+    at the data's latest date — entities affected, consecutive-day
+    episode count, avg + exact-MEDIAN + max episode durations, how
+    many entities are still active on the anchor date, total tagged
+    negative items, and the reference's top-3 sample entities
+    (by negative-item total, casefolded-name tiebreak).
+
+    Differs from e3 (sector x tag storylines) by its tag-only grain,
+    the exact median over episode durations (percentile(), numeric on
+    both engines since durations are integers), and the
+    active-on-latest-date entity count.
+
+    Scale shape: one window shuffle on (tag, entity) for the episodes,
+    then tag-grain rollups over the tiny episode relation; the anchor
+    date is a 1-row broadcast crossJoin."""
+    rows = _narrative_rows(spark, sf_dir)
+    tgt = F.broadcast(
+        load_table(spark, sf_dir, "events").agg(
+            F.max(F.col("ts").cast("date")).alias("target")
+        )
+    )
+    win = rows.crossJoin(tgt).where(
+        F.col("date") >= F.date_sub(F.col("target"), 89)
+    )
+    w = Window.partitionBy("tag", "user_id").orderBy("date")
+    anch = win.withColumn("anchor", F.date_sub(F.col("date"), F.row_number().over(w)))
+    epi = anch.groupBy("tag", "user_id", "entity", "anchor").agg(
+        F.max("target").alias("target"),
+        F.count("*").alias("dur"),
+        F.max("date").alias("iend"),
+        F.sum("neg").alias("negsum"),
+    )
+    durs = epi.groupBy("tag").agg(
+        F.count("*").alias("episode_count"),
+        F.round(F.sum("dur").cast("double") / F.count("*"), 2).alias(
+            "avg_duration_days"
+        ),
+        F.expr("percentile(dur, 0.5)").alias("median_duration_days"),
+        F.max("dur").cast("long").alias("max_duration_days"),
+        F.countDistinct(
+            F.when(F.col("iend") == F.col("target"), F.col("user_id"))
+        ).alias("active_entities_latest"),
+    )
+    ent = epi.groupBy("tag", "user_id", "entity").agg(
+        F.sum("negsum").alias("ent_neg")
+    )
+    stats = ent.groupBy("tag").agg(
+        F.count("*").alias("entities_affected"),
+        F.sum("ent_neg").cast("long").alias("total_negative_items"),
+    )
+    samples = ent.groupBy("tag").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("ent_neg")).alias("a"),
+                                F.lower("entity").alias("b"),
+                                F.col("entity").alias("c"),
+                            )
+                        )
+                    ),
+                    lambda s: s["c"],
+                ),
+                1,
+                3,
+            ),
+            ", ",
+        ).alias("sample_entities")
+    )
+    return (
+        stats.join(F.broadcast(durs), "tag")
+        .join(F.broadcast(samples), "tag")
+        .select(
+            "tag",
+            "entities_affected",
+            "episode_count",
+            "avg_duration_days",
+            "median_duration_days",
+            "max_duration_days",
+            "active_entities_latest",
+            "total_negative_items",
+            "sample_entities",
+            F.lit(True).alias("is_crisis"),
+        )
+    )

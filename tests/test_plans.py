@@ -23,6 +23,8 @@ BNLJ_OK = {
     "d8_ann_ivf",       # broadcast centroid codebook fan-out (assignment pass)
     "o7_fuzzy_topk",    # broadcast candidate dim for the fuzzy scorer
     "e4_crisis_impact",  # 1-row window-end scalar crossJoin
+    "e7_narrative_timeline",  # 1-row anchor-date scalar crossJoin
+    "e8_crisis_patterns",  # 1-row anchor-date scalar crossJoin
 }
 
 # Intentional statically-planned SortMergeJoins: both sides large at
