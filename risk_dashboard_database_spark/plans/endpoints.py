@@ -1087,3 +1087,116 @@ def e8_crisis_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(True).alias("is_crisis"),
         )
     )
+
+
+def _e9_oracle() -> str:
+    from .overrides import ITEMS_CTE
+    from .synth import title_sql
+
+    eff_s = "COALESCE(ov.override_label, uov.url_override_label, i.llm_label, i.raw_label)"
+    title = title_sql(k="i.k")
+    return f"""
+    WITH {ITEMS_CTE},
+    base AS (
+      SELECT i.date,
+             c.c_name AS company,
+             CASE WHEN i.k % 2 = 0 THEN '' 
+                  ELSE 'CEO #' || CAST(i.user_id AS VARCHAR) END AS ceo,
+             CASE WHEN i.k % 2 = 0 THEN 'brand' ELSE 'ceo' END AS article_type,
+             {eff_s} AS sentiment,
+             {title} AS title,
+             CASE i.k % 7 WHEN 0 THEN 'crisis_risk' WHEN 1 THEN 'watch'
+                  ELSE 'none' END AS llm_risk_label
+      FROM items i
+      JOIN customer c ON c.c_custkey = i.user_id
+      LEFT JOIN item_overrides ov ON ov.event_id = i.event_id
+      LEFT JOIN url_overrides uov
+        ON uov.user_id = i.user_id AND uov.event_type = i.event_type
+       AND uov.hash_bucket = i.hash_bucket
+    )
+    SELECT STRFTIME(date, '%Y-%m-%d') AS date,
+           company, ceo, article_type,
+           CAST(COUNT(*) FILTER (WHERE sentiment = 'negative') AS BIGINT)
+             AS negative_count,
+           array_to_string(
+             (list(title ORDER BY title) FILTER (WHERE sentiment = 'negative'))[1:3],
+             ' | ') AS top_headlines,
+           CAST(COUNT(*) FILTER (WHERE llm_risk_label = 'crisis_risk') AS BIGINT)
+             AS crisis_risk_count
+    FROM base
+    GROUP BY date, company, ceo, article_type
+    """
+
+
+@query("e9_negative_summary", oracle=_e9_oracle())
+def e9_negative_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-summary endpoint (detail mode) — the reference's main
+    dashboard table (`negative_summary_live`, `app.py:6944-7050`):
+    brand/ceo branch union, override-resolved sentiment (the 4-level
+    coalesce), per-(date, company, ceo, branch) negative counts, the
+    top-3 alphabetical negative headlines joined ' | ' (NULL when a
+    group has none, matching Postgres FILTER semantics), and the
+    crisis-risk count from the risk-label layer.
+
+    Scale shape: both override tables broadcast, the customer dim
+    broadcast, ONE hash-agg shuffle on the output grain; the headline
+    slice is a bounded collect_list (3 kept) — never a global sort."""
+    from .overrides import item_overrides, items, url_overrides
+    from .synth import title_col
+
+    it = items(spark, sf_dir)
+    ov = F.broadcast(item_overrides(spark, sf_dir))
+    uov = F.broadcast(url_overrides(spark, sf_dir))
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey"), F.col("c_name").alias("company")
+        )
+    )
+    eff = F.coalesce("override_label", "url_override_label", "llm_label", "raw_label")
+    k = F.col("k")
+    base = (
+        it.join(ov, "event_id", "left")
+        .join(uov, ["user_id", "event_type", "hash_bucket"], "left")
+        .join(cust, it.user_id == cust.c_custkey)
+        .select(
+            "date",
+            "company",
+            F.when(k % 2 == 0, F.lit("")).otherwise(
+                F.concat(F.lit("CEO #"), F.col("user_id").cast("string"))
+            ).alias("ceo"),
+            F.when(k % 2 == 0, "brand").otherwise("ceo").alias("article_type"),
+            eff.alias("sentiment"),
+            title_col(k).alias("title"),
+            F.when(k % 7 == 0, "crisis_risk")
+            .when(k % 7 == 1, "watch")
+            .otherwise("none")
+            .alias("llm_risk_label"),
+        )
+    )
+    neg_count = F.sum(F.when(F.col("sentiment") == "negative", 1).otherwise(0)).cast(
+        "long"
+    )
+    neg_titles = F.array_join(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("sentiment") == "negative", F.col("title"))
+                )
+            ),
+            1,
+            3,
+        ),
+        " | ",
+    )
+    return base.groupBy(
+        F.date_format("date", DATE_FMT).alias("date"),
+        "company",
+        "ceo",
+        "article_type",
+    ).agg(
+        neg_count.alias("negative_count"),
+        F.when(neg_count > 0, neg_titles).alias("top_headlines"),
+        F.sum(F.when(F.col("llm_risk_label") == "crisis_risk", 1).otherwise(0))
+        .cast("long")
+        .alias("crisis_risk_count"),
+    )
