@@ -55,15 +55,18 @@ def stream_daily_counts(
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
     """Drain everything currently available into a memory sink and
     return the result as a batch DataFrame (bounded replay — how the
-    tests and backfills consume the stream)."""
+    tests and backfills consume the stream). complete for aggregation
+    streams; append for row streams (dedup)."""
     spark = stream_df.sparkSession
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

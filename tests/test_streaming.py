@@ -100,3 +100,34 @@ def test_stream_incremental_late_arrival(spark, tmp_path):
     write_batch("b2", [(3, t0 + dt.timedelta(hours=2), 7, "click", 1.0, "{}")])
     second = drain()
     assert second == {("2024-01-10", 7): 3}
+
+
+def test_stream_exact_dedup_matches_batch_distinct(spark, tmp_path):
+    """Streaming dedup admits exactly one row per url_hash (bounded
+    replay), and the admitted hash set equals the batch distinct set
+    (the d1 grain)."""
+    import shutil
+
+    from risk_dashboard_database_spark.functions.urls import url_hash
+    from risk_dashboard_database_spark.plans.synth import k_col, url_col
+    from risk_dashboard_database_spark.streaming.dedup import stream_exact_dedup
+    from risk_dashboard_database_spark.tables import load_table
+
+    events_dir = tmp_path / "events_dedup"
+    events_dir.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/events.parquet", events_dir / "part-0.parquet"
+    )
+    streamed = run_available_now(
+        stream_exact_dedup(spark, str(events_dir)), "t_stream_dedup", output_mode="append"
+    )
+    got = [r["url_hash"] for r in streamed.select("url_hash").collect()]
+    assert len(got) == len(set(got)), "stream emitted duplicate hashes"
+
+    batch = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .select(url_hash(url_col(k_col(), F.col("event_type"))).alias("url_hash"))
+        .distinct()
+    )
+    want = {r["url_hash"] for r in batch.collect()}
+    assert set(got) == want
