@@ -55,6 +55,11 @@ HEADLINE = [
     "e5_evidence",
     "f2_feature_summary",
     "d8_ann_ivf",
+    "d9_dedup_clusters",
+    "e6_sector_baseline",
+    "e7_narrative_timeline",
+    "e8_crisis_patterns",
+    "e9_negative_summary",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
