@@ -683,12 +683,11 @@ def d5_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- d9
-def _d9_oracle() -> str:
-    """Recursive-CTE transitive closure over the d2 pair graph: an
-    independent formulation (closure + MIN label) of what the Spark
-    side computes iteratively (label propagation + pointer jumping)."""
-    return f"""
-    WITH RECURSIVE toks AS (
+# Shared CTE chain (d9 + d10): d2's pair graph -> recursive-CTE
+# transitive closure -> per-doc cluster id + canonical rank. An
+# independent formulation (closure + MIN label) of what the Spark side
+# computes iteratively (label propagation + pointer jumping).
+_D9_CTES = f"""toks AS (
       SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
     ),
     sigs AS (
@@ -734,7 +733,12 @@ def _d9_oracle() -> str:
                PARTITION BY c.cluster_id
                ORDER BY d.n_chars DESC, c.doc_id) AS rn
       FROM comp c JOIN documents d USING (doc_id)
-    )
+    )"""
+
+
+def _d9_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_D9_CTES}
     SELECT cluster_id, doc_id,
            CAST(n_chars AS BIGINT) AS n_chars,
            CAST(cluster_size AS BIGINT) AS cluster_size,
@@ -783,4 +787,101 @@ def d9_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.count("*").over(w).alias("cluster_size"),
         (F.row_number().over(wo) == 1).alias("is_canonical"),
+    )
+
+
+# ---------------------------------------------------------------- d10
+def _d10_oracle() -> str:
+    from .textstats import _stop_count_sql
+
+    return f"""
+    WITH RECURSIVE {_D9_CTES},
+    drops AS (SELECT doc_id FROM sized WHERE rn <> 1),
+    scored AS (
+      SELECT d.lang, d.doc_id, d.n_chars,
+             len(string_split(d.text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(d.text, ' '))) AS n_unique,
+             {_stop_count_sql('en').replace('text', 'd.text')} AS stop_hits,
+             dr.doc_id IS NOT NULL AS is_dup
+      FROM documents d LEFT JOIN drops dr ON dr.doc_id = d.doc_id
+    ),
+    q AS (
+      SELECT *,
+             CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1 ELSE 0 END
+           + CASE WHEN CAST(n_unique AS DOUBLE) / n_tokens >= 0.5 THEN 1 ELSE 0 END
+           + CASE WHEN CAST(stop_hits AS DOUBLE) / n_tokens BETWEEN 0.01 AND 0.6
+                  THEN 1 ELSE 0 END AS score
+      FROM scored
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS docs_in,
+           CAST(COUNT(*) FILTER (WHERE is_dup) AS BIGINT) AS dropped_near_dup,
+           CAST(COUNT(*) FILTER (WHERE NOT is_dup AND score < 2) AS BIGINT)
+             AS dropped_low_quality,
+           CAST(COUNT(*) FILTER (WHERE NOT is_dup AND score >= 2) AS BIGINT)
+             AS kept_docs,
+           CAST(COALESCE(SUM(n_tokens) FILTER (WHERE NOT is_dup AND score >= 2), 0)
+             AS BIGINT) AS kept_ws_tokens,
+           CAST(COALESCE(SUM(n_chars) FILTER (WHERE NOT is_dup AND score >= 2), 0)
+             AS BIGINT) AS kept_chars
+    FROM q
+    GROUP BY lang
+    """
+
+
+@query("d10_corpus_curation", oracle=_d10_oracle())
+def d10_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data curation pipeline composed END TO END as one
+    query: near-dup removal (drop every non-canonical member of a d9
+    cluster) -> quality gate (t_quality_score >= 2) -> per-language
+    corpus accounting (docs in, dropped-by-stage, kept docs / tokens /
+    chars). This is the actual decision a 100 TB curation run
+    executes per document; each stage is the already-verified operator
+    (d2 pair graph, d9 clusters, quality exprs) chained, not
+    re-derived.
+
+    Scale shape: the drop list is |near-dup members| << |corpus| and
+    broadcasts; the quality exprs are per-row JVM projections; the
+    final rollup is one hash-agg on lang. The only iterative part
+    (connected components) runs over the tiny pair graph, never the
+    corpus."""
+    from .textstats import _stop_count, _tokens
+
+    clusters = d9_dedup_clusters(spark, sf_dir)
+    drops = F.broadcast(
+        clusters.where(~F.col("is_canonical")).select("doc_id", F.lit(True).alias("is_dup"))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    tk = _tokens(F.col("text"))
+    n_tokens = F.size(tk)
+    n_unique = F.size(F.array_distinct(tk))
+    stop_hits = _stop_count(tk, "en")
+    score = (
+        F.when(n_tokens.between(20, 80), 1).otherwise(0)
+        + F.when(n_unique.cast("double") / n_tokens >= 0.5, 1).otherwise(0)
+        + F.when((stop_hits.cast("double") / n_tokens).between(0.01, 0.6), 1).otherwise(0)
+    )
+    flagged = docs.join(drops, "doc_id", "left").select(
+        "lang",
+        "n_chars",
+        F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        n_tokens.alias("n_tokens"),
+        score.alias("score"),
+    )
+    keep = (~F.col("is_dup")) & (F.col("score") >= 2)
+    return flagged.groupBy("lang").agg(
+        F.count("*").alias("docs_in"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("long").alias(
+            "dropped_near_dup"
+        ),
+        F.sum(F.when((~F.col("is_dup")) & (F.col("score") < 2), 1).otherwise(0))
+        .cast("long")
+        .alias("dropped_low_quality"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("kept_docs"),
+        F.coalesce(F.sum(F.when(keep, F.col("n_tokens"))), F.lit(0))
+        .cast("long")
+        .alias("kept_ws_tokens"),
+        F.coalesce(F.sum(F.when(keep, F.col("n_chars"))), F.lit(0))
+        .cast("long")
+        .alias("kept_chars"),
     )
