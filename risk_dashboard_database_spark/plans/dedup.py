@@ -885,3 +885,68 @@ def d10_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kept_chars"),
     )
+
+
+# ---------------------------------------------------------------- d11
+# Deterministic hash bucket 0-99 from the doc id: fold the first 8 md5
+# hex chars to an integer, mod 100. Same arithmetic spelled
+# independently on both engines (cf. f1's md5 fold).
+_HASH_BUCKET_SQL = """
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, 9),
+        i -> CAST(instr('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
+    (acc, v) -> acc * 16 + v) % 100
+"""
+
+SAMPLE_PCT = 10
+
+
+def _hash_bucket_spark(doc_id: F.Column) -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(doc_id.cast("string")), 1, 8), 16, 10).cast("long")
+        % 100
+    )
+
+
+@query(
+    "d11_hash_sample",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS docs_total,
+           CAST(COUNT(*) FILTER (WHERE ({_HASH_BUCKET_SQL}) < {SAMPLE_PCT})
+             AS BIGINT) AS sample_docs,
+           CAST(COALESCE(SUM(len(string_split(text, ' ')))
+                  FILTER (WHERE ({_HASH_BUCKET_SQL}) < {SAMPLE_PCT}), 0)
+             AS BIGINT) AS sample_ws_tokens,
+           ROUND(100.0 * COUNT(*) FILTER (WHERE ({_HASH_BUCKET_SQL}) < {SAMPLE_PCT})
+                 / COUNT(*), 2) AS sample_pct
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def d11_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-mod sampling — the reproducible-sampling
+    primitive a training-data pipeline needs (rerun the job, get the
+    SAME sample; grow the corpus, previously-sampled docs stay
+    sampled): bucket = md5(doc_id) folded to 0-99, keep bucket <
+    rate. Unlike rand()/sampleBy this is stable across runs, engines,
+    and partitionings — which is why the oracle can check it exactly.
+
+    Per-language rollup proves the sample tracks the population
+    (sample_pct ~ the configured 10%). Per-row JVM hash + one
+    hash-agg; zero shuffles on the corpus beyond the final rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    in_sample = _hash_bucket_spark(F.col("doc_id")) < SAMPLE_PCT
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("docs_total"),
+        F.sum(F.when(in_sample, 1).otherwise(0)).cast("long").alias("sample_docs"),
+        F.coalesce(F.sum(F.when(in_sample, n_tokens)), F.lit(0))
+        .cast("long")
+        .alias("sample_ws_tokens"),
+        F.round(
+            100.0 * F.sum(F.when(in_sample, 1).otherwise(0)) / F.count("*"), 2
+        ).alias("sample_pct"),
+    )

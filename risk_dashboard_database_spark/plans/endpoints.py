@@ -1200,3 +1200,93 @@ def e9_negative_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("crisis_risk_count"),
     )
+
+
+def _e10_oracle() -> str:
+    from .overrides import ITEMS_CTE
+    from .synth import title_sql
+
+    eff_s = "COALESCE(ov.override_label, uov.url_override_label, i.llm_label, i.raw_label)"
+    eff_c = "COALESCE(ov.override_control, i.llm_control, i.raw_control)"
+    title = title_sql(k="i.k")
+    return f"""
+    WITH {ITEMS_CTE},
+    latest AS (SELECT MAX(date) AS d FROM items),
+    page AS (
+      SELECT c.c_name AS company,
+             {title} AS title,
+             'u' || CAST(i.event_id % 500 AS VARCHAR) AS url,
+             'news' || CAST(i.k % 20 AS VARCHAR) || '.example.com' AS source,
+             STRFTIME(i.date, '%Y-%m-%d') AS published_date,
+             {eff_s} AS sentiment,
+             {eff_c} AS control_class,
+             ov.override_label AS sentiment_override,
+             ov.override_control AS control_override,
+             i.llm_label,
+             i.event_id
+      FROM items i
+      JOIN latest l ON i.date = l.d
+      JOIN customer c ON c.c_custkey = i.user_id
+      LEFT JOIN item_overrides ov ON ov.event_id = i.event_id
+      LEFT JOIN url_overrides uov
+        ON uov.user_id = i.user_id AND uov.event_type = i.event_type
+       AND uov.hash_bucket = i.hash_bucket
+    )
+    SELECT * FROM page
+    ORDER BY company, title, event_id
+    LIMIT 200 OFFSET 100
+    """
+
+
+@query("e10_processed_articles", oracle=_e10_oracle())
+def e10_processed_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Processed-articles detail endpoint (`/api/v1/processed_articles`
+    modal branch, `app.py:2855-2960`): the single-date article list
+    with override-resolved sentiment and control class, the raw
+    override columns the UI shows as edit state, and stable
+    (company, title, unique-key) pagination with the reference's
+    LIMIT/OFFSET clamps — here page 2 (offset 100, limit 200) at the
+    data's latest date.
+
+    Scale shape: the date predicate prunes the scan (one day of one
+    partition at 100 TB); dims and override tables broadcast; the
+    ordered page is a TakeOrdered, never a global sort
+    materialization."""
+    from .overrides import item_overrides, items, url_overrides
+    from .synth import title_col
+
+    it = items(spark, sf_dir)
+    latest = F.broadcast(it.agg(F.max("date").alias("d")))
+    ov = F.broadcast(item_overrides(spark, sf_dir))
+    uov = F.broadcast(url_overrides(spark, sf_dir))
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", F.col("c_name").alias("company")
+        )
+    )
+    eff_s = F.coalesce("override_label", "url_override_label", "llm_label", "raw_label")
+    eff_c = F.coalesce("override_control", "llm_control", "raw_control")
+    return (
+        it.join(latest, it.date == F.col("d"))
+        .join(ov, "event_id", "left")
+        .join(uov, ["user_id", "event_type", "hash_bucket"], "left")
+        .join(cust, it.user_id == cust.c_custkey)
+        .select(
+            "company",
+            title_col(F.col("k")).alias("title"),
+            F.concat(F.lit("u"), (F.col("event_id") % 500).cast("string")).alias("url"),
+            F.concat(
+                F.lit("news"), (F.col("k") % 20).cast("string"), F.lit(".example.com")
+            ).alias("source"),
+            F.date_format("date", DATE_FMT).alias("published_date"),
+            eff_s.alias("sentiment"),
+            eff_c.alias("control_class"),
+            F.col("override_label").alias("sentiment_override"),
+            F.col("override_control").alias("control_override"),
+            "llm_label",
+            "event_id",
+        )
+        .orderBy("company", "title", "event_id")
+        .offset(100)
+        .limit(200)
+    )
