@@ -60,6 +60,9 @@ HEADLINE = [
     "e7_narrative_timeline",
     "e8_crisis_patterns",
     "e9_negative_summary",
+    "e10_processed_articles",
+    "d10_corpus_curation",
+    "d11_hash_sample",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
