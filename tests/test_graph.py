@@ -33,3 +33,41 @@ def test_cycle_and_cross_links(spark):
 def test_duplicate_and_reversed_edges(spark):
     got = _labels(spark, [(3, 4), (4, 3), (3, 4)])
     assert got == {3: 3, 4: 3}
+
+
+def test_random_graphs_match_union_find(spark):
+    """connected_components agrees with a driver-side union-find on
+    randomized edge lists (seeded, so reproducible)."""
+    import random
+
+    rnd = random.Random(7)
+    for trial in range(3):
+        n = rnd.randint(5, 40)
+        edges = [
+            (rnd.randint(0, n), rnd.randint(0, n))
+            for _ in range(rnd.randint(1, 2 * n))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        for a, b in edges:
+            union(a, b)
+        want = {v: find(v) for v in parent}
+
+        got = _labels(spark, edges)
+        assert got == want, f"trial {trial}: {sorted(got.items())} != {sorted(want.items())}"
