@@ -127,3 +127,68 @@ def m2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         schema="doc_id long, width int, height int, n_frames int, sampled_frames int",
     )
+
+
+@query(
+    "m3_frame_resize",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+    ),
+    dims AS (
+      SELECT doc_id,
+             16 + n % 624 AS w,
+             16 + (n * 7) % 464 AS h,
+             1 + n % 30 AS nf
+      FROM meta
+    ),
+    sampled AS (SELECT *, LEAST(4, nf) AS ns FROM dims),
+    frames AS (
+      SELECT doc_id, w, h, nf, ns, i
+      FROM sampled, UNNEST(range(0, ns)) AS t(i)
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           CAST(CAST(i AS BIGINT) * nf // ns AS INTEGER) AS source_frame,
+           CAST(CASE WHEN w >= h THEN 224
+                     ELSE FLOOR(w * 224.0 / h) END AS INTEGER) AS out_w,
+           CAST(CASE WHEN w >= h THEN FLOOR(h * 224.0 / w)
+                     ELSE 224 END AS INTEGER) AS out_h
+    FROM frames
+    """,
+)
+def m3_frame_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling + resize plumbing (m3): the mapInPandas stage
+    FANS OUT — one output row per sampled frame (evenly spaced source
+    indices, i*n_frames//n_sampled), each with aspect-preserving
+    fit-to-224 output dims. This is the grain change a real
+    video-preprocessing stage performs inside the Arrow batch (N rows
+    in, sum(sampled_frames) rows out); the resize itself is stubbed to
+    its dimension arithmetic (no codecs in this container), which the
+    oracle re-derives exactly — including the IEEE double floor, spelled
+    with the same operation order on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                f = decode_media(bytes(p), "fake/deterministic")
+                w, h, nf = f["width"], f["height"], f["n_frames"]
+                ns = min(4, nf)
+                for i in range(ns):
+                    out_w = 224 if w >= h else int(w * 224.0 / h)
+                    out_h = int(h * 224.0 / w) if w >= h else 224
+                    rows.append((doc_id, i, (i * nf) // ns, out_w, out_h))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "source_frame", "out_w", "out_h"],
+            )
+
+    return src.mapInPandas(
+        run,
+        schema="doc_id long, frame_idx int, source_frame int, out_w int, out_h int",
+    )
