@@ -61,8 +61,10 @@ HEADLINE = [
     "e8_crisis_patterns",
     "e9_negative_summary",
     "e10_processed_articles",
+    "e11_industry_durations",
     "d10_corpus_curation",
     "d11_hash_sample",
+    "m3_frame_resize",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the

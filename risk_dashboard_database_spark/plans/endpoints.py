@@ -1290,3 +1290,144 @@ def e10_processed_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(100)
         .limit(200)
     )
+
+
+def _e11_oracle() -> str:
+    from .narrative import _PHRASE_TAG_SQL
+    from .synth import K_SQL
+
+    rows = _NARRATIVE_ROWS_CTE.format(tag=_PHRASE_TAG_SQL.format(k=K_SQL), k=K_SQL)
+    return f"""
+    WITH {rows},
+    tgt AS (SELECT MAX(CAST(ts AS DATE)) AS target FROM events),
+    win AS (
+      SELECT e.*, t.target FROM enriched e, tgt t
+      WHERE e.date >= t.target - 89
+    ),
+    anch AS (
+      SELECT *, date - CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id, tag ORDER BY date) AS INTEGER) AS anchor
+      FROM win
+    ),
+    epi AS (
+      SELECT sector, user_id, tag, anchor,
+             COUNT(*) AS dur, SUM(neg) AS negsum
+      FROM anch GROUP BY 1, 2, 3, 4
+    ),
+    durs AS (
+      SELECT sector,
+             CAST(COUNT(*) AS BIGINT) AS episode_count,
+             ROUND(CAST(SUM(dur) AS DOUBLE) / COUNT(*), 2) AS avg_duration_days,
+             CAST(MEDIAN(dur) AS DOUBLE) AS median_duration_days,
+             CAST(MAX(dur) AS BIGINT) AS max_duration_days,
+             CAST(SUM(negsum) AS BIGINT) AS total_negative_items
+      FROM epi GROUP BY 1
+    ),
+    ent AS (
+      SELECT sector,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS entities_affected,
+             CAST(COUNT(DISTINCT CASE WHEN date = target THEN user_id END)
+               AS BIGINT) AS active_entities_latest
+      FROM win GROUP BY 1
+    ),
+    tagtot AS (
+      SELECT sector, tag, SUM(neg) AS tot FROM win GROUP BY 1, 2
+    ),
+    toptags AS (
+      SELECT sector,
+             array_to_string((list(tag ORDER BY tot DESC, lower(tag), tag))[1:3],
+                             ', ') AS most_common_tags
+      FROM tagtot GROUP BY 1
+    )
+    SELECT d.sector, d.episode_count, d.avg_duration_days,
+           d.median_duration_days, d.max_duration_days,
+           e.entities_affected, e.active_entities_latest,
+           d.total_negative_items, tt.most_common_tags
+    FROM durs d
+    JOIN ent e ON e.sector = d.sector
+    JOIN toptags tt ON tt.sector = d.sector
+    """
+
+
+@query("e11_industry_durations", oracle=_e11_oracle())
+def e11_industry_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-industry-durations endpoint
+    (`/api/v1/insights/aggregate_industry_durations`,
+    `app.py:4857-4975`): per sector over a 90-day anchored window —
+    (entity, tag) consecutive-day episodes pooled per sector with
+    count / avg / exact-median / max durations, distinct entities
+    affected and still-active-on-anchor counts, total tagged negative
+    items, and the top-3 most common tags (by negative-item total,
+    casefolded tiebreak).
+
+    Scale shape: one window shuffle on (entity, tag) for episodes;
+    the sector rollups aggregate the tiny episode relation; entity
+    and tag-total side aggregates shuffle the (already small)
+    windowed narrative rows; all joined at the sector grain via
+    broadcast."""
+    rows = _narrative_rows(spark, sf_dir)
+    tgt = F.broadcast(
+        load_table(spark, sf_dir, "events").agg(
+            F.max(F.col("ts").cast("date")).alias("target")
+        )
+    )
+    win = rows.crossJoin(tgt).where(
+        F.col("date") >= F.date_sub(F.col("target"), 89)
+    )
+    w = Window.partitionBy("user_id", "tag").orderBy("date")
+    anch = win.withColumn("anchor", F.date_sub(F.col("date"), F.row_number().over(w)))
+    epi = anch.groupBy("sector", "user_id", "tag", "anchor").agg(
+        F.count("*").alias("dur"), F.sum("neg").alias("negsum")
+    )
+    durs = epi.groupBy("sector").agg(
+        F.count("*").alias("episode_count"),
+        F.round(F.sum("dur").cast("double") / F.count("*"), 2).alias(
+            "avg_duration_days"
+        ),
+        F.expr("percentile(dur, 0.5)").alias("median_duration_days"),
+        F.max("dur").cast("long").alias("max_duration_days"),
+        F.sum("negsum").cast("long").alias("total_negative_items"),
+    )
+    ent = win.groupBy("sector").agg(
+        F.countDistinct("user_id").alias("entities_affected"),
+        F.countDistinct(
+            F.when(F.col("date") == F.col("target"), F.col("user_id"))
+        ).alias("active_entities_latest"),
+    )
+    tagtot = win.groupBy("sector", "tag").agg(F.sum("neg").alias("tot"))
+    toptags = tagtot.groupBy("sector").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("tot")).alias("a"),
+                                F.lower("tag").alias("b"),
+                                F.col("tag").alias("c"),
+                            )
+                        )
+                    ),
+                    lambda s: s["c"],
+                ),
+                1,
+                3,
+            ),
+            ", ",
+        ).alias("most_common_tags")
+    )
+    return (
+        durs.join(F.broadcast(ent), "sector")
+        .join(F.broadcast(toptags), "sector")
+        .select(
+            "sector",
+            "episode_count",
+            "avg_duration_days",
+            "median_duration_days",
+            "max_duration_days",
+            "entities_affected",
+            "active_entities_latest",
+            "total_negative_items",
+            "most_common_tags",
+        )
+    )

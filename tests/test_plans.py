@@ -25,6 +25,7 @@ BNLJ_OK = {
     "e4_crisis_impact",  # 1-row window-end scalar crossJoin
     "e7_narrative_timeline",  # 1-row anchor-date scalar crossJoin
     "e8_crisis_patterns",  # 1-row anchor-date scalar crossJoin
+    "e11_industry_durations",  # 1-row anchor-date scalar crossJoin
 }
 
 # Intentional statically-planned SortMergeJoins: both sides large at
