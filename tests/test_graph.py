@@ -71,3 +71,10 @@ def test_random_graphs_match_union_find(spark):
 
         got = _labels(spark, edges)
         assert got == want, f"trial {trial}: {sorted(got.items())} != {sorted(want.items())}"
+
+
+def test_empty_edge_frame(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    out = connected_components(df)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id", "label"]
