@@ -26,17 +26,17 @@ TOOL_CONTRACT: dict[str, str] = {
     "resolve_sector": "s_name_normalize",
     "get_trend_summary": "e1_trend_summary",
     "screen_entities": "a6_screen",
-    "get_sector_baseline": "a7_sector_stats",
-    "aggregate_crisis_patterns": "a12b_storylines",
-    "aggregate_industry_durations": "e2_crisis_durations",
-    "find_storylines": "a12b_storylines",
-    "get_narrative_timeline": "t1_narrative_rollup",
+    "get_sector_baseline": "e6_sector_baseline",
+    "aggregate_crisis_patterns": "e8_crisis_patterns",
+    "aggregate_industry_durations": "e11_industry_durations",
+    "find_storylines": "e3_storylines",
+    "get_narrative_timeline": "e7_narrative_timeline",
     "get_narrative_tags": "a11_majority_vote",
     "get_search_feature_series": "p2_override_daily",
     "get_search_feature_items": "a3_feature_index",
     "compare_entities": "j4_entity_daily_metrics",
     "get_anomalies": "u4_anomaly_rules",
-    "get_evidence": "u3_evidence_union",
+    "get_evidence": "e5_evidence",
 }
 
 _COMPARE_RE = re.compile(
@@ -54,7 +54,7 @@ _ROUTES = [
     (lambda t: "screen" in t or "top performers" in t or "leaderboard" in t,
      ("entity_screen", "a6_screen")),
     (lambda t: "sector" in t and ("median" in t or "baseline" in t or "stats" in t),
-     ("sector_baseline", "a7_sector_stats")),
+     ("sector_baseline", "e6_sector_baseline")),
     (lambda t: "duplicate" in t or "dedup" in t or "near-dup" in t,
      ("dedup_scan", "d2_minhash_pairs")),
     (lambda t: "similar" in t or "nearest" in t or "neighbors" in t,
@@ -63,7 +63,7 @@ _ROUTES = [
      ("risk_leaderboard", "o6_risk_leaderboard")),
     (lambda t: "streak" in t, ("streak_lookup", "w7_error_streak")),
     (lambda t: "trend" in t or "summary" in t or "rollup" in t,
-     ("trend_summary", "w1_weekly_rollup")),
+     ("trend_summary", "e1_trend_summary")),
 ]
 
 
