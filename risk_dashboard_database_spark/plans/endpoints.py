@@ -801,6 +801,33 @@ def e6_sector_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _anchored_win90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared 90-day anchored narrative relation for e7/e8/e11: the
+    windowed rows with the gaps-and-islands anchor. All three queries
+    partition their island window by the same {entity, tag} key set
+    (sector and entity are functionally dependent on user_id), so the
+    anchor column is identical — computed once per dataset through the
+    relcache MV seam instead of once per query."""
+    from .relcache import cached_relation
+
+    def build() -> DataFrame:
+        rows = _narrative_rows(spark, sf_dir)
+        tgt = F.broadcast(
+            load_table(spark, sf_dir, "events").agg(
+                F.max(F.col("ts").cast("date")).alias("target")
+            )
+        )
+        win = rows.crossJoin(tgt).where(
+            F.col("date") >= F.date_sub(F.col("target"), 89)
+        )
+        w = Window.partitionBy("user_id", "tag").orderBy("date")
+        return win.withColumn(
+            "anchor", F.date_sub(F.col("date"), F.row_number().over(w))
+        )
+
+    return cached_relation("narr_anch90", sf_dir, build)
+
+
 def _e7_oracle() -> str:
     from .narrative import _PHRASE_TAG_SQL
     from .synth import K_SQL
@@ -874,17 +901,7 @@ def e7_narrative_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossJoin exactly like e4."""
     from .narrative import CRISIS_TAGS
 
-    rows = _narrative_rows(spark, sf_dir)
-    tgt = F.broadcast(
-        load_table(spark, sf_dir, "events").agg(
-            F.max(F.col("ts").cast("date")).alias("target")
-        )
-    )
-    win = rows.crossJoin(tgt).where(
-        F.col("date") >= F.date_sub(F.col("target"), 89)
-    )
-    w = Window.partitionBy("user_id", "tag").orderBy("date")
-    anch = win.withColumn("anchor", F.date_sub(F.col("date"), F.row_number().over(w)))
+    anch = _anchored_win90(spark, sf_dir)
     isl = anch.groupBy("user_id", "entity", "tag", "anchor").agg(
         F.max("target").alias("target"),
         F.count("*").alias("cnt"),
@@ -1015,17 +1032,7 @@ def e8_crisis_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one window shuffle on (tag, entity) for the episodes,
     then tag-grain rollups over the tiny episode relation; the anchor
     date is a 1-row broadcast crossJoin."""
-    rows = _narrative_rows(spark, sf_dir)
-    tgt = F.broadcast(
-        load_table(spark, sf_dir, "events").agg(
-            F.max(F.col("ts").cast("date")).alias("target")
-        )
-    )
-    win = rows.crossJoin(tgt).where(
-        F.col("date") >= F.date_sub(F.col("target"), 89)
-    )
-    w = Window.partitionBy("tag", "user_id").orderBy("date")
-    anch = win.withColumn("anchor", F.date_sub(F.col("date"), F.row_number().over(w)))
+    anch = _anchored_win90(spark, sf_dir)
     epi = anch.groupBy("tag", "user_id", "entity", "anchor").agg(
         F.max("target").alias("target"),
         F.count("*").alias("dur"),
@@ -1365,17 +1372,8 @@ def e11_industry_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     and tag-total side aggregates shuffle the (already small)
     windowed narrative rows; all joined at the sector grain via
     broadcast."""
-    rows = _narrative_rows(spark, sf_dir)
-    tgt = F.broadcast(
-        load_table(spark, sf_dir, "events").agg(
-            F.max(F.col("ts").cast("date")).alias("target")
-        )
-    )
-    win = rows.crossJoin(tgt).where(
-        F.col("date") >= F.date_sub(F.col("target"), 89)
-    )
-    w = Window.partitionBy("user_id", "tag").orderBy("date")
-    anch = win.withColumn("anchor", F.date_sub(F.col("date"), F.row_number().over(w)))
+    anch = _anchored_win90(spark, sf_dir)
+    win = anch
     epi = anch.groupBy("sector", "user_id", "tag", "anchor").agg(
         F.count("*").alias("dur"), F.sum("neg").alias("negsum")
     )

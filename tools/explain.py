@@ -22,14 +22,9 @@ def plan_string(spark, df) -> str:
 
 
 def summarize(plan: str) -> str:
-    counts = {"Exchange": 0, "BroadcastHashJoin": 0, "SortMergeJoin": 0,
-              "BroadcastNestedLoopJoin": 0, "CartesianProduct": 0,
-              "PushedFilters: [I": 0}
-    for line in plan.splitlines():
-        ls = line.strip()
-        for k in counts:
-            if ls.startswith("+- " + k) or ls.startswith(k) or (k in ls and k.startswith("Pushed")):
-                counts[k] += 1
+    from risk_dashboard_database_spark.planaudit import count_ops
+
+    counts = count_ops(plan)
     return (
         f"exch={counts['Exchange']} bhj={counts['BroadcastHashJoin']} "
         f"smj={counts['SortMergeJoin']} bnlj={counts['BroadcastNestedLoopJoin']} "
