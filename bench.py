@@ -62,6 +62,8 @@ HEADLINE = [
     "e9_negative_summary",
     "e10_processed_articles",
     "e11_industry_durations",
+    "e12_narrative_tags",
+    "e13_feature_series",
     "d10_corpus_curation",
     "d11_hash_sample",
     "m3_frame_resize",

@@ -1429,3 +1429,162 @@ def e11_industry_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "most_common_tags",
         )
     )
+
+
+# ----------------------------------------------------------- e12/e13
+def _e12_oracle() -> str:
+    from .narrative import CRISIS_TAGS, _PHRASE_TAG_SQL
+    from .synth import K_SQL
+
+    crisis = ", ".join(f"'{t}'" for t in sorted(CRISIS_TAGS))
+    rows = _NARRATIVE_ROWS_CTE.format(tag=_PHRASE_TAG_SQL.format(k=K_SQL), k=K_SQL)
+    return f"""
+    WITH {rows},
+    latest AS (SELECT MAX(CAST(ts AS DATE)) AS target FROM events),
+    day AS (
+      SELECT e.* FROM enriched e, latest WHERE e.date = latest.target
+    ),
+    agg AS (
+      SELECT entity AS entity_name,
+             (list(tag ORDER BY neg DESC, tag DESC))[1] AS primary_tag,
+             array_to_string(list(tag ORDER BY neg DESC, tag ASC), ', ') AS tags,
+             bool_or(tag IN ({crisis})) AS has_crisis,
+             bool_or(tag NOT IN ({crisis})) AS has_non_crisis
+      FROM day GROUP BY 1
+    )
+    SELECT entity_name, primary_tag,
+           CASE WHEN primary_tag IN ({crisis}) THEN 'crisis'
+                ELSE 'non_crisis' END AS primary_group,
+           tags, has_crisis, has_non_crisis
+    FROM agg
+    """
+
+
+@query("e12_narrative_tags", oracle=_e12_oracle())
+def e12_narrative_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Narrative-tags endpoint composition (`GET /api/v1/narrative_tags`,
+    `app.py:3454-3637`): at the latest date, per entity — the primary
+    tag by the reference's argmax rule (highest count, ties to the
+    lexicographically greatest tag, `app.py:3612-3616`), its
+    crisis/non_crisis group, the tag list sorted by (-count, tag)
+    (`app.py:3617-3620`), and the has_crisis / has_non_crisis flags.
+
+    Scale shape: the cached narrative-rows MV filtered to one date
+    (partition-prunable on a date-partitioned layout), then ONE hash
+    aggregate on the entity key; the date anchor is a 1-row broadcast
+    crossJoin. Struct-max gives the argmax without a window."""
+    from .narrative import CRISIS_TAGS
+
+    rows = _narrative_rows(spark, sf_dir)
+    tgt = F.broadcast(
+        load_table(spark, sf_dir, "events").agg(
+            F.max(F.col("ts").cast("date")).alias("target")
+        )
+    )
+    day = rows.crossJoin(tgt).where(F.col("date") == F.col("target"))
+    crisis = sorted(CRISIS_TAGS)
+    is_crisis = F.col("tag").isin(crisis)
+    agg = day.groupBy(F.col("entity").alias("entity_name")).agg(
+        F.max(F.struct(F.col("neg").alias("n"), F.col("tag").alias("t")))["t"].alias(
+            "primary_tag"
+        ),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct((-F.col("neg")).alias("a"), F.col("tag").alias("t"))
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+            ", ",
+        ).alias("tags"),
+        F.bool_or(is_crisis).alias("has_crisis"),
+        F.bool_or(~is_crisis).alias("has_non_crisis"),
+    )
+    return agg.select(
+        "entity_name",
+        "primary_tag",
+        F.when(F.col("primary_tag").isin(crisis), "crisis")
+        .otherwise("non_crisis")
+        .alias("primary_group"),
+        "tags",
+        "has_crisis",
+        "has_non_crisis",
+    )
+
+
+def _e13_oracle() -> str:
+    from .overrides import ITEMS_CTE, _EFFECTIVE
+
+    eff_control = "COALESCE(ov.override_control, i.llm_control, i.raw_control)"
+    return f"""
+    WITH {ITEMS_CTE},
+    latest AS (SELECT MAX(CAST(ts AS DATE)) AS target FROM events)
+    SELECT STRFTIME(i.date, '%Y-%m-%d') AS date,
+           i.user_id,
+           i.event_type AS feature_type,
+           COUNT(*) AS total_count,
+           CAST(SUM(CASE WHEN {_EFFECTIVE} = 'positive' THEN 1 ELSE 0 END) AS BIGINT) AS positive_count,
+           CAST(SUM(CASE WHEN {_EFFECTIVE} = 'neutral'  THEN 1 ELSE 0 END) AS BIGINT) AS neutral_count,
+           CAST(SUM(CASE WHEN {_EFFECTIVE} = 'negative' THEN 1 ELSE 0 END) AS BIGINT) AS negative_count,
+           CAST(SUM(CASE WHEN {eff_control} = 'controlled' THEN 1 ELSE 0 END) AS BIGINT) AS controlled_count
+    FROM items i
+    LEFT JOIN item_overrides ov ON ov.event_id = i.event_id
+    LEFT JOIN url_overrides uov
+      ON uov.user_id = i.user_id AND uov.event_type = i.event_type
+     AND uov.hash_bucket = i.hash_bucket,
+    latest
+    WHERE i.date > latest.target - 30
+    GROUP BY i.date, i.user_id, i.event_type
+    """
+
+
+@query("e13_feature_series", oracle=_e13_oracle())
+def e13_feature_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-series endpoint composition (`GET
+    /api/v1/serp_feature_series`, `app.py:4141-4211`): the trailing-
+    30-day per-day sentiment pivot with override resolution, plus the
+    override-resolved controlled_count — the chart series every
+    dashboard page requests. The reference serves one (entity,
+    feature_type) slice per call; this computes the full series tensor
+    keyed by (date, entity, feature_type) — the per-call slice is a
+    filter pushdown on top. Sentiment resolves through the 4-level
+    coalesce (item override, url override, llm, raw); control through
+    the 3-level coalesce (our url-override table carries labels only,
+    matching `sql/serp_feature_daily_mv.sql:8-13` layering).
+
+    Scale shape: both override sides broadcast, the date anchor is a
+    1-row broadcast crossJoin that prunes to 30 days of partitions,
+    then ONE hash aggregate on (date, entity, feature_type)."""
+    from .overrides import item_overrides, items, url_overrides
+
+    it = items(spark, sf_dir)
+    ov = F.broadcast(item_overrides(spark, sf_dir))
+    uov = F.broadcast(url_overrides(spark, sf_dir))
+    tgt = F.broadcast(
+        load_table(spark, sf_dir, "events").agg(
+            F.max(F.col("ts").cast("date")).alias("target")
+        )
+    )
+    eff = F.coalesce("override_label", "url_override_label", "llm_label", "raw_label")
+    effc = F.coalesce("override_control", "llm_control", "raw_control")
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return (
+        it.join(ov, "event_id", "left")
+        .join(uov, ["user_id", "event_type", "hash_bucket"], "left")
+        .crossJoin(tgt)
+        .where(F.col("date") > F.date_sub(F.col("target"), 30))
+        .groupBy(
+            F.date_format("date", DATE_FMT).alias("date"),
+            "user_id",
+            F.col("event_type").alias("feature_type"),
+        )
+        .agg(
+            F.count("*").alias("total_count"),
+            cnt(eff == "positive").alias("positive_count"),
+            cnt(eff == "neutral").alias("neutral_count"),
+            cnt(eff == "negative").alias("negative_count"),
+            cnt(effc == "controlled").alias("controlled_count"),
+        )
+    )

@@ -29,6 +29,8 @@ BNLJ_OK = {
     "e7_narrative_timeline",  # 1-row anchor-date scalar crossJoin
     "e8_crisis_patterns",  # 1-row anchor-date scalar crossJoin
     "e11_industry_durations",  # 1-row anchor-date scalar crossJoin
+    "e12_narrative_tags",  # 1-row anchor-date scalar crossJoin
+    "e13_feature_series",  # 1-row anchor-date scalar crossJoin
 }
 
 # Intentional statically-planned SortMergeJoins: both sides large at
