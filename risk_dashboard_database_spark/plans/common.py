@@ -17,7 +17,20 @@ from ..tables import load_table
 
 def user_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(user, day) counts: total / errors / purchases + exact
-    decimal value sum. Single hash-agg over the events scan."""
+    decimal value sum. Single hash-agg over the events scan.
+
+    Cached per dataset (`relcache`): this IS the reference's daily MV
+    (`sql/article_daily_counts_mv.sql`) — a dozen window/anomaly/
+    endpoint queries consume it, so the events aggregation runs once
+    per dataset, exactly like the MV refresh, not once per query."""
+    from .relcache import cached_relation
+
+    return cached_relation(
+        "user_day", sf_dir, lambda: _build_user_day(spark, sf_dir)
+    )
+
+
+def _build_user_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     flag = lambda t: F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).cast("long")  # noqa: E731
     return ev.groupBy("user_id", F.col("ts").cast("date").alias("date")).agg(

@@ -713,11 +713,11 @@ def e6_sector_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     here latest_value is COALESCEd to 0 on both sides instead (the
     ordering the endpoint's consumers actually expect).
 
-    Scale shape: one shuffle for the daily agg, one sector-window max
-    (reused by the in-window filter), one per-entity agg; the sector
-    summary is a tiny agg broadcast back; the customer dim is
-    broadcast. Exact median via percentile() on integer values —
-    deterministic on both engines."""
+    Scale shape: one shuffle for the daily agg; the per-sector window
+    end is a 5-row agg broadcast back (never a sector-partitioned
+    window); one per-entity agg; the sector summary is a tiny agg
+    broadcast back; the customer dim is broadcast. Exact median via
+    percentile() on integer values — deterministic on both engines."""
     ud = user_day(spark, sf_dir)
     cust = F.broadcast(
         load_table(spark, sf_dir, "customer").select(
@@ -727,9 +727,13 @@ def e6_sector_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rows = ud.join(cust, ud.user_id == cust.c_custkey).drop("c_custkey")
-    wnd = rows.withColumn(
-        "window_end", F.max("date").over(Window.partitionBy("sector"))
-    )
+    # Per-sector window end as a tiny agg broadcast back, NOT a
+    # window over the daily relation: Window.partitionBy(sector) would
+    # shuffle every daily row into one partition per sector (5 at any
+    # SF) and sort it — a parallelism collapse at 100 TB. The agg gets
+    # map-side combine; the 5-row result broadcasts for free.
+    ends = rows.groupBy("sector").agg(F.max("date").alias("window_end"))
+    wnd = rows.join(F.broadcast(ends), "sector")
     ent = (
         wnd.where(F.col("date") >= F.date_sub("window_end", 29))
         .groupBy("sector", "user_id", "entity")

@@ -52,7 +52,8 @@ EXCH_BUDGET = {
     "j4_entity_daily_metrics": 4,   # key-union + per-class re-aggregation
     "d8_ann_ivf": 5,                # assignment agg + cell-local search + rank
     "e3_storylines": 9,             # episode/durs/ent/samples/stats branches
-    "e6_sector_baseline": 4,        # entity agg + sector summary + rank window
+    "e6_sector_baseline": 6,        # ent agg consumed by rank + summary branches;
+                                    # identical subtrees dedup at runtime (ReuseExchange)
     "e7_narrative_timeline": 4,     # island agg + per-tag agg over cached anchors
     "e8_crisis_patterns": 15,       # episode + durs/ent/stats/samples branches
     "e11_industry_durations": 12,   # episode + durs/ent/tagtot branches
