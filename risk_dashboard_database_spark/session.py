@@ -53,9 +53,10 @@ def get_spark(
         # fuzzy-match, multimodal decode).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # Testdata timestamps are parquet TIMESTAMP(NANOS); read them as
-        # long session-wide (loaders convert to micros). Set once here so
-        # no loader has to mutate shared session conf mid-read.
+        # Guard only: current testdata timestamps are plain timestamp[us]
+        # (read natively). If a source ever ships TIMESTAMP(NANOS), this
+        # reads them as long and the loaders' footer probe converts to
+        # micros; on this Spark build the flag is otherwise a no-op.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         # Reference semantics are Postgres-style permissive casts; the

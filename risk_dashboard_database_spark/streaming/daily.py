@@ -14,16 +14,38 @@ is bounded at ~2 days x |entities|.
 
 from __future__ import annotations
 
+import glob
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# Testdata timestamps are parquet TIMESTAMP(NANOS); the session reads
-# them as long (see session.get_spark) and we convert to micros here —
-# same handling as tables.load_table, applied on the stream.
-EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """readStream over an events parquet directory with the schema
+    derived from the files themselves (a batch-read footer probe —
+    the same per-file probe tables.load_table does). Testdata `ts` is
+    plain parquet timestamp[us] and is read natively; if a source ever
+    ships TIMESTAMP(NANOS) columns (read as long under the session's
+    nanosAsLong guard), they are truncated to micros here exactly like
+    the batch loaders do — so stream and batch always agree."""
+    from pyspark.sql.types import TimestampNTZType
+
+    from ..tables import _nanos_ts_columns
+
+    schema = spark.read.parquet(events_dir).schema
+    ev = spark.readStream.schema(schema).parquet(events_dir)
+    files = sorted(glob.glob(os.path.join(events_dir, "*.parquet")))
+    for c in _nanos_ts_columns(files[0]) if files else []:
+        ev = ev.withColumn(c, F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS LONG))"))
+    # Watermarks require TIMESTAMP (ltz); parquet timestamp[us] without
+    # tz metadata reads as TIMESTAMP_NTZ. The session timezone is pinned
+    # UTC (session.get_spark / tables.load_table), so this cast is
+    # value-identical to the batch readers' ntz column.
+    for f in schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            ev = ev.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return ev
 
 
 def stream_daily_counts(
@@ -34,8 +56,7 @@ def stream_daily_counts(
     """readStream over a parquet directory -> per-(day, user) class
     counts with late-data watermarking — the streaming twin of
     plans/common.user_day."""
-    ev = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
-    ev = ev.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    ev = read_events_stream(spark, events_dir)
     flag = lambda t: F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).cast("long")  # noqa: E731
     return (
         ev.withWatermark("ts", watermark)

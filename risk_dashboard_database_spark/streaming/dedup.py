@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..functions.urls import url_hash
 from ..plans.synth import k_col, url_col
-from .daily import EVENTS_SCHEMA
+from .daily import read_events_stream
 
 
 def stream_exact_dedup(
@@ -33,8 +33,7 @@ def stream_exact_dedup(
     """readStream over the events directory -> first-admitted row per
     url_hash within the watermark horizon. Columns: ts, event_id,
     url_hash."""
-    ev = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
-    ev = ev.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    ev = read_events_stream(spark, events_dir)
     hashed = ev.select(
         "ts",
         "event_id",

@@ -42,7 +42,10 @@ def _nanos_ts_columns(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark can't read
     them natively; we read them as long and truncate to micros (the
     same truncation DuckDB applies when it loads ns into its us-
-    precision TIMESTAMP)."""
+    precision TIMESTAMP). Current testdata stores plain timestamp[us]
+    everywhere, so this probe returns [] and reads are native — it
+    stays as a guard so a ns-producing source can't silently break
+    the batch/stream loaders again."""
     import pyarrow.parquet as pq
     import pyarrow.types as pat
 
@@ -59,11 +62,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     # The driver may hand us a session not built by get_spark(), so make
-    # sure nanos-as-long decoding is on before the first read. Set
-    # unconditionally (not per-table) so read behavior never flips
-    # mid-session based on which table loaded first. Session timezone is
-    # pinned too: `CAST(ts AS DATE)` is timezone-sensitive and the DuckDB
-    # oracle treats the stored instants as naive/UTC.
+    # sure the nanos-as-long guard is on before the first read (a no-op
+    # against the current timestamp[us] testdata). Set unconditionally
+    # (not per-table) so read behavior never flips mid-session based on
+    # which table loaded first. Session timezone is pinned too:
+    # `CAST(ts AS DATE)` is timezone-sensitive and the DuckDB oracle
+    # treats the stored instants as naive/UTC.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ns_cols = _nanos_ts_columns(path)

@@ -24,7 +24,6 @@ def test_stream_matches_batch(spark, tmp_path):
     )
     batch = (
         spark.read.parquet(str(events_dir))
-        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
         .groupBy(F.col("ts").cast("date").alias("date"), "user_id")
         .agg(
             F.count("*").alias("total"),
