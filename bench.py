@@ -73,6 +73,18 @@ HEADLINE = [
 # median, so one GC pause / JIT blip can't fake a regression.
 N_RUNS = 3
 
+# Regression guard (sf0.1 medians): queries that have drifted across
+# rounds or sit near the ~1 s working budget are pinned; a breach shows
+# up in the JSON's "over_budget" field so drift is loud in the bench
+# artifact itself, not just in a side-by-side of old files.
+BUDGET = {
+    "u3_evidence_union": 2.0,   # VERDICT r3 #5: drifted 1.97 -> 2.52
+    "d8_ann_ivf": 1.3,          # VERDICT r3 #4: assignment now a stored MV
+    "e6_sector_baseline": 1.0,  # VERDICT r3 #2: durable MV, no cold plan
+    "e3_storylines": 1.3,
+    "d1_exact_dedup": 1.0,
+}
+
 
 def materialize(df) -> None:
     """Execute the full plan without collecting to the driver."""
@@ -110,6 +122,11 @@ def main() -> None:
         times.sort()
         per_query[name] = round(times[len(times) // 2], 3)
 
+    over = {
+        n: {"sec": per_query[n], "budget": b}
+        for n, b in BUDGET.items()
+        if n in per_query and per_query[n] > b
+    }
     print(
         json.dumps(
             {
@@ -118,6 +135,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
+                "over_budget": over,
             }
         )
     )

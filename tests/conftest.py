@@ -1,13 +1,36 @@
-"""Shared pytest fixtures: one SparkSession per test session."""
+"""Shared pytest fixtures: one SparkSession per test session.
+
+Order independence: the MV store (plans/relcache.py) is durable and
+content-addressed, so plan shape no longer depends on what ran before;
+an autouse module fixture still clears the session-level reader memo so
+no test can observe another module's handles. Set PYTEST_REVERSE=1 to
+run the whole suite in reversed collection order — CI runs both legs so
+state-dependent tests can't land (VERDICT r3 #8).
+"""
 
 from __future__ import annotations
 
 import datetime as dt
+import os
 import sys
 
 import pytest
 
 sys.path.insert(0, "/root/repo")
+
+
+def pytest_collection_modifyitems(items):
+    if os.environ.get("PYTEST_REVERSE"):
+        items.reverse()
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _relcache_isolation():
+    from risk_dashboard_database_spark.plans import relcache
+
+    relcache.clear()
+    yield
+    relcache.clear()
 
 
 @pytest.fixture(scope="session")

@@ -1,34 +1,69 @@
-"""Relation-cache lifecycle: same (key, dataset) reuses the persisted
-relation; switching datasets evicts the stale entry (no block
-accumulation — ADVICE r2); clear() empties everything."""
+"""Durable MV store lifecycle: same (key, dataset content) builds and
+writes once, every later call (any session) returns a plain scan of the
+written files; different dataset content gets its own materialization;
+plan shape of a consumer never depends on session cache state."""
 
 from __future__ import annotations
+
+import pytest
 
 from risk_dashboard_database_spark.plans import relcache
 
 
-def test_cached_relation_reuse_and_eviction(spark):
+@pytest.fixture()
+def mv_root(tmp_path, monkeypatch):
+    monkeypatch.setattr(relcache, "MV_ROOT", str(tmp_path / "mv"))
+    relcache.clear()
+    yield
+    relcache.clear()
+
+
+def test_build_once_then_scan(spark, tmp_path, mv_root):
+    data_a = tmp_path / "dsA"
+    data_b = tmp_path / "dsB"
+    spark.range(3).toDF("id").write.parquet(str(data_a))
+    spark.range(4).toDF("id").write.parquet(str(data_b))
+
     builds = []
 
-    def builder(tag, n):
-        # distinct row counts -> distinct canonicalized plans, so the
-        # CacheManager can't alias the two datasets' cache entries
+    def builder(tag, src):
         def build():
             builds.append(tag)
-            return spark.range(n).toDF("id")
+            return spark.read.parquet(src)
 
         return build
 
-    a1 = relcache.cached_relation("k", "dirA", builder("A", 3))
-    a2 = relcache.cached_relation("k", "dirA", builder("A2", 3))
-    assert a1 is a2 and builds == ["A"]          # same dataset: one build
-    assert a1.storageLevel.useMemory             # persisted
+    a1 = relcache.cached_relation("k", str(data_a), builder("A", str(data_a)))
+    a2 = relcache.cached_relation("k", str(data_a), builder("A2", str(data_a)))
+    assert builds == ["A"] and a1 is a2          # same dataset: one build
+    assert a1.count() == 3
 
-    b = relcache.cached_relation("k", "dirB", builder("B", 4))
-    assert builds == ["A", "B"]                  # dataset switch rebuilds
-    assert not a1.storageLevel.useMemory         # stale entry unpersisted
-    assert b.storageLevel.useMemory
+    # the returned relation is a durable scan, not an in-memory cache
+    assert "InMemoryRelation" not in a1._jdf.queryExecution().toString()
 
+    b = relcache.cached_relation("k", str(data_b), builder("B", str(data_b)))
+    assert builds == ["A", "B"] and b.count() == 4
+
+    # both datasets stay materialized side by side (content-addressed)
     relcache.clear()
-    assert not b.storageLevel.useMemory
-    assert relcache._CACHE == {}
+    a3 = relcache.cached_relation(
+        "k", str(data_a), builder("A-again", str(data_a))
+    )
+    assert builds == ["A", "B"]                  # no rebuild after clear()
+    assert a3.count() == 3
+
+
+def test_content_change_rebuilds(spark, tmp_path, mv_root):
+    data = tmp_path / "ds"
+    spark.range(3).toDF("id").write.mode("overwrite").parquet(str(data))
+    builds = []
+
+    def build():
+        builds.append(1)
+        return spark.read.parquet(str(data))
+
+    assert relcache.cached_relation("k", str(data), build).count() == 3
+    spark.range(5).toDF("id").write.mode("overwrite").parquet(str(data))
+    relcache.clear()  # drop the fingerprint memo so the change is seen
+    assert relcache.cached_relation("k", str(data), build).count() == 5
+    assert len(builds) == 2
