@@ -51,6 +51,10 @@ MAX_EXCHANGES = 3
 # exchange moves a dim-sized relation, not the fact table; the pinned
 # counts make drift loud.
 EXCH_BUDGET = {
+    "u3_evidence_union": 5,         # 1 fact-union agg; the other 4 move the
+                                    # enum-sized (weight, suffix) dictionary
+                                    # (built twice statically; ReuseExchange
+                                    # dedups at runtime)
     "j4_entity_daily_metrics": 4,   # key-union + per-class re-aggregation
     "e3_storylines": 6,             # episode/durs/ent/samples/stats branches
     "e6_sector_baseline": 6,        # ent agg consumed by rank + summary branches;
