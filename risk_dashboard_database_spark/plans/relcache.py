@@ -115,10 +115,13 @@ def cached_relation(key: str, sf_dir: str, build: Callable[[], DataFrame]) -> Da
     if hit is not None:
         return hit
     path = os.path.join(MV_ROOT, key, fp)
-    spark = SparkSession.getActiveSession()
+    # getActiveSession is thread-local; fall back to the default session
+    # so a caller invoking from a different thread than the one that
+    # built the session still resolves it (getOrCreate returns the
+    # existing default, never a fresh unconfigured session here).
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         df = build()
-        spark = spark or df.sparkSession
         try:
             df.write.mode("overwrite").parquet(path)
         except Exception:
