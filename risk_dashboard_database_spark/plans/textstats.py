@@ -11,6 +11,7 @@ which is exactly what you want when 'documents' is 100 TB.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves stringified hints here
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -220,3 +221,61 @@ def t_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy(
         "actual_lang", F.col("predicted_lang")
     ).agg(F.count("*").alias("n"))
+
+
+def _f4_oracle() -> str:
+    from ..functions.sentiment import ALPHA, oracle_sql_expr
+
+    score = oracle_sql_expr("text")
+    return f"""
+    WITH sc AS (
+      SELECT doc_id, CAST({score} AS DOUBLE) / 100000.0 AS s FROM documents
+    ),
+    cc AS (
+      SELECT doc_id, ROUND(s / sqrt(s * s + {ALPHA}), 4) AS compound FROM sc
+    )
+    SELECT doc_id, compound,
+           CASE WHEN compound >= 0.05 THEN 'positive'
+                WHEN compound <= -0.05 THEN 'negative'
+                ELSE 'neutral' END AS label,
+           'vader' AS model_version
+    FROM cc
+    """
+
+
+@query("f4_sentiment", oracle=_f4_oracle())
+def f4_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: VADER-style sentiment over the documents corpus
+    (`src/ingest_v2.py:354,407` — model_version 'vader' recorded per
+    mention). The token fold runs in an Arrow-batched pandas UDF in
+    exact integer 1e-5 units (functions/sentiment.py), so the only
+    float math is the final compound normalization — one fixed IEEE
+    expression evaluated identically by Spark and the oracle. Labels
+    use VADER's published +-0.05 thresholds on the rounded compound.
+
+    Scale: stateless per-row UDF pass, no shuffle; the real
+    vaderSentiment package drops into sentiment_batch for production
+    use (import-try), while this query pins the deterministic built-in
+    lexicon path."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.sentiment import ALPHA, score_1e5
+
+    @pandas_udf("long")
+    def score_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(score_1e5).astype("int64")
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = F.col("score").cast("double") / F.lit(100000.0)
+    comp = F.round(s / F.sqrt(s * s + F.lit(float(ALPHA))), 4)
+    return (
+        docs.select("doc_id", score_udf("text").alias("score"))
+        .select("doc_id", comp.alias("compound"))
+        .withColumn(
+            "label",
+            F.when(F.col("compound") >= 0.05, "positive")
+            .when(F.col("compound") <= -0.05, "negative")
+            .otherwise("neutral"),
+        )
+        .withColumn("model_version", F.lit("vader"))
+    )
