@@ -30,6 +30,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (green in r03) follows in registry order.
 _SAMPLE_FIRST = [
     # tier 1 — never driver-green
+    "f3_hf_batch",
     "f4_sentiment",
     "w1_weekly_rollup",
     "o1_pagination", "o2_topk_compound", "o3_nulls_last",

@@ -50,6 +50,7 @@ HEADLINE = [
     "e2_crisis_durations",
     "a12b_storylines",
     "f1_llm_classify",
+    "f3_hf_batch",
     "f4_sentiment",
     "e3_storylines",
     "e4_crisis_impact",

@@ -279,3 +279,55 @@ def f4_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("model_version", F.lit("vader"))
     )
+
+
+def _f3_oracle() -> str:
+    from ..functions.hfinfer import MAX_TOKENS, MODEL_VERSION, logit_sql
+
+    l0, l1, l2 = (logit_sql(c, "trunc") for c in range(3))
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks FROM documents
+    ),
+    tr AS (
+      SELECT doc_id, len(toks) AS n_tokens, len(toks) > {MAX_TOKENS} AS truncated,
+             array_to_string(toks[1:{MAX_TOKENS}], ' ') AS trunc
+      FROM tk
+    ),
+    lg AS (
+      SELECT doc_id, n_tokens, truncated,
+             {l0} AS l0, {l1} AS l1, {l2} AS l2
+      FROM tr
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           truncated,
+           CASE WHEN l0 >= l1 AND l0 >= l2 THEN 'low_risk'
+                WHEN l1 >= l2 THEN 'medium_risk'
+                ELSE 'high_risk' END AS label,
+           CAST(GREATEST(l0, l1, l2) AS DOUBLE) / (l0 + l1 + l2) AS score,
+           '{MODEL_VERSION}' AS model_version
+    FROM lg
+    """
+
+
+@query("f3_hf_batch", oracle=_f3_oracle())
+def f3_hf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: HF-style batched text classification over the documents
+    corpus — Arrow mapInPandas with explicit GPU-micro-batch chunking,
+    tokenizer truncation accounting, integer-logit argmax decode and a
+    single-division confidence (functions/hfinfer.py). The model call
+    is the deterministic md5-logit fake (no weights in the sandbox,
+    permanently); the oracle re-derives the identical integer
+    arithmetic in SQL, so the whole batch path is value-checked end to
+    end — swap `_fake_model` for a transformers pipeline and nothing
+    else changes.
+
+    Scale: stateless per-row pass, no shuffle; micro-batch size caps
+    peak model-input memory per task."""
+    from ..functions.hfinfer import infer_batch
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return infer_batch(docs, "text").select(
+        "doc_id", "n_tokens", "truncated", "label", "score", "model_version"
+    )
