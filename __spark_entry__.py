@@ -32,6 +32,8 @@ _SAMPLE_FIRST = [
     # tier 1 — never driver-green
     "f3_hf_batch",
     "f4_sentiment",
+    "d12_token_stream_pack",
+    "d13_stratified_sample",
     "w1_weekly_rollup",
     "o1_pagination", "o2_topk_compound", "o3_nulls_last",
     "o6_risk_leaderboard", "o7_fuzzy_topk",

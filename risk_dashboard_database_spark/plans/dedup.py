@@ -973,3 +973,124 @@ def d11_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             100.0 * F.sum(F.when(in_sample, 1).otherwise(0)) / F.count("*"), 2
         ).alias("sample_pct"),
     )
+
+
+# ------------------------------------------------------------ d12/d13
+# Token-stream packing + stratified sampling — the remaining two
+# training-data staples: chunk the corpus into fixed-token training
+# sequences, and draw per-stratum deterministic samples with quotas.
+
+PACK_BUDGET = 512   # tokens per training sequence
+PACK_SHARDS = 8     # parallel packing streams (per-shard, no global sort)
+STRAT_RATE_PCT = 20  # per-language sampling quota
+
+
+@query(
+    "d12_token_stream_pack",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             doc_id % {PACK_SHARDS} AS shard,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_prev
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           cum_prev // {PACK_BUDGET} AS start_seq,
+           cum_prev % {PACK_BUDGET} AS start_offset,
+           (cum_prev + n_tokens - 1) // {PACK_BUDGET} AS end_seq,
+           (cum_prev + n_tokens - 1) // {PACK_BUDGET} > cum_prev // {PACK_BUDGET}
+             AS spans_boundary
+    FROM c
+    """,
+)
+def d12_token_stream_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-stream packing: concatenate documents (deterministic
+    doc_id order) into fixed-{PACK_BUDGET}-token training sequences and
+    report, per document, which sequence/offset its tokens land in —
+    the concat-and-chunk layout LLM pretraining actually uses (docs
+    straddle sequence boundaries; `spans_boundary` counts them).
+
+    Scale posture: packing is inherently sequential, so it runs as
+    PACK_SHARDS independent streams (shard = doc_id mod S) — one
+    window cumsum partitioned by shard, i.e. a single narrow shuffle
+    and S parallel sorts, never a global sort. At 100 TB you raise S
+    to the write parallelism you want; the layout stays deterministic
+    and engine-reproducible (the oracle checks it exactly)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "cum_prev", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    start_seq = (F.col("cum_prev") / PACK_BUDGET).cast("long")
+    end_seq = ((F.col("cum_prev") + F.col("n_tokens") - 1) / PACK_BUDGET).cast("long")
+    return c.select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        start_seq.alias("start_seq"),
+        (F.col("cum_prev") % PACK_BUDGET).alias("start_offset"),
+        end_seq.alias("end_seq"),
+        (end_seq > start_seq).alias("spans_boundary"),
+    )
+
+
+@query(
+    "d13_stratified_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS n_lang
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(rk AS BIGINT) AS rk,
+           CAST(CEIL(n_lang * {STRAT_RATE_PCT} / 100.0) AS BIGINT) AS quota
+    FROM ranked
+    WHERE rk <= CEIL(n_lang * {STRAT_RATE_PCT} / 100.0)
+    """,
+)
+def d13_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with exact per-stratum quotas: within each
+    language, rank documents by md5(doc_id) (a deterministic uniform
+    shuffle — same sample on every run, engine, and partitioning) and
+    keep the first ceil(n * rate) — the per-language mixture control a
+    curation pipeline needs, complementing d11's global hash-mod rate.
+
+    One shuffle on the stratum key; the rank window and the count are
+    the same partitioning, so Catalyst runs them in one exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).cast("long").alias("rk"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n_lang"),
+    )
+    quota = F.ceil(F.col("n_lang") * STRAT_RATE_PCT / 100.0).cast("long")
+    return (
+        ranked.where(F.col("rk") <= quota)
+        .select("doc_id", "lang", "rk", quota.alias("quota"))
+    )
