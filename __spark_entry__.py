@@ -34,6 +34,7 @@ _SAMPLE_FIRST = [
     "f4_sentiment",
     "d12_token_stream_pack",
     "d13_stratified_sample",
+    "d14_ann_ivf_nprobe2",
     "w1_weekly_rollup",
     "o1_pagination", "o2_topk_compound", "o3_nulls_last",
     "o6_risk_leaderboard", "o7_fuzzy_topk",

@@ -25,6 +25,7 @@ BNLJ_OK = {
     "d3_ann_topk",      # broadcast probe set x corpus (brute-force ANN baseline)
     "d5_ann_lsh_bucket",  # bucket-equi but probe side broadcast w/ <> residual
     "d8_ann_ivf",       # broadcast centroid codebook fan-out (assignment pass)
+    "d14_ann_ivf_nprobe2",  # probes x broadcast codebook fan-out (cell ranking)
     "o7_fuzzy_topk",    # broadcast candidate dim for the fuzzy scorer
     "e4_crisis_impact",  # 1-row window-end scalar crossJoin
     "e7_narrative_timeline",  # 1-row anchor-date scalar crossJoin
