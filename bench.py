@@ -68,6 +68,9 @@ HEADLINE = [
     "e13_feature_series",
     "d10_corpus_curation",
     "d11_hash_sample",
+    "d12_token_stream_pack",
+    "d13_stratified_sample",
+    "d14_ann_ivf_nprobe2",
     "m3_frame_resize",
 ]
 
