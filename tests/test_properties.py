@@ -147,3 +147,49 @@ def test_chain_active_matches_reference_recurrence(spark, rows):
         ).collect()
     }
     assert got == _reference(rows)
+
+
+# ---------------------------------------------------------------- f4
+# Cross-engine sentiment parity: the Python scorer and the generated
+# DuckDB SQL must agree on the exact integer score for ARBITRARY token
+# streams (the invariant the f4 oracle depends on).
+_sent_word = st.sampled_from(
+    ["good", "bad", "very", "not", "the", "crash", "fast", "slow", "Good",
+     "BAD!", '"great"', "zzz", "layoffs", "hardly", "really", ""]
+)
+
+
+@given(st.lists(_sent_word, min_size=0, max_size=12))
+@settings(max_examples=40, deadline=None)
+def test_sentiment_python_matches_duckdb(words):
+    import duckdb
+
+    from risk_dashboard_database_spark.functions import sentiment as S
+
+    text = " ".join(words)
+    con = duckdb.connect()
+    expr = S.oracle_sql_expr("?::VARCHAR")
+    # bind the text as a parameter inside the generated expression
+    got_sql = con.execute(f"SELECT {expr}", [text]).fetchone()[0]
+    assert int(got_sql) == S.score_1e5(text)
+
+
+# --------------------------------------------------------------- d12
+# Packing conservation: every document's tokens land in a contiguous
+# [start, end] sequence range; per shard, cumulative offsets never
+# overlap and total packed tokens equal the sum of document tokens.
+@given(st.lists(st.integers(min_value=1, max_value=900), min_size=1, max_size=30))
+@settings(max_examples=20, deadline=None)
+def test_token_pack_conservation(token_counts):
+    BUDGET = 512
+    cum = 0
+    prev_end_pos = -1
+    for n in token_counts:  # one shard, doc_id order
+        start_seq, start_off = divmod(cum, BUDGET)
+        end_pos = cum + n - 1
+        end_seq = end_pos // BUDGET
+        assert end_seq >= start_seq
+        assert cum > prev_end_pos  # contiguous, never overlapping
+        prev_end_pos = end_pos
+        cum += n
+    assert cum == sum(token_counts)
