@@ -95,7 +95,7 @@ def _prune(key_dir: str, keep: str) -> None:
         entries = [
             (os.path.getmtime(os.path.join(key_dir, d)), d)
             for d in os.listdir(key_dir)
-            if d != keep
+            if d != keep and ".tmp-" not in d  # never touch in-flight writes
         ]
     except OSError:
         return
@@ -122,13 +122,23 @@ def cached_relation(key: str, sf_dir: str, build: Callable[[], DataFrame]) -> Da
     spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         df = build()
+        # Write-to-temp + atomic rename: a concurrent builder of the
+        # same (key, fingerprint) can never leave the published path
+        # half-written — whoever renames first wins, the loser reads
+        # the winner's files.
+        tmp = f"{path}.tmp-{os.getpid()}"
         try:
-            df.write.mode("overwrite").parquet(path)
+            df.write.mode("overwrite").parquet(tmp)
         except Exception:
             # Read-only store: legacy behavior (persist in-session).
+            shutil.rmtree(tmp, ignore_errors=True)
             out = df.persist()
             _CACHE[(key, fp)] = out
             return out
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
         _prune(os.path.join(MV_ROOT, key), keep=fp)
     out = spark.read.parquet(path)
     _CACHE[(key, fp)] = out

@@ -3,6 +3,10 @@
 - daily: watermarked tumbling daily rollup (availableNow == batch)
 - stateful: the T2 crisis-chain recurrence as applyInPandasWithState
   with bounded per-entity state
+- dedup: exact dedup on arrival (dropDuplicatesWithinWatermark,
+  watermark-bounded state)
+- neardup: MinHash+LSH near-dup candidate emission on arrival
+  (per-bucket stateful pair generation == batch d2 band join)
 """
 
-from . import daily, stateful  # noqa: F401
+from . import daily, dedup, neardup, stateful  # noqa: F401
