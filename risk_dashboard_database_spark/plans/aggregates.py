@@ -414,7 +414,10 @@ def a12b_storylines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), F.sum("price").alias("p")
     )
     grouped = per_entity.groupBy("sector", "tag").agg(
-        F.count("*").alias("n_entities"),
+        # count(entity), not count(*): the per-entity grain would give a
+        # NULL entity its own row, and countDistinct (the semantics this
+        # rewrite replaced) never counted NULLs
+        F.count("entity").alias("n_entities"),
         F.sum("n").alias("n_events"),
         F.sum("p").cast("double").alias("total_value"),
         F.array_join(

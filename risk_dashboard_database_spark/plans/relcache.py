@@ -28,10 +28,14 @@ get partition pruning and column pruning for free, and an executor loss
 or new session never recompiles or repays the build.
 
 The store keys on a content fingerprint of the source dataset (file
-names, sizes, and head/tail byte hashes of every parquet in sf_dir), so
-regenerated-but-identical testdata reuses the store while any content
-change rebuilds. A bounded number of dataset fingerprints is kept per
-relation (LRU by mtime) so test-tmp datasets cannot grow the store
+names, sizes, and head/tail byte hashes of every parquet in sf_dir).
+The fingerprint is memoized per sf_dir but REVALIDATED against a cheap
+stat signature (name/size/mtime) on every call, so a dataset
+regenerated mid-session is noticed immediately — regenerated-but-
+identical bytes reuse the store, any content change rebuilds. Publishes
+are atomic (write to a per-pid temp dir, os.rename into place); a
+bounded number of dataset fingerprints is kept per relation (LRU by
+mtime, refreshed on use) so test-tmp datasets cannot grow the store
 without bound.
 """
 
@@ -40,6 +44,8 @@ from __future__ import annotations
 import hashlib
 import os
 import shutil
+import time
+import warnings
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,27 +55,46 @@ MV_ROOT = os.environ.get("SPARK_GRAFT_MV_DIR", "/root/repo/.mvstore")
 # Datasets kept per relation key (sf0.001 + sf0.01 + sf0.1 + one spare).
 KEEP_DATASETS = 4
 
+# Orphaned atomic-write temp dirs older than this are reclaimed.
+TMP_REAP_SECONDS = 6 * 3600
+
 # (key, fingerprint) -> scan DataFrame for this session. Nothing is
-# persisted in memory; this only avoids re-deriving the fingerprint and
-# re-creating the reader on every call.
+# persisted in memory (except the read-only-store fallback); this only
+# avoids re-creating the reader on every call.
 _CACHE: dict[tuple[str, str], DataFrame] = {}
 
-# sf_dir -> fingerprint memo (stat + 8KB reads per table, done once).
-_FP: dict[str, str] = {}
+# sf_dir -> (stat signature, content fingerprint). The stat signature
+# (names/sizes/mtimes — microseconds to compute) is rechecked on every
+# call; the 8 KiB content reads rerun only when it changes.
+_FP: dict[str, tuple[str, str]] = {}
+
+
+def _stat_sig(sf_dir: str) -> str:
+    try:
+        names = sorted(n for n in os.listdir(sf_dir) if n.endswith(".parquet"))
+    except OSError:
+        return "<nodir>"
+    parts = []
+    for n in names:
+        try:
+            st = os.stat(os.path.join(sf_dir, n))
+            parts.append(f"{n}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            continue
+    return "|".join(parts)
 
 
 def _fingerprint(sf_dir: str) -> str:
     """Content fingerprint of a dataset dir: for every *.parquet, the
     name, size, and md5 of the first+last 4 KiB (covers the parquet
     footer, so metadata or data changes always change the print)."""
+    sig = _stat_sig(sf_dir)
     memo = _FP.get(sf_dir)
-    if memo is not None:
-        return memo
+    if memo is not None and memo[0] == sig:
+        return memo[1]
     h = hashlib.md5(os.path.abspath(sf_dir).encode())
     try:
-        names = sorted(
-            n for n in os.listdir(sf_dir) if n.endswith(".parquet")
-        )
+        names = sorted(n for n in os.listdir(sf_dir) if n.endswith(".parquet"))
     except OSError:
         names = []
     for n in names:
@@ -85,23 +110,51 @@ def _fingerprint(sf_dir: str) -> str:
         h.update(f"{n}:{size}:".encode())
         h.update(hashlib.md5(head + tail).digest())
     fp = h.hexdigest()[:16]
-    _FP[sf_dir] = fp
+    _FP[sf_dir] = (sig, fp)
     return fp
 
 
 def _prune(key_dir: str, keep: str) -> None:
-    """Drop oldest dataset materializations beyond KEEP_DATASETS."""
+    """Drop oldest dataset materializations beyond KEEP_DATASETS (LRU
+    by dir mtime, which cached_relation refreshes on every use) and
+    reap orphaned temp dirs from crashed writers."""
+    now = time.time()
     try:
-        entries = [
-            (os.path.getmtime(os.path.join(key_dir, d)), d)
-            for d in os.listdir(key_dir)
-            if d != keep and ".tmp-" not in d  # never touch in-flight writes
-        ]
+        listing = os.listdir(key_dir)
     except OSError:
         return
+    entries = []
+    for d in listing:
+        p = os.path.join(key_dir, d)
+        try:
+            mtime = os.path.getmtime(p)
+        except OSError:
+            continue
+        if ".tmp-" in d:
+            # in-flight writes are short-lived; anything old is a crash leftover
+            if now - mtime > TMP_REAP_SECONDS:
+                shutil.rmtree(p, ignore_errors=True)
+            continue
+        if d != keep:
+            entries.append((mtime, d))
     entries.sort(reverse=True)
     for _, d in entries[KEEP_DATASETS - 1 :]:
         shutil.rmtree(os.path.join(key_dir, d), ignore_errors=True)
+
+
+def _store_writable() -> bool:
+    """Probe once per call site that MV_ROOT accepts writes, so a real
+    write failure (disk full, bad build plan) is never misdiagnosed as
+    a read-only checkout and silently swallowed."""
+    try:
+        os.makedirs(MV_ROOT, exist_ok=True)
+        probe = os.path.join(MV_ROOT, f".probe-{os.getpid()}")
+        with open(probe, "w") as f:
+            f.write("w")
+        os.remove(probe)
+        return True
+    except OSError:
+        return False
 
 
 def cached_relation(key: str, sf_dir: str, build: Callable[[], DataFrame]) -> DataFrame:
@@ -109,7 +162,9 @@ def cached_relation(key: str, sf_dir: str, build: Callable[[], DataFrame]) -> Da
     content of sf_dir), building and writing it on first use anywhere.
 
     Falls back to a session-persisted DataFrame if the store is not
-    writable (read-only checkout)."""
+    writable (read-only checkout); in that mode, switching datasets
+    evicts the previous entry for the key so persisted blocks never
+    accumulate (the pre-durable-store invariant)."""
     fp = _fingerprint(sf_dir)
     hit = _CACHE.get((key, fp))
     if hit is not None:
@@ -122,24 +177,38 @@ def cached_relation(key: str, sf_dir: str, build: Callable[[], DataFrame]) -> Da
     spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         df = build()
-        # Write-to-temp + atomic rename: a concurrent builder of the
-        # same (key, fingerprint) can never leave the published path
-        # half-written — whoever renames first wins, the loser reads
-        # the winner's files.
-        tmp = f"{path}.tmp-{os.getpid()}"
-        try:
-            df.write.mode("overwrite").parquet(tmp)
-        except Exception:
-            # Read-only store: legacy behavior (persist in-session).
-            shutil.rmtree(tmp, ignore_errors=True)
+        if not _store_writable():
+            warnings.warn(
+                f"MV store {MV_ROOT!r} is not writable; falling back to a "
+                f"session-persisted relation for {key!r} (plan shape will "
+                "include the build tree)",
+                stacklevel=2,
+            )
+            # evict other datasets' fallback entries for this key
+            for k in [k for k in _CACHE if k[0] == key]:
+                _CACHE.pop(k).unpersist()
             out = df.persist()
             _CACHE[(key, fp)] = out
             return out
+        # Write-to-temp + atomic rename: a concurrent builder of the
+        # same (key, fingerprint) can never leave the published path
+        # half-written — whoever renames first wins, the loser reads
+        # the winner's files. Write errors here are REAL (the store is
+        # writable) and propagate.
+        tmp = f"{path}.tmp-{os.getpid()}"
+        df.write.mode("overwrite").parquet(tmp)
         try:
             os.rename(tmp, path)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)  # lost the race
-        _prune(os.path.join(MV_ROOT, key), keep=fp)
+    else:
+        # refresh LRU recency so _prune never evicts the datasets
+        # actually in use (mtime otherwise records build time only)
+        try:
+            os.utime(path)
+        except OSError:
+            pass
+    _prune(os.path.join(MV_ROOT, key), keep=fp)
     out = spark.read.parquet(path)
     _CACHE[(key, fp)] = out
     return out

@@ -172,6 +172,11 @@ def u3_evidence_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("suf"),
     )
     evidence = orders.unionByName(lines).unionByName(events)
+    # INVARIANT: suf comes from non-null enum columns (o_orderpriority /
+    # l_returnflag / event_type are NOT NULL in the schema, like the
+    # reference's evidence-type enums) — the inner dictionary join below
+    # relies on it; a NULL suf would drop the row, where the oracle's
+    # DISTINCT ON would keep it with a NULL title.
     # (1) enum dictionary: rank suffixes lexicographically within each
     # weight so (max weight, min suffix) == max(packed).
     codes = (

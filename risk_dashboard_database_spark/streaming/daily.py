@@ -21,22 +21,32 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, events_dir: str, schema=None
+) -> DataFrame:
     """readStream over an events parquet directory with the schema
     derived from the files themselves (a batch-read footer probe —
     the same per-file probe tables.load_table does). Testdata `ts` is
     plain parquet timestamp[us] and is read natively; if a source ever
     ships TIMESTAMP(NANOS) columns (read as long under the session's
     nanosAsLong guard), they are truncated to micros here exactly like
-    the batch loaders do — so stream and batch always agree."""
+    the batch loaders do — so stream and batch always agree.
+
+    To start the stream BEFORE any file has landed (the normal file-
+    source pattern), pass `schema` explicitly — e.g.
+    `tables.load_table(spark, sf_dir, "events").schema` — since an
+    empty directory has nothing to probe."""
     from pyspark.sql.types import TimestampNTZType
 
     from ..tables import _nanos_ts_columns
 
-    schema = spark.read.parquet(events_dir).schema
+    schema = schema or spark.read.parquet(events_dir).schema
     ev = spark.readStream.schema(schema).parquet(events_dir)
+    # probe EVERY present file so a later-arriving ns file in a mixed
+    # directory can't silently bypass the guard
     files = sorted(glob.glob(os.path.join(events_dir, "*.parquet")))
-    for c in _nanos_ts_columns(files[0]) if files else []:
+    ns_cols = {c for f in files for c in _nanos_ts_columns(f)}
+    for c in sorted(ns_cols):
         ev = ev.withColumn(c, F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS LONG))"))
     # Watermarks require TIMESTAMP (ltz); parquet timestamp[us] without
     # tz metadata reads as TIMESTAMP_NTZ. The session timezone is pinned
@@ -52,11 +62,12 @@ def stream_daily_counts(
     spark: SparkSession,
     events_dir: str,
     watermark: str = "2 days",
+    schema=None,
 ) -> DataFrame:
     """readStream over a parquet directory -> per-(day, user) class
     counts with late-data watermarking — the streaming twin of
     plans/common.user_day."""
-    ev = read_events_stream(spark, events_dir)
+    ev = read_events_stream(spark, events_dir, schema=schema)
     flag = lambda t: F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).cast("long")  # noqa: E731
     return (
         ev.withWatermark("ts", watermark)

@@ -29,11 +29,12 @@ def stream_exact_dedup(
     spark: SparkSession,
     events_dir: str,
     watermark: str = "2 days",
+    schema=None,
 ) -> DataFrame:
     """readStream over the events directory -> first-admitted row per
     url_hash within the watermark horizon. Columns: ts, event_id,
-    url_hash."""
-    ev = read_events_stream(spark, events_dir)
+    url_hash. Pass `schema` to start on an empty directory."""
+    ev = read_events_stream(spark, events_dir, schema=schema)
     hashed = ev.select(
         "ts",
         "event_id",

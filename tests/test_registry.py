@@ -29,3 +29,12 @@ def test_names_follow_survey_convention():
 def test_entry_module_forwards_registry():
     assert entry_mod.queries().keys() == QUERIES.keys()
     assert entry_mod.oracle_sql().keys() == ORACLES.keys()
+
+
+def test_sample_first_names_all_resolve():
+    # _SAMPLE_FIRST exists to guarantee least-recently-validated queries
+    # are sampled first; a typo or rename must fail loudly, not silently
+    # demote the query to the tail of the ordering
+    unknown = [n for n in entry_mod._SAMPLE_FIRST if n not in QUERIES]
+    assert not unknown, f"_SAMPLE_FIRST names not in registry: {unknown}"
+    assert len(set(entry_mod._SAMPLE_FIRST)) == len(entry_mod._SAMPLE_FIRST)

@@ -64,6 +64,8 @@ def test_content_change_rebuilds(spark, tmp_path, mv_root):
 
     assert relcache.cached_relation("k", str(data), build).count() == 3
     spark.range(5).toDF("id").write.mode("overwrite").parquet(str(data))
-    relcache.clear()  # drop the fingerprint memo so the change is seen
+    # NO clear(): the per-call stat revalidation must notice the
+    # regenerated dataset by itself — a stale memo here would silently
+    # serve results computed from the old data
     assert relcache.cached_relation("k", str(data), build).count() == 5
     assert len(builds) == 2
