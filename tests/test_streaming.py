@@ -40,6 +40,37 @@ def test_stream_matches_batch(spark, tmp_path):
     assert s == b and len(s) > 0
 
 
+def test_stream_starts_on_empty_directory(spark, tmp_path):
+    """A stream defined before any file lands (explicit schema) drains
+    empty, then picks up the first arriving file — the normal file-
+    source deployment pattern."""
+    from risk_dashboard_database_spark.tables import load_table
+
+    schema = load_table(spark, "/root/testdata/sf0.001", "events").schema
+    events_dir = tmp_path / "empty_events"
+    events_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt_empty")
+
+    def drain(name):
+        q = (
+            stream_daily_counts(spark, str(events_dir), schema=schema)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name).count()
+
+    assert drain("t_empty_a") == 0
+    shutil.copy(
+        "/root/testdata/sf0.001/events.parquet", events_dir / "part-0.parquet"
+    )
+    assert drain("t_empty_b") > 0
+
+
 def test_stream_incremental_late_arrival(spark, tmp_path):
     """Checkpointed incremental run: a second drain discovers only the
     newly arrived file, and a late-but-within-watermark event updates
