@@ -131,8 +131,10 @@ def _prune(key_dir: str, keep: str) -> None:
         except OSError:
             continue
         if ".tmp-" in d:
-            # in-flight writes are short-lived; anything old is a crash leftover
-            if now - mtime > TMP_REAP_SECONDS:
+            # reap crash leftovers only: old AND the writing pid is gone
+            # (dir mtime may not advance during one long part-file write,
+            # so age alone must never condemn a live writer's temp)
+            if now - mtime > TMP_REAP_SECONDS and not _pid_alive(d):
                 shutil.rmtree(p, ignore_errors=True)
             continue
         if d != keep:
@@ -142,16 +144,41 @@ def _prune(key_dir: str, keep: str) -> None:
         shutil.rmtree(os.path.join(key_dir, d), ignore_errors=True)
 
 
+def _pid_alive(tmp_dir_name: str) -> bool:
+    """True if the pid embedded in a '<fp>.tmp-<pid>' name still runs
+    (conservatively True when the name doesn't parse)."""
+    try:
+        pid = int(tmp_dir_name.rsplit(".tmp-", 1)[1])
+        os.kill(pid, 0)
+        return True
+    except (IndexError, ValueError):
+        return True
+    except ProcessLookupError:
+        return False
+    except OSError:
+        return True  # EPERM etc.: someone owns it — leave it alone
+
+
 def _store_writable() -> bool:
     """Probe once per call site that MV_ROOT accepts writes, so a real
     write failure (disk full, bad build plan) is never misdiagnosed as
-    a read-only checkout and silently swallowed."""
+    a read-only checkout and silently swallowed. The probe name is
+    thread-unique (threading.get_ident) — two threads of one process
+    probing concurrently must not delete each other's file and read
+    the FileNotFoundError as 'read-only'."""
+    import threading
+
     try:
         os.makedirs(MV_ROOT, exist_ok=True)
-        probe = os.path.join(MV_ROOT, f".probe-{os.getpid()}")
+        probe = os.path.join(
+            MV_ROOT, f".probe-{os.getpid()}-{threading.get_ident()}"
+        )
         with open(probe, "w") as f:
             f.write("w")
-        os.remove(probe)
+        try:
+            os.remove(probe)
+        except FileNotFoundError:
+            pass
         return True
     except OSError:
         return False
@@ -166,10 +193,17 @@ def cached_relation(key: str, sf_dir: str, build: Callable[[], DataFrame]) -> Da
     evicts the previous entry for the key so persisted blocks never
     accumulate (the pre-durable-store invariant)."""
     fp = _fingerprint(sf_dir)
+    path = os.path.join(MV_ROOT, key, fp)
     hit = _CACHE.get((key, fp))
     if hit is not None:
+        # refresh LRU recency on EVERY use (not just session-cache
+        # misses): another process's _prune must see in-service
+        # datasets as recent, or it could evict them mid-query
+        try:
+            os.utime(path)
+        except OSError:
+            pass
         return hit
-    path = os.path.join(MV_ROOT, key, fp)
     # getActiveSession is thread-local; fall back to the default session
     # so a caller invoking from a different thread than the one that
     # built the session still resolves it (getOrCreate returns the
@@ -196,7 +230,14 @@ def cached_relation(key: str, sf_dir: str, build: Callable[[], DataFrame]) -> Da
         # the winner's files. Write errors here are REAL (the store is
         # writable) and propagate.
         tmp = f"{path}.tmp-{os.getpid()}"
-        df.write.mode("overwrite").parquet(tmp)
+        try:
+            df.write.mode("overwrite").parquet(tmp)
+        except BaseException:
+            # the error is real and propagates, but never leave the
+            # half-written temp behind (worst offender in a disk-full
+            # incident is the leftover junk itself)
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         try:
             os.rename(tmp, path)
         except OSError:

@@ -40,10 +40,16 @@ def read_events_stream(
 
     from ..tables import _nanos_ts_columns
 
-    schema = schema or spark.read.parquet(events_dir).schema
+    if schema is None:  # not truthiness: an explicit empty StructType must error below, not silently re-probe
+        schema = spark.read.parquet(events_dir).schema
     ev = spark.readStream.schema(schema).parquet(events_dir)
-    # probe EVERY present file so a later-arriving ns file in a mixed
-    # directory can't silently bypass the guard
+    # Probe every file PRESENT AT DEFINITION TIME for TIMESTAMP(NANOS)
+    # columns (read as long under the session guard) and truncate them
+    # to micros like the batch loaders. The cast list is frozen when
+    # the stream is defined — that is a property of any static stream
+    # schema, not of this probe: a ns-typed file arriving LATER into a
+    # natively-typed stream mismatches the declared schema and fails
+    # the micro-batch loudly (never silently wrong values).
     files = sorted(glob.glob(os.path.join(events_dir, "*.parquet")))
     ns_cols = {c for f in files for c in _nanos_ts_columns(f)}
     for c in sorted(ns_cols):
