@@ -24,40 +24,42 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Sampling order for correctness runs: queries whose driver evidence is
-# oldest (or absent) first, so a bounded per-round sample always covers
-# the least-recently-validated operators. Tier 1 = no green driver row
-# in any round yet; tier 2/3 = last green in r01/r02; the remainder
-# (green in r03) follows in registry order.
+# oldest first, so a bounded per-round sample keeps every registry row's
+# latest green driver evidence at most one round old. Rotated each
+# round. Round 5: tier 1 = the 43 queries whose latest green row is
+# CORRECTNESS_r03 (they were out of the r04 sample); tier 2 = queries
+# whose plan or perf posture changed this round (re-validate the
+# rewrite); the r04-green remainder follows in registry order.
 _SAMPLE_FIRST = [
-    # tier 1 — never driver-green
-    "f3_hf_batch",
-    "f4_sentiment",
-    "d12_token_stream_pack",
-    "d13_stratified_sample",
-    "d14_ann_ivf_nprobe2",
-    "w1_weekly_rollup",
-    "o1_pagination", "o2_topk_compound", "o3_nulls_last",
-    "o6_risk_leaderboard", "o7_fuzzy_topk",
-    "p5_ilike_match", "s2_pipe_series_explode", "s_json_array_math",
-    "u1_entity_branches", "u2_key_union_dedup", "u3_evidence_union",
-    "e10_processed_articles", "e11_industry_durations",
-    "e12_narrative_tags", "e13_feature_series", "m3_frame_resize",
-    # tier 2 — last green r01
-    "w2_anomaly_baselines", "w5_latest_per_key", "w8_activity_episodes",
-    "w7_error_streak", "w10_lag_delta",
-    # tier 3 — last green r02
-    "j1_star_join", "j5_branch_union", "j6_conditional_join",
-    "j9_asof_freshness", "j10_scope_semi", "j11_unmatched_anti",
-    "m1_binary_meta", "m2_decode_features",
-    "a1_pricing_summary", "a1b_rounding_parity", "a1_daily_event_counts",
-    "s_url_normalize", "s_control_classify", "s_risk_regex",
-    "s_name_normalize", "s_date_bounds",
-    # tier 4 — r03-green queries whose perf posture changed this round
-    "d8_ann_ivf", "e6_sector_baseline", "e3_storylines",
-    "d1_exact_dedup", "d2_minhash_pairs", "d9_dedup_clusters",
-    "p2_override_daily", "j4_entity_daily_metrics",
+    # tier 1 — latest driver green is r03; every one of these must get
+    # a fresh row this round (43 names, registry order)
+    "a5_top_headlines", "a6_screen", "a7_sector_stats",
+    "a8_index_union", "a9_evidence_summary", "a10_tag_counts_map",
+    "a11_majority_vote", "a12_bucket_counts", "a12b_storylines",
+    "a13_distinct_dates", "a14_latest_lookup",
+    "a15_sector_company_count", "a16_confusion_matrix",
     "t2_crisis_chain", "u4_anomaly_rules",
+    "d4_ngram_jaccard", "d6_simhash", "d3_ann_topk",
+    "d7_embedding_dedup", "d5_ann_lsh_bucket",
+    "t_lang_id", "t_quality_score", "t_token_count",
+    "t_fingerprint", "t_lang_confusion",
+    "d10_corpus_curation", "d11_hash_sample",
+    "e1_trend_summary", "e2_crisis_durations",
+    "f1_llm_classify",
+    "t1_narrative_rollup", "t3_first_wins_dedup",
+    "w6_anchored_windows", "w9_duration_asof",
+    "e4_crisis_impact",
+    "a2_control_counts", "a3_feature_index",
+    "j4_entity_daily_metrics",
+    "e5_evidence", "f2_feature_summary",
     "e7_narrative_timeline", "e8_crisis_patterns",
+    "e9_negative_summary",
+    # tier 2 — r04-green but plan/bench posture changed in round 5
+    # (d3 gets a cached-embedding MV; u3/a1 are the pinned bench rows;
+    # o7 has new golden fixtures)
+    "u3_evidence_union", "a1_pricing_summary", "o7_fuzzy_topk",
+    "d8_ann_ivf", "d14_ann_ivf_nprobe2", "e11_industry_durations",
+    "e6_sector_baseline",
 ]
 
 
