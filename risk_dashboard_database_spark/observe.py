@@ -87,15 +87,23 @@ def single_flight(lock_dir: str, name: str) -> Iterator[bool]:
         pid = _lock_pid(path)
         stale = pid is not None and not _pid_running(pid)
         if stale:
+            # Break the stale lock atomically: rename it to a per-pid
+            # tombstone first. Only the process whose rename succeeds
+            # deletes it; a second breaker's rename fails with ENOENT,
+            # so it can never remove a lock a rival just re-created.
+            tomb = f"{path}.stale.{os.getpid()}"
             try:
-                os.remove(path)
+                os.rename(path, tomb)
+                os.remove(tomb)
             except OSError:
                 pass
             acquired = try_acquire()
     try:
         yield acquired
     finally:
-        if acquired:
+        if acquired and _lock_pid(path) == os.getpid():
+            # Re-check ownership: if a crash-recovery breaker stole and
+            # re-issued the lock, removing it here would unlock a rival.
             try:
                 os.remove(path)
             except OSError:

@@ -84,10 +84,29 @@ def _stat_sig(sf_dir: str) -> str:
     return "|".join(parts)
 
 
+def _footer_bytes(f, size: int) -> bytes:
+    """The complete parquet footer metadata block. The file trailer is
+    ``<4-byte little-endian footer length><'PAR1'>``; the footer holds
+    every row group's column stats, offsets, and encodings, so ANY data
+    change — even one that preserves file size — changes these bytes.
+    Falls back to the last 4 KiB for non-parquet/truncated files."""
+    if size >= 8:
+        f.seek(size - 8)
+        trailer = f.read(8)
+        if trailer[4:] == b"PAR1":
+            flen = int.from_bytes(trailer[:4], "little")
+            if 0 < flen <= size - 8:
+                f.seek(size - 8 - flen)
+                return f.read(flen + 8)
+    f.seek(max(0, size - 4096))
+    return f.read(4096)
+
+
 def _fingerprint(sf_dir: str) -> str:
     """Content fingerprint of a dataset dir: for every *.parquet, the
-    name, size, and md5 of the first+last 4 KiB (covers the parquet
-    footer, so metadata or data changes always change the print)."""
+    name, size, first 4 KiB, and the ENTIRE parquet footer (row-group
+    stats + offsets), so a mid-file data change that preserves size
+    still changes the print."""
     sig = _stat_sig(sf_dir)
     memo = _FP.get(sf_dir)
     if memo is not None and memo[0] == sig:
@@ -103,12 +122,11 @@ def _fingerprint(sf_dir: str) -> str:
             size = os.path.getsize(p)
             with open(p, "rb") as f:
                 head = f.read(4096)
-                f.seek(max(0, size - 4096))
-                tail = f.read(4096)
+                footer = _footer_bytes(f, size)
         except OSError:
             continue
         h.update(f"{n}:{size}:".encode())
-        h.update(hashlib.md5(head + tail).digest())
+        h.update(hashlib.md5(head + footer).digest())
     fp = h.hexdigest()[:16]
     _FP[sf_dir] = (sig, fp)
     return fp
@@ -241,7 +259,17 @@ def cached_relation(key: str, sf_dir: str, build: Callable[[], DataFrame]) -> Da
         try:
             os.rename(tmp, path)
         except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+            # Either a concurrent builder won the race (fine: read its
+            # complete output) or the rename failed for another reason
+            # and `path` is junk. Distinguish via the _SUCCESS marker —
+            # a completed Spark parquet write always has one. If it's
+            # missing, clear the wreck and retry our own publish rather
+            # than silently scanning partial part-files.
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                shutil.rmtree(path, ignore_errors=True)
+                os.rename(tmp, path)  # second failure is real: raise
+            else:
+                shutil.rmtree(tmp, ignore_errors=True)  # lost the race
     else:
         # refresh LRU recency so _prune never evicts the datasets
         # actually in use (mtime otherwise records build time only)

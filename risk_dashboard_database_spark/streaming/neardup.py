@@ -17,8 +17,9 @@ density" argument the batch plan makes; no all-pairs comparison ever
 happens, in batch or stream.
 
 Scale posture: state is per-bucket and grows with DISTINCT bucket
-membership, not with stream length (duplicate signatures re-emit
-without growing state). At 100 TB you would attach an ingest-time
+membership, not with stream length (a doc_id that reappears is
+skipped entirely: no re-emit, no state growth — its pairs were
+emitted on first arrival, so replay stays exactly-once). At 100 TB you would attach an ingest-time
 timestamp and evict buckets via state timeout past the dedup horizon
 (the same watermark story as streaming/dedup.py); the documents table
 has no event-time column, so the tests run NoTimeout with bounded
@@ -83,16 +84,20 @@ def _emit_pairs(
 ) -> Iterator[pd.DataFrame]:
     band = int(key[0])
     seen: list[int] = list(state.get[0]) if state.exists else []
+    member = set(seen)  # O(1) membership; `seen` keeps arrival order
     rows: list[tuple[int, int, int]] = []
     for pdf in batches:
-        # fold arrivals in doc_id order so replay is deterministic
+        # fold arrivals in doc_id order so replay is deterministic; a
+        # doc_id already in state is SKIPPED (no re-emit, no state
+        # growth) — its pairs were emitted on first arrival
         for doc_id in sorted(int(d) for d in pdf["doc_id"]):
-            if doc_id in seen:
+            if doc_id in member:
                 continue
             rows.extend(
                 (min(doc_id, other), max(doc_id, other), band) for other in seen
             )
             seen.append(doc_id)
+            member.add(doc_id)
     state.update((seen,))
     yield pd.DataFrame(rows, columns=["doc_a", "doc_b", "band"])
 
