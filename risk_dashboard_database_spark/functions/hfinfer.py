@@ -65,7 +65,12 @@ def infer_batch(
     if backend != "fake":
         raise NotImplementedError(
             f"backend {backend!r}: transformer inference needs model "
-            "weights not present in this environment"
+            "weights not present in this environment. Plug-in point: "
+            "replace _fake_model in "
+            "risk_dashboard_database_spark.functions.hfinfer with a "
+            "callable texts -> logits (e.g. a transformers pipeline); "
+            "infer_batch's mapInPandas batching/truncation is "
+            "backend-independent and stays as-is"
         )
     fields = [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
     schema = ", ".join(

@@ -67,7 +67,12 @@ def classify_batch(df: DataFrame, text_col: str, backend: str = "fake") -> DataF
     if backend != "fake":
         raise NotImplementedError(
             f"backend {backend!r}: live LLM classification needs network "
-            "access and credentials not present in this environment"
+            "access and credentials not present in this environment. "
+            "Plug-in point: replace fake_classify in "
+            "risk_dashboard_database_spark.functions.llm with a "
+            "callable text -> dict hitting your provider (temp 0, JSON "
+            "response parsed via salvage_json); classify_batch's "
+            "mapInPandas plumbing stays as-is"
         )
     fields = [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
     schema = ", ".join(

@@ -79,7 +79,11 @@ def decode_media(payload: bytes, codec: str) -> dict:
         }
     raise NotImplementedError(
         f"codec {codec!r}: media decoding requires image/audio libraries "
-        "not present in this environment"
+        "not present in this environment. Plug-in point: add a branch "
+        "for your codec in decode_media in "
+        "risk_dashboard_database_spark.plans.multimodal returning "
+        "{width, height, n_frames} (e.g. via PIL / av); the mapInPandas "
+        "batch shape in m2_decode_features stays as-is"
     )
 
 

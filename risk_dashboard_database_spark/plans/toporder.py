@@ -11,6 +11,7 @@ exchange — which is the 100 TB-safe shape for every query here.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -191,46 +192,38 @@ def o6_risk_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("o7_fuzzy_topk")  # no oracle: SequenceMatcher has no SQL equivalent (F-surface)
-def o7_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy-suggestion top-k (O7): score candidates with
-    `difflib.SequenceMatcher.ratio()` (exact reference parity requires
-    the same algorithm — `app.py:1048-1056,1097-1161`), keep scores
-    >= 0.72, sort (-score, name), take 5 per probe; a probe resolves
-    only if best >= 0.84 and beats the runner-up by >= 0.01
-    (`app.py:1204-1217,1253-1334`).
+def fuzzy_resolve(probes: DataFrame, candidates: DataFrame) -> DataFrame:
+    """The fuzzy-resolution core, reference-parity semantics
+    (`app.py:1048-1056,1097-1161,1204-1217,1253-1334`):
 
-    Probes are customer names with their last 3 chars dropped
-    (deterministic). Scoring runs as an Arrow-batched pandas UDF over a
-    broadcast candidate join — at scale candidates are a dim table, so
-    the fact side never shuffles; the UDF is the only Python in the
-    plan, batched, never row-at-a-time."""
-    import pandas as pd  # noqa: F401
+    - score = ``difflib.SequenceMatcher(None, lower(probe),
+      lower(candidate)).ratio()``
+    - keep scores >= 0.72 (the suggestion threshold)
+    - per probe: sort (-score, candidate), keep the top 5
+    - ``resolved`` = 1 only on the rank-1 row, only when best >= 0.84
+      AND (no runner-up OR best - runner >= 0.01)
+
+    ``probes`` must have (probe_id, probe_name); ``candidates`` must
+    have (candidate). Exposed separately from the o7 query so golden
+    fixtures can pin the thresholds with hand-computed cases.
+
+    Scoring runs as an Arrow-batched pandas UDF over a broadcast
+    candidate join — at scale candidates are a dim table, so the fact
+    side never shuffles; the UDF is the only Python in the plan,
+    batched, never row-at-a-time."""
     from pyspark.sql.functions import pandas_udf
 
-    cust = load_table(spark, sf_dir, "customer")
-    probes = (
-        cust.where(F.col("c_custkey") % 100 == 0)
-        .select(
-            F.col("c_custkey").alias("probe_id"),
-            F.expr("substring(c_name, 1, length(c_name) - 3)").alias("probe_name"),
-        )
-    )
-    candidates = cust.select(F.col("c_name").alias("candidate"))
-
-    def _seq_ratio(a, b):
-        import pandas as pd
+    # Series->Series scalar pandas UDF via type hints (the modern,
+    # non-deprecated form); `pd` is a module-level import so
+    # get_type_hints can resolve the stringified annotations that
+    # `from __future__ import annotations` produces.
+    @pandas_udf("double")
+    def seq_ratio(a: pd.Series, b: pd.Series) -> pd.Series:
         from difflib import SequenceMatcher
 
         return pd.Series(
             [SequenceMatcher(None, x, y).ratio() for x, y in zip(a, b)]
         )
-
-    # Explicit Series->Series eval type: type-hint inference can't see
-    # through `from __future__ import annotations` here.
-    from pyspark.sql.pandas.functions import PandasUDFType
-
-    seq_ratio = pandas_udf(_seq_ratio, "double", PandasUDFType.SCALAR)
 
     # Lossless length-band prefilter BEFORE the Python UDF:
     # SequenceMatcher.ratio() = 2*M/(la+lb) with M <= min(la, lb), so
@@ -273,3 +266,19 @@ def o7_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("resolved"),
     )
+
+
+@query("o7_fuzzy_topk")  # no oracle: SequenceMatcher has no SQL equivalent (F-surface)
+def o7_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-suggestion top-k (O7) over the customer dim: probes are
+    customer names with their last 3 chars dropped (deterministic);
+    candidates are the full name set. All scoring/threshold semantics
+    live in :func:`fuzzy_resolve` (reference parity:
+    `app.py:1048-1056,1097-1161,1204-1217`)."""
+    cust = load_table(spark, sf_dir, "customer")
+    probes = cust.where(F.col("c_custkey") % 100 == 0).select(
+        F.col("c_custkey").alias("probe_id"),
+        F.expr("substring(c_name, 1, length(c_name) - 3)").alias("probe_name"),
+    )
+    candidates = cust.select(F.col("c_name").alias("candidate"))
+    return fuzzy_resolve(probes, candidates)
