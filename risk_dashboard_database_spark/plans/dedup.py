@@ -381,6 +381,28 @@ _DOT_SQL = """
 """
 
 
+def _normed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with their L2 norm precomputed, through the MV seam:
+    the norm is an index-like derived column every cosine consumer
+    needs, so compute it once per vector (O(n * dim)) and store it,
+    rather than per candidate pair (O(pairs * dim)). The expression is
+    exactly `sqrt(_dot_spark(e, e))` so downstream cosines match the
+    inline formulation bit-for-bit."""
+    from .relcache import cached_relation
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def _build() -> DataFrame:
+        return emb.select(
+            "vec_id",
+            "label",
+            "embedding",
+            F.sqrt(_dot_spark(F.col("embedding"), F.col("embedding"))).alias("norm"),
+        )
+
+    return cached_relation("d3_normed", sf_dir, _build)
+
+
 # ---------------------------------------------------------------- d3
 @query(
     "d3_ann_topk",
@@ -407,15 +429,28 @@ def d3_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline): broadcast the (small) query set against the corpus, fold
     dot products JVM-side, TakeOrdered top-5 per query. At scale the
     corpus shards and this exact plan runs per shard + a final top-k
-    merge — no index needed for the baseline."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    merge — no index needed for the baseline.
+
+    The per-vector L2 norm is precomputed once into a stored MV
+    (`_normed_embeddings`) instead of being re-folded per PAIR: the
+    pair loop drops from three array folds to one, a 3x compute cut
+    that at 100 TB is the difference between O(pairs * dim) and
+    O(3 * pairs * dim) FLOPs. `sqrt(dot(e, e))` in the MV uses the
+    exact expression the inline form used, so cosine values are
+    bit-identical to the oracle's."""
+    normed = _normed_embeddings(spark, sf_dir)
     q = F.broadcast(
-        emb.where(F.col("vec_id") % 50 == 0).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        normed.where(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("norm").alias("qnorm"),
         )
     )
-    cand = emb.select(
-        F.col("vec_id").alias("candidate_id"), "label", F.col("embedding").alias("ce")
+    cand = normed.select(
+        F.col("vec_id").alias("candidate_id"),
+        "label",
+        F.col("embedding").alias("ce"),
+        F.col("norm").alias("cnorm"),
     )
     scored = q.join(cand, F.col("candidate_id") != F.col("query_id")).select(
         "query_id",
@@ -423,10 +458,7 @@ def d3_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         (
             _dot_spark(F.col("qe"), F.col("ce"))
-            / (
-                F.sqrt(_dot_spark(F.col("qe"), F.col("qe")))
-                * F.sqrt(_dot_spark(F.col("ce"), F.col("ce")))
-            )
+            / (F.col("qnorm") * F.col("cnorm"))
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("candidate_id"))
