@@ -1,0 +1,91 @@
+"""Build a key-shifted K-times replica of an SF dir for scale-curve
+checks (VERDICT r4 #7).
+
+Fact tables (lineitem, orders, events, documents) are replicated K
+times with copy-disjoint primary keys, so per-key semantics (joins,
+sessionization, dedup groups) are preserved while data volume grows
+K-fold. Dimension tables (region, nation, customer, supplier, part)
+and the ANN corpus (embeddings) are copied 1:1:
+
+- dims: at 100 TB the fact:dim ratio grows, not shrinks — scaling the
+  facts against fixed dims is exactly the production growth law, and
+  it keeps broadcast-ability assumptions honest;
+- embeddings: every ANN query derives its probe set from the corpus
+  (vec_id % 50), so scaling the corpus scales probes with it and ANY
+  top-k plan — even a perfect index — does K^2 the work. That measures
+  the workload definition, not the plan; the ANN scale story is the
+  d3 (brute) vs d5/d8/d14 (bucketed) comparison at fixed SF instead.
+
+Document text gets a per-copy suffix (and n_chars is kept consistent)
+so the near-dup family sees mostly-distinct shingles rather than a
+degenerate K-way exact-duplicate corpus whose candidate-pair count
+would grow quadratically for data reasons, not plan reasons.
+
+Usage: python tools/scaleup.py [K] [src_dir] [dst_dir]
+Defaults: K=10, src=/root/testdata/sf0.1, dst=/tmp/sfscale{K}
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+SHIFT = 1_000_000_000  # copy i shifts bigint keys by i * SHIFT
+
+FACT_SQL = {
+    "lineitem": """
+        SELECT l_orderkey + {off} AS l_orderkey, l_partkey, l_suppkey,
+               l_linenumber, l_quantity, l_extendedprice, l_discount,
+               l_tax, l_returnflag, l_linestatus, l_shipdate
+        FROM src
+    """,
+    "orders": """
+        SELECT o_orderkey + {off} AS o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice, o_orderdate, o_orderpriority
+        FROM src
+    """,
+    "events": """
+        SELECT event_id + {off} AS event_id, ts, user_id, event_type,
+               value, props
+        FROM src
+    """,
+    "documents": """
+        SELECT doc_id + {off} AS doc_id,
+               CASE WHEN {i} = 0 THEN text
+                    ELSE text || ' c{i}' END AS text,
+               lang, source,
+               CASE WHEN {i} = 0 THEN n_chars
+                    ELSE n_chars + {suffix_len} END AS n_chars
+        FROM src
+    """,
+}
+COPY_TABLES = ["region", "nation", "customer", "supplier", "part", "embeddings"]
+
+
+def build(k: int, src: str, dst: str) -> None:
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    for t in COPY_TABLES:
+        con.sql(
+            f"COPY (SELECT * FROM '{src}/{t}.parquet') TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        print(f"{t}: copied 1x")
+    for t, tmpl in FACT_SQL.items():
+        con.sql(f"CREATE OR REPLACE VIEW src AS SELECT * FROM '{src}/{t}.parquet'")
+        parts = []
+        for i in range(k):
+            suffix_len = len(f" c{i}")
+            parts.append(tmpl.format(off=i * SHIFT, i=i, suffix_len=suffix_len))
+        union = " UNION ALL ".join(f"({p})" for p in parts)
+        con.sql(f"COPY ({union}) TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
+        n = con.sql(f"SELECT count(*) FROM '{dst}/{t}.parquet'").fetchone()[0]
+        print(f"{t}: {n} rows ({k}x)")
+
+
+if __name__ == "__main__":
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    dst = sys.argv[3] if len(sys.argv) > 3 else f"/tmp/sfscale{k}"
+    build(k, src, dst)
