@@ -69,3 +69,36 @@ def test_content_change_rebuilds(spark, tmp_path, mv_root):
     # serve results computed from the old data
     assert relcache.cached_relation("k", str(data), build).count() == 5
     assert len(builds) == 2
+
+
+def test_fingerprint_sees_size_preserving_data_change(tmp_path):
+    """A mid-file value change that keeps file SIZE identical must still
+    change the fingerprint: the print hashes the whole parquet footer
+    (row-group stats), not a fixed byte sample (ADVICE r4)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "ds"
+    d.mkdir()
+    p = str(d / "t.parquet")
+
+    def write(vals):
+        # identical row count, schema, and encodings; plain encoding so
+        # both files land on the same byte size
+        pq.write_table(
+            pa.table({"v": pa.array(vals, pa.int64())}),
+            p,
+            use_dictionary=False,
+            compression="none",
+        )
+
+    write([1, 2, 3, 4, 5, 6, 7, 8])
+    relcache._FP.clear()
+    fp1 = relcache._fingerprint(str(d))
+    size1 = (d / "t.parquet").stat().st_size
+
+    write([1, 2, 3, 4, 5, 6, 7, 9])  # same size, one value differs
+    relcache._FP.clear()
+    fp2 = relcache._fingerprint(str(d))
+    assert (d / "t.parquet").stat().st_size == size1  # test premise
+    assert fp1 != fp2
