@@ -521,9 +521,19 @@ def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct(F.col("__cos").alias("c"), (-F.col("cid")).alias("nc")),
                 ).alias("cell"),
             )
+            # L2 norm stored WITH the index (same trick as d3's
+            # _normed_embeddings): the search join then folds ONE dot
+            # per candidate pair instead of three. Exact expression the
+            # inline form used -> cosines stay bit-identical.
+            .withColumn(
+                "norm", F.sqrt(_dot_spark(F.col("embedding"), F.col("embedding")))
+            )
         )
 
-    return cached_relation("d8_assigned", sf_dir, _build_assigned)
+    # key bumped (v2) when the norm column was added: the store is
+    # content-addressed by DATASET, so a build-logic change must change
+    # the key or stale v1 files would be reused.
+    return cached_relation("d8_assigned_v2", sf_dir, _build_assigned)
 
 
 @query(
@@ -571,12 +581,14 @@ def d8_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("cell").alias("qcell"),
+        F.col("norm").alias("qnorm"),
     )
     c = assigned.select(
         F.col("vec_id").alias("candidate_id"),
         "label",
         F.col("embedding").alias("ce2"),
         "cell",
+        F.col("norm").alias("cnorm"),
     )
     scored = q.join(
         c, (F.col("cell") == F.col("qcell")) & (F.col("candidate_id") != F.col("query_id"))
@@ -587,10 +599,7 @@ def d8_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
         (
             _dot_spark(F.col("qe"), F.col("ce2"))
-            / (
-                F.sqrt(_dot_spark(F.col("qe"), F.col("qe")))
-                * F.sqrt(_dot_spark(F.col("ce2"), F.col("ce2")))
-            )
+            / (F.col("qnorm") * F.col("cnorm"))
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("candidate_id"))
@@ -631,7 +640,7 @@ def d7_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (random synthetic embeddings top out at cosine ~0.51; real
     near-dup corpora would use ~0.95+) — the operator shape, not the
     cutoff, is what transfers."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _normed_embeddings(spark, sf_dir)
     bucket = F.array_join(
         F.transform(
             F.slice(F.col("embedding"), 1, 8),
@@ -639,22 +648,23 @@ def d7_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "",
     )
-    b = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    b = emb.select("vec_id", "embedding", "norm", bucket.alias("bucket"))
     a = b.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket"
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("norm").alias("na"),
+        "bucket",
     )
     c = b.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("eb"),
+        F.col("norm").alias("nb"),
         F.col("bucket").alias("bucket_b"),
     )
     pairs = a.join(
         c, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b"))
     )
-    cosine = _dot_spark(F.col("ea"), F.col("eb")) / (
-        F.sqrt(_dot_spark(F.col("ea"), F.col("ea")))
-        * F.sqrt(_dot_spark(F.col("eb"), F.col("eb")))
-    )
+    cosine = _dot_spark(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         pairs.select("vec_a", "vec_b", "bucket", cosine.alias("cosine"))
         .where(F.col("cosine") >= 0.40)
@@ -1202,7 +1212,9 @@ def d14_ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = _ivf_assigned(spark, sf_dir)
     centroids = _ivf_centroids(spark, sf_dir)
     probes = assigned.where(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qnorm"),
     )
     cos_to_centroid = _dot_spark(F.col("qe"), F.col("ce")) / (
         F.sqrt(_dot_spark(F.col("qe"), F.col("qe")))
@@ -1215,13 +1227,14 @@ def d14_ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         probes.join(centroids)
         .withColumn("prk", F.row_number().over(w))
         .where(F.col("prk") <= 2)
-        .select("query_id", "qe", F.col("cid").alias("pcell"))
+        .select("query_id", "qe", "qnorm", F.col("cid").alias("pcell"))
     )
     cand = assigned.select(
         F.col("vec_id").alias("candidate_id"),
         "label",
         F.col("embedding").alias("ce2"),
         "cell",
+        F.col("norm").alias("cnorm"),
     )
     scored = pcells.join(
         cand,
@@ -1234,10 +1247,7 @@ def d14_ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
         (
             _dot_spark(F.col("qe"), F.col("ce2"))
-            / (
-                F.sqrt(_dot_spark(F.col("qe"), F.col("qe")))
-                * F.sqrt(_dot_spark(F.col("ce2"), F.col("ce2")))
-            )
+            / (F.col("qnorm") * F.col("cnorm"))
         ).alias("cosine"),
     )
     wr = Window.partitionBy("query_id").orderBy(
