@@ -71,6 +71,7 @@ HEADLINE = [
     "d12_token_stream_pack",
     "d13_stratified_sample",
     "d14_ann_ivf_nprobe2",
+    "d15_decontaminate",
     "m3_frame_resize",
 ]
 
@@ -91,6 +92,7 @@ BUDGET = {
     "d1_exact_dedup": 1.0,
     "d3_ann_topk": 1.0,         # VERDICT r4 #3: norms now a stored MV
     "a1_pricing_summary": 0.9,  # VERDICT r4 #2: session pre-warmed before timing
+    "d15_decontaminate": 1.0,   # r5: gram relation stored via the MV seam
 }
 
 

@@ -1258,3 +1258,109 @@ def d14_ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .withColumn("rank", F.col("rank").cast("int"))
     )
+
+
+# --------------------------------------------------------------- d15
+_DECON_N = 4  # words per shingle; real pipelines use ~13-gram tokens —
+# this synthetic corpus is word-random, so 4 plays the same
+# rare-but-surgical role (8 of ~500 docs flagged at sf0.01)
+
+
+@query(
+    "d15_decontaminate",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT DISTINCT
+        unnest(list_transform(range(1, greatest(len(w) - {_DECON_N - 2}, 1)),
+               i -> array_to_string(list_slice(w, i, i + {_DECON_N - 1}), ' '))) AS h
+      FROM d WHERE doc_id % 97 = 0
+    ),
+    nb AS (
+      SELECT doc_id, lang,
+             list_transform(range(1, greatest(len(w) - {_DECON_N - 2}, 1)),
+               i -> array_to_string(list_slice(w, i, i + {_DECON_N - 1}), ' ')) AS hs
+      FROM d WHERE doc_id % 97 <> 0
+    ),
+    expl AS (
+      SELECT doc_id, lang,
+             unnest(CASE WHEN len(hs) = 0 THEN [NULL] ELSE hs END) AS h
+      FROM nb
+    )
+    SELECT doc_id, lang,
+           CAST(MAX(CASE WHEN h IN (SELECT h FROM bg) THEN 1 ELSE 0 END) AS INTEGER)
+             AS contaminated
+    FROM expl GROUP BY doc_id, lang
+    """,
+)
+def d15_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the classic training-data step:
+    flag every training document sharing ANY word n-gram with an
+    evaluation benchmark so it can be dropped before training. The
+    benchmark stand-in is the deterministic doc_id % 97 == 0 subset.
+
+    Plan shape (the 100 TB design): the benchmark's distinct n-grams
+    are a bounded set (benchmarks are small by definition) and
+    broadcast; the corpus side streams through explode -> broadcast
+    probe -> per-doc max-flag aggregation — ONE shuffle on doc_id
+    whose map-side partial agg collapses it to one row per doc, no
+    corpus-side distinct, no sort. The join key is the raw gram
+    (cheapest at this gram width; a production 13-gram filter would
+    xxhash64 both sides engine-internally to narrow the broadcast
+    table — collisions only over-remove, the safe direction for
+    decontamination). Docs too short to have any n-gram flow through
+    explode_outer with a null probe -> contaminated 0.
+
+    Tokenization is an ingest-time transform, not a per-query one:
+    the exploded (doc_id, lang, gram) relation is stored through the
+    MV seam (same design as d2's stored MinHash signatures), so both
+    the benchmark and corpus branches compile to plain MV scans. Short
+    gramless docs are stored with a null gram (explode_outer) so the
+    corpus branch never loses them."""
+    g = _decon_grams(spark, sf_dir)
+    bench_g = (
+        g.where((F.col("doc_id") % 97 == 0) & F.col("h").isNotNull())
+        .select("h")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        g.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench_g), "h", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.max(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("int")
+            .alias("contaminated")
+        )
+    )
+
+
+def _decon_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored word-n-gram relation for decontamination: (doc_id, lang,
+    h) with one row per overlapping n-gram, null h for docs shorter
+    than n words. The word split is PROJECTED to a bound column before
+    the gram lambda references it: higher-order functions run
+    interpreted (no whole-stage codegen) and don't common-
+    subexpression-eliminate, so an inline `split(text)` would
+    re-tokenize the document once per gram — measured 3x slower."""
+    from .relcache import cached_relation
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split(F.col("text"), " ").alias("__w")
+    )
+    words = F.col("__w")
+    grams = F.when(
+        F.size(words) >= _DECON_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (_DECON_N - 1)),
+            lambda i: F.array_join(F.slice(words, i, _DECON_N), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def _build() -> DataFrame:
+        return docs.select("doc_id", "lang", F.explode_outer(grams).alias("h"))
+
+    return cached_relation("d15_grams", sf_dir, _build)
