@@ -54,14 +54,13 @@ _SAMPLE_FIRST = [
     "e5_evidence", "f2_feature_summary",
     "e7_narrative_timeline", "e8_crisis_patterns",
     "e9_negative_summary",
-    # tier 2 — new or plan-changed in round 5 (d15 is brand-new; d3/d8/
-    # d14 got stored-norm MVs; u3/a1 are the pinned bench rows; o7 has
-    # new golden fixtures) — every behavior-touched query sits inside
-    # the 50-query sample window
-    "d15_decontaminate",
+    # tier 2 — new or plan-changed in round 5 (d15/d16 are brand-new;
+    # d3/d5/d7 in tier 1 and d8/d14 here got stored-norm MVs; u3/a1
+    # are the pinned bench rows; o7 has new golden fixtures) — every
+    # behavior-touched query sits inside the 50-query sample window
+    "d15_decontaminate", "d16_rerank",
     "u3_evidence_union", "a1_pricing_summary", "o7_fuzzy_topk",
     "d8_ann_ivf", "d14_ann_ivf_nprobe2",
-    "e6_sector_baseline",
 ]
 
 

@@ -72,6 +72,7 @@ HEADLINE = [
     "d13_stratified_sample",
     "d14_ann_ivf_nprobe2",
     "d15_decontaminate",
+    "d16_rerank",
     "m3_frame_resize",
 ]
 
@@ -93,6 +94,7 @@ BUDGET = {
     "d3_ann_topk": 1.0,         # VERDICT r4 #3: norms now a stored MV
     "a1_pricing_summary": 0.9,  # VERDICT r4 #2: session pre-warmed before timing
     "d15_decontaminate": 1.0,   # r5: gram relation stored via the MV seam
+    "d16_rerank": 1.4,          # r5: inherits d8's pipeline (pinned 1.3) + rerank
 }
 
 

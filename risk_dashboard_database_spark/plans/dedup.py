@@ -1364,3 +1364,92 @@ def _decon_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
         return docs.select("doc_id", "lang", F.explode_outer(grams).alias("h"))
 
     return cached_relation("d15_grams", sf_dir, _build)
+
+
+# --------------------------------------------------------------- d16
+def _md5_fold_sql(expr: str) -> str:
+    """BIGINT from the first 8 md5 hex chars of `expr` (DuckDB side of
+    the engine-parity hash fold; cf. d11's bucket fold)."""
+    return f"""
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, 9),
+            i -> CAST(instr('0123456789abcdef',
+                            substr(md5({expr}), i, 1)) - 1 AS BIGINT))),
+        (acc, v) -> acc * 16 + v)
+    """
+
+
+def _d16_oracle() -> str:
+    from .registry import ORACLES
+
+    ce = _md5_fold_sql(
+        "CAST(query_id AS VARCHAR) || ':' || CAST(candidate_id AS VARCHAR)"
+    )
+    return f"""
+    WITH base AS ({ORACLES["d8_ann_ivf"]}),
+    scored AS (
+      SELECT query_id, candidate_id, label, cosine,
+             ({ce}) / 4294967296.0 AS ce_score
+      FROM base
+    ),
+    rr AS (
+      SELECT query_id, candidate_id, label, cosine, ce_score,
+             0.7 * cosine + 0.3 * ce_score AS blended,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY 0.7 * cosine + 0.3 * ce_score DESC,
+                                         candidate_id) AS rerank
+      FROM scored
+    )
+    SELECT query_id, candidate_id, label, cosine, ce_score, blended,
+           CAST(rerank AS INTEGER) AS rerank
+    FROM rr WHERE rerank <= 2
+    """
+
+
+@query("d16_rerank", oracle=_d16_oracle())
+def d16_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: d8's IVF ANN supplies the top-3 candidate
+    set per probe (cheap, recall-oriented), then a cross-encoder-style
+    scorer re-ranks the candidates and keeps the top 2 (precision-
+    oriented) — the standard retrieve -> rerank topology of a
+    curation / RAG pipeline.
+
+    The scorer here is the deterministic md5-fold fake (uniform in
+    [0,1), identical arithmetic in the DuckDB oracle); a real
+    cross-encoder slots into this seam exactly like
+    functions/hfinfer.infer_batch: an Arrow-batched mapInPandas over
+    the (query, candidate) pair batch. Scale posture: the rerank
+    stage only ever sees the candidate set (k x probes rows, NOT the
+    corpus), so model cost is decoupled from corpus size — which is
+    the entire point of the topology. The rerank window partitions by
+    query_id over <= 3 rows per group."""
+    base = d8_ann_ivf(spark, sf_dir).drop("rank").drop("cell")
+    ce_score = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("query_id").cast("string"),
+                        F.lit(":"),
+                        F.col("candidate_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    ).alias("ce_score")
+    scored = base.select("query_id", "candidate_id", "label", "cosine", ce_score)
+    blended = (F.lit(0.7) * F.col("cosine") + F.lit(0.3) * F.col("ce_score"))
+    w = Window.partitionBy("query_id").orderBy(
+        blended.desc(), F.col("candidate_id")
+    )
+    return (
+        scored.withColumn("blended", blended)
+        .withColumn("rerank", F.row_number().over(w).cast("int"))
+        .where(F.col("rerank") <= 2)
+    )
