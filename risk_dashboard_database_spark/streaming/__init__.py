@@ -7,6 +7,8 @@
   watermark-bounded state)
 - neardup: MinHash+LSH near-dup candidate emission on arrival
   (per-bucket stateful pair generation == batch d2 band join)
+- decontam: benchmark decontamination on arrival (stateless literal
+  benchmark-gram probe == batch d15 flags)
 """
 
-from . import daily, dedup, neardup, stateful  # noqa: F401
+from . import daily, decontam, dedup, neardup, stateful  # noqa: F401
