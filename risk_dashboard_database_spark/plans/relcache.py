@@ -249,7 +249,17 @@ def cached_relation(key: str, sf_dir: str, build: Callable[[], DataFrame]) -> Da
         # writable) and propagate.
         tmp = f"{path}.tmp-{os.getpid()}"
         try:
-            df.write.mode("overwrite").parquet(tmp)
+            # maxRecordsPerFile: a 1-partition build (common when the
+            # source scan is serial) would otherwise emit ONE part
+            # file, making every consumer of the MV scan single-
+            # threaded — the same unsplittable-layout disease the
+            # tables.py re-layout seam fixes for sources. Chunking the
+            # write keeps the build plan and row order (so any build-
+            # side time/key clustering survives for min/max pruning)
+            # while giving downstream scans file-granular splits.
+            df.write.option("maxRecordsPerFile", 50_000).mode(
+                "overwrite"
+            ).parquet(tmp)
         except BaseException:
             # the error is real and propagates, but never leave the
             # half-written temp behind (worst offender in a disk-full
