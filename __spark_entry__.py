@@ -36,7 +36,7 @@ _SAMPLE_FIRST = [
     "a5_top_headlines", "a6_screen", "a7_sector_stats",
     "a8_index_union", "a9_evidence_summary", "a10_tag_counts_map",
     "a11_majority_vote", "a12_bucket_counts", "a12b_storylines",
-    "a13_distinct_dates", "a14_latest_lookup",
+    "a14_latest_lookup",
     "a15_sector_company_count", "a16_confusion_matrix",
     "t2_crisis_chain", "u4_anomaly_rules",
     "d4_ngram_jaccard", "d6_simhash", "d3_ann_topk",
@@ -58,9 +58,13 @@ _SAMPLE_FIRST = [
     # d3/d5/d7 in tier 1 and d8/d14 here got stored-norm MVs; u3/a1
     # are the pinned bench rows; o7 has new golden fixtures) — every
     # behavior-touched query sits inside the 50-query sample window
-    "d15_decontaminate", "d16_rerank",
+    "d15_decontaminate", "d16_rerank", "e14_narrative_overlay",
     "u3_evidence_union", "a1_pricing_summary", "o7_fuzzy_topk",
     "d8_ann_ivf", "d14_ann_ivf_nprobe2",
+    # a13_distinct_dates (trivial DISTINCT, r03-green) was displaced to
+    # keep the three new/changed queries inside the 50-slot window; it
+    # rotates back in next round
+    "a13_distinct_dates",
 ]
 
 

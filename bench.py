@@ -73,6 +73,7 @@ HEADLINE = [
     "d14_ann_ivf_nprobe2",
     "d15_decontaminate",
     "d16_rerank",
+    "e14_narrative_overlay",
     "m3_frame_resize",
 ]
 

@@ -1592,3 +1592,64 @@ def e13_feature_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             cnt(effc == "controlled").alias("controlled_count"),
         )
     )
+
+
+# ------------------------------------------------------------- e14
+def _e14_oracle() -> str:
+    from .registry import ORACLES
+
+    return f"""
+    WITH rollup AS ({ORACLES["t1_narrative_rollup"]})
+    SELECT r.date,
+           r.user_id,
+           c.c_name AS entity,
+           r.primary_tag,
+           r.is_crisis,
+           r.negative_item_count
+    FROM rollup r
+    JOIN customer c ON c.c_custkey = r.user_id
+    WHERE r.user_id % 25 = 0
+      AND r.date BETWEEN '2024-01-08' AND '2024-01-22'
+      AND r.primary_tag IS NOT NULL
+    """
+
+
+@query("e14_narrative_overlay", oracle=_e14_oracle())
+def e14_narrative_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Narrative overlay endpoint (`app.py:3908-3999`): the per-day
+    narrative rollup rows for a watchlist of entities within a date
+    window, only days where a primary tag resolved — the chart-overlay
+    feed the dashboard draws on top of trend lines. Deterministic
+    parameter stand-ins: watchlist = user_id % 25 == 0, window =
+    2024-01-08..2024-01-22 (the middle two weeks of the corpus).
+
+    Scale shape: composes the t1 rollup (whose tagging pass is the
+    dataset-cached narrative relation) with ONE broadcast dim join for
+    entity names; the date/entity filters sit directly above the
+    rollup aggregation, so at a date-partitioned 100 TB layout they
+    prune the scan. ISO date strings compare lexicographically, so
+    the BETWEEN needs no re-parse."""
+    from .narrative import t1_narrative_rollup
+
+    rollup = t1_narrative_rollup(spark, sf_dir)
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", F.col("c_name").alias("entity")
+        )
+    )
+    return (
+        rollup.where(
+            (F.col("user_id") % 25 == 0)
+            & F.col("date").between("2024-01-08", "2024-01-22")
+            & F.col("primary_tag").isNotNull()
+        )
+        .join(cust, F.col("user_id") == F.col("c_custkey"))
+        .select(
+            "date",
+            "user_id",
+            "entity",
+            "primary_tag",
+            "is_crisis",
+            "negative_item_count",
+        )
+    )
