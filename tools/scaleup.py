@@ -61,10 +61,29 @@ FACT_SQL = {
         FROM src
     """,
 }
+
+# --mode=salt documents variant: every word of copy i>0 gets a '~i'
+# suffix, so NO shingle/n-gram is shared across copies — the replica is
+# a genuinely grown corpus (near-dup pair count grows ~linearly) rather
+# than a K-way near-duplicate family (pairs grow quadratically). Use it
+# to measure the near-dup family's scale curve on distinct data.
+DOCS_SALTED_SQL = """
+    SELECT doc_id + {off} AS doc_id,
+           CASE WHEN {i} = 0 THEN text
+                ELSE array_to_string(
+                       list_transform(string_split(text, ' '),
+                                      w -> w || '~{i}'), ' ') END AS text,
+           lang, source,
+           CASE WHEN {i} = 0 THEN n_chars
+                ELSE len(array_to_string(
+                       list_transform(string_split(text, ' '),
+                                      w -> w || '~{i}'), ' ')) END AS n_chars
+    FROM src
+"""
 COPY_TABLES = ["region", "nation", "customer", "supplier", "part", "embeddings"]
 
 
-def build(k: int, src: str, dst: str) -> None:
+def build(k: int, src: str, dst: str, mode: str = "suffix") -> None:
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     for t in COPY_TABLES:
@@ -72,7 +91,10 @@ def build(k: int, src: str, dst: str) -> None:
             f"COPY (SELECT * FROM '{src}/{t}.parquet') TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
         )
         print(f"{t}: copied 1x")
-    for t, tmpl in FACT_SQL.items():
+    fact_sql = dict(FACT_SQL)
+    if mode == "salt":
+        fact_sql["documents"] = DOCS_SALTED_SQL
+    for t, tmpl in fact_sql.items():
         con.sql(f"CREATE OR REPLACE VIEW src AS SELECT * FROM '{src}/{t}.parquet'")
         parts = []
         for i in range(k):
@@ -85,7 +107,9 @@ def build(k: int, src: str, dst: str) -> None:
 
 
 if __name__ == "__main__":
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    dst = sys.argv[3] if len(sys.argv) > 3 else f"/tmp/sfscale{k}"
-    build(k, src, dst)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    mode = "salt" if "--mode=salt" in sys.argv else "suffix"
+    k = int(args[0]) if args else 10
+    src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
+    dst = args[2] if len(args) > 2 else f"/tmp/sfscale{k}{'-salt' if mode == 'salt' else ''}"
+    build(k, src, dst, mode=mode)
