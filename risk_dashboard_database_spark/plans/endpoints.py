@@ -243,22 +243,12 @@ def _narrative_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_narrative_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .narrative import narrative_tag
-    from .synth import k_col, source_host_col, title_col
+    from .narrative import narrative_candidates
 
-    ev = load_table(spark, sf_dir, "events")
-    k = k_col()
-    title = title_col(k)
+    # derives from the stored narr_cand MV: the regex tagging pass
+    # runs once per dataset for the WHOLE narrative family
     cand = (
-        ev.where(
-            (F.col("event_type") == "error")
-            & ~is_financial_routine(title, source_host_col(k))
-        )
-        .select(
-            F.col("ts").cast("date").alias("date"),
-            "user_id",
-            narrative_tag(title).alias("tag"),
-        )
+        narrative_candidates(spark, sf_dir)
         .where(F.col("tag").isNotNull())
         .groupBy("date", "user_id", "tag")
         .agg(F.count("*").alias("neg"))

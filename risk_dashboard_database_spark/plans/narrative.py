@@ -104,6 +104,33 @@ _TAG_ORDER_SQL = (
 )
 
 
+def narrative_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The regex-tagged candidate relation (date, user_id, tag — tag
+    NULL when no phrase matched), stored through the MV seam: the ~35-
+    family regex pass over the fact table is by far the most expensive
+    narrative stage and every consumer (t1, e14's overlay, and the
+    narrative_rows relation endpoints build on) needs the same rows —
+    the reference likewise tags at ingest and stores the tag column
+    (`narrative_runtime.py:448-548`)."""
+    from .relcache import cached_relation
+
+    def _build() -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        k = k_col()
+        title = title_col(k)
+        return ev.where(
+            (F.col("event_type") == "error")
+            & ~is_financial_routine(title, source_host_col(k))
+        ).select(
+            F.col("ts").cast("date").alias("date"),
+            "user_id",
+            narrative_tag(title).alias("tag"),
+        )
+
+    return cached_relation("narr_cand", sf_dir, _build)
+
+
+
 @query(
     "t1_narrative_rollup",
     oracle=f"""
@@ -158,20 +185,7 @@ def t1_narrative_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     unmatched — `narrative_runtime.py:448-548`. All phrase tags here
     sit in the crisis group, so is_crisis is 1 whenever a primary tag
     resolves (non-crisis tags are exercised in unit tests)."""
-    ev = load_table(spark, sf_dir, "events")
-    k = k_col()
-    title = title_col(k)
-    cand = (
-        ev.where(
-            (F.col("event_type") == "error")
-            & ~is_financial_routine(title, source_host_col(k))
-        )
-        .select(
-            F.col("ts").cast("date").alias("date"),
-            "user_id",
-            narrative_tag(title).alias("tag"),
-        )
-    )
+    cand = narrative_candidates(spark, sf_dir)
     stats = cand.groupBy("date", "user_id").agg(
         F.count("*").alias("negative_item_count"),
         F.count(F.when(F.col("tag").isNull(), 1)).alias("unmatched"),
