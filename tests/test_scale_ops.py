@@ -230,3 +230,20 @@ def test_stream_chain_on_real_events(spark, tmp_path):
     }
     assert len(streamed) == len(batch) > 0
     assert streamed == batch
+
+
+def test_rerank_stage_reorders_candidates(spark):
+    """d16's blended score must actually change the ordering for some
+    probe (the rerank stage is not a pass-through of cosine rank):
+    a rank-2 retrieval candidate wins rerank-1 somewhere."""
+    from risk_dashboard_database_spark.plans.dedup import d8_ann_ivf, d16_rerank
+
+    base = {
+        (r.query_id, r.candidate_id): r.rank
+        for r in d8_ann_ivf(spark, "/root/testdata/sf0.001").collect()
+    }
+    rr = d16_rerank(spark, "/root/testdata/sf0.001").collect()
+    assert rr
+    assert any(
+        r.rerank == 1 and base[(r.query_id, r.candidate_id)] != 1 for r in rr
+    )

@@ -73,3 +73,20 @@ def test_incremental_arrival_is_stateless(spark, tmp_path):
 
     batch = dedup_plans.d15_decontaminate(spark, SF_DIR)
     assert first < both and both == {tuple(r) for r in batch.collect()}
+
+
+def test_empty_benchmark_flags_nothing(spark, tmp_path):
+    """No benchmark docs -> empty gram set -> every doc clean (and the
+    empty-literal probe doesn't error)."""
+    import shutil
+
+    docs_dir = tmp_path / "docs_nb"
+    docs_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", docs_dir / "part-0.parquet")
+    out = run_available_now(
+        stream_decontaminate(spark, str(docs_dir), grams=[]),
+        "t_stream_decontam_nb",
+        output_mode="append",
+    )
+    rows = out.collect()
+    assert rows and all(r.contaminated == 0 for r in rows)
