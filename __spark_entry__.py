@@ -59,12 +59,14 @@ _SAMPLE_FIRST = [
     # are the pinned bench rows; o7 has new golden fixtures) — every
     # behavior-touched query sits inside the 50-query sample window
     "d15_decontaminate", "d16_rerank", "e14_narrative_overlay",
-    "u3_evidence_union", "a1_pricing_summary", "o7_fuzzy_topk",
+    "e15_processed_serps",
+    "u3_evidence_union", "a1_pricing_summary",
     "d8_ann_ivf", "d14_ann_ivf_nprobe2",
-    # a13_distinct_dates (trivial DISTINCT, r03-green) was displaced to
-    # keep the three new/changed queries inside the 50-slot window; it
-    # rotates back in next round
-    "a13_distinct_dates",
+    # displaced to keep every new/changed query inside the 50-slot
+    # window (they rotate back next round): a13 is a trivial DISTINCT
+    # and o7's driver check is rows-only anyway (its real evidence is
+    # the golden-fixture pytest suite)
+    "o7_fuzzy_topk", "a13_distinct_dates",
 ]
 
 

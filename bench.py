@@ -74,6 +74,7 @@ HEADLINE = [
     "d15_decontaminate",
     "d16_rerank",
     "e14_narrative_overlay",
+    "e15_processed_serps",
     "m3_frame_resize",
 ]
 

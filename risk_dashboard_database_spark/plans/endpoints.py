@@ -1643,3 +1643,94 @@ def e14_narrative_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "negative_item_count",
         )
     )
+
+
+# ------------------------------------------------------------- e15
+def _e15_oracle() -> str:
+    from .overrides import ITEMS_CTE
+    from .synth import title_sql
+
+    # serp results carry event-level overrides only (the reference's
+    # processed_serps joins serp_result_overrides, never the URL layer
+    # - `app.py:3020-3061`), so the coalesce is 3-level here.
+    eff_s = "COALESCE(ov.override_label, i.llm_label, i.raw_label)"
+    eff_c = "COALESCE(ov.override_control, i.llm_control, i.raw_control)"
+    title = title_sql(k="i.k")
+    return f"""
+    WITH {ITEMS_CTE},
+    latest AS (SELECT MAX(date) AS d FROM items),
+    page AS (
+      SELECT c.c_name AS company,
+             {title} AS title,
+             'u' || CAST(i.event_id % 500 AS VARCHAR) AS url,
+             CAST(i.event_id % 10 + 1 AS INTEGER) AS position,
+             'snippet ' || CAST(i.k % 7 AS VARCHAR) AS snippet,
+             STRFTIME(i.date, '%Y-%m-%d') AS published_date,
+             {eff_s} AS sentiment,
+             {eff_c} AS controlled,
+             ov.override_label AS sentiment_override,
+             ov.override_control AS control_override,
+             i.llm_label,
+             i.event_id AS serp_result_id
+      FROM items i
+      JOIN latest l ON i.date = l.d
+      JOIN customer c ON c.c_custkey = i.user_id
+      LEFT JOIN item_overrides ov ON ov.event_id = i.event_id
+      WHERE i.event_type IN ('view', 'click')
+    )
+    SELECT * FROM page
+    ORDER BY company, position, serp_result_id
+    LIMIT 200 OFFSET 50
+    """
+
+
+@query("e15_processed_serps", oracle=_e15_oracle())
+def e15_processed_serps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Processed-SERPs detail endpoint (`/api/v1/processed_serps`,
+    `app.py:3003-3090`): the single-date SERP result list for the
+    serp branch (view/click events), with rank position, snippet,
+    3-level override-resolved sentiment/control (serp results carry
+    event-level overrides only - no URL layer), the raw override
+    columns as edit state, and the reference's (company, rank)
+    ordering with LIMIT/OFFSET clamps - here offset 50, limit 200 at
+    the data's latest date.
+
+    Scale shape: identical to e10 - the date predicate prunes to one
+    day, dims and the override table broadcast, and the ordered page
+    is a TakeOrdered, never a global sort materialization."""
+    from .overrides import item_overrides, items
+    from .synth import title_col
+
+    it = items(spark, sf_dir)
+    latest = F.broadcast(it.agg(F.max("date").alias("d")))
+    ov = F.broadcast(item_overrides(spark, sf_dir))
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", F.col("c_name").alias("company")
+        )
+    )
+    eff_s = F.coalesce("override_label", "llm_label", "raw_label")
+    eff_c = F.coalesce("override_control", "llm_control", "raw_control")
+    return (
+        it.where(F.col("event_type").isin("view", "click"))
+        .join(latest, it.date == F.col("d"))
+        .join(ov, "event_id", "left")
+        .join(cust, it.user_id == cust.c_custkey)
+        .select(
+            "company",
+            title_col(F.col("k")).alias("title"),
+            F.concat(F.lit("u"), (F.col("event_id") % 500).cast("string")).alias("url"),
+            (F.col("event_id") % 10 + 1).cast("int").alias("position"),
+            F.concat(F.lit("snippet "), (F.col("k") % 7).cast("string")).alias("snippet"),
+            F.date_format("date", DATE_FMT).alias("published_date"),
+            eff_s.alias("sentiment"),
+            eff_c.alias("controlled"),
+            F.col("override_label").alias("sentiment_override"),
+            F.col("override_control").alias("control_override"),
+            "llm_label",
+            F.col("event_id").alias("serp_result_id"),
+        )
+        .orderBy("company", "position", "serp_result_id")
+        .offset(50)
+        .limit(200)
+    )
