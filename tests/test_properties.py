@@ -193,3 +193,56 @@ def test_token_pack_conservation(token_counts):
         prev_end_pos = end_pos
         cum += n
     assert cum == sum(token_counts)
+
+
+# ---------------------------------------------------------------- o7
+def _fuzzy_spec(probes, candidates):
+    """Independent pure-Python spec of fuzzy_resolve (the reference
+    semantics, `app.py:1097-1161,1204-1217`): >=0.72 suggestion cutoff,
+    (-score, candidate) order, top 5, resolve iff best >= 0.84 and
+    margin >= 0.01."""
+    from difflib import SequenceMatcher
+
+    out = []
+    for pid, pname in probes:
+        scored = sorted(
+            (
+                (c, SequenceMatcher(None, pname.lower(), c.lower()).ratio())
+                for c in candidates
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )
+        top = [(c, s) for c, s in scored if s >= 0.72][:5]
+        if not top:
+            continue
+        best = top[0][1]
+        runner = top[1][1] if len(top) > 1 else None
+        for rank, (c, s) in enumerate(top, 1):
+            resolved = int(
+                rank == 1 and best >= 0.84 and (runner is None or best - runner >= 0.01)
+            )
+            out.append((pid, c, round(s, 6), rank, resolved))
+    return sorted(out)
+
+
+_word = st.from_regex(r"[a-z]{2,7}", fullmatch=True)
+_name = st.builds(" ".join, st.lists(_word, min_size=1, max_size=4))
+
+
+@_slow
+@given(
+    cands=st.lists(_name, min_size=1, max_size=8, unique=True),
+    probes=st.lists(_name, min_size=1, max_size=4, unique=True),
+)
+def test_fuzzy_resolve_matches_python_spec(spark, cands, probes):
+    from risk_dashboard_database_spark.plans.toporder import fuzzy_resolve
+
+    p = spark.createDataFrame(
+        list(enumerate(probes)), "probe_id int, probe_name string"
+    )
+    c = spark.createDataFrame([(x,) for x in cands], "candidate string")
+    got = sorted(
+        (r.probe_id, r.candidate, r.score, r.rank, r.resolved)
+        for r in fuzzy_resolve(p, c).collect()
+    )
+    assert got == _fuzzy_spec(list(enumerate(probes)), cands)
