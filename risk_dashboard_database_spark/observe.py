@@ -87,17 +87,32 @@ def single_flight(lock_dir: str, name: str) -> Iterator[bool]:
         pid = _lock_pid(path)
         stale = pid is not None and not _pid_running(pid)
         if stale:
-            # Break the stale lock atomically: rename it to a per-pid
-            # tombstone first. Only the process whose rename succeeds
-            # deletes it; a second breaker's rename fails with ENOENT,
-            # so it can never remove a lock a rival just re-created.
+            # Break the stale lock via a per-pid tombstone rename.
+            # Rename alone is not enough: a slow second breaker that
+            # also observed the stale pid can rename AFTER a rival
+            # broke the lock and re-acquired — stealing the rival's
+            # FRESH lock. So after the rename, re-read the pid inside
+            # the tombstone: if it isn't the stale pid we observed, we
+            # grabbed a live lock by mistake — put it back and treat
+            # the lock as held.
             tomb = f"{path}.stale.{os.getpid()}"
             try:
                 os.rename(path, tomb)
-                os.remove(tomb)
+                if _lock_pid(tomb) == pid:
+                    os.remove(tomb)
+                    acquired = try_acquire()
+                else:
+                    # Restore without clobbering: link() fails if a
+                    # third process re-created path meanwhile (its
+                    # lock wins; the stolen holder's release is safe —
+                    # it re-checks ownership before removing).
+                    try:
+                        os.link(tomb, path)
+                    except OSError:
+                        pass
+                    os.remove(tomb)
             except OSError:
                 pass
-            acquired = try_acquire()
     try:
         yield acquired
     finally:

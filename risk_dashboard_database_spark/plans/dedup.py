@@ -1381,6 +1381,9 @@ def _md5_fold_sql(expr: str) -> str:
 
 
 def _d16_oracle() -> str:
+    # d8_ann_ivf is registered earlier in THIS module, so the read is
+    # order-safe by construction (unlike cross-module reads, which must
+    # import their defining module first — see endpoints._e14_oracle).
     from .registry import ORACLES
 
     ce = _md5_fold_sql(

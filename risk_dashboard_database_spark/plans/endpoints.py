@@ -1586,6 +1586,10 @@ def e13_feature_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------- e14
 def _e14_oracle() -> str:
+    # Runs at decoration time: make the module that registers
+    # t1_narrative_rollup load first instead of relying on the package
+    # __init__ import order having reached it already.
+    from . import narrative  # noqa: F401
     from .registry import ORACLES
 
     return f"""

@@ -41,6 +41,7 @@ without bound.
 
 from __future__ import annotations
 
+import errno
 import hashlib
 import os
 import shutil
@@ -268,16 +269,31 @@ def cached_relation(key: str, sf_dir: str, build: Callable[[], DataFrame]) -> Da
             raise
         try:
             os.rename(tmp, path)
-        except OSError:
+        except OSError as exc:
             # Either a concurrent builder won the race (fine: read its
             # complete output) or the rename failed for another reason
             # and `path` is junk. Distinguish via the _SUCCESS marker —
-            # a completed Spark parquet write always has one. If it's
-            # missing, clear the wreck and retry our own publish rather
-            # than silently scanning partial part-files.
+            # a completed Spark parquet write always has one. Only
+            # treat the path as a wreck when the errno actually means
+            # "destination occupied" (EEXIST/ENOTEMPTY); other errnos
+            # (EACCES, EXDEV, ...) are real publish failures and the
+            # rival's output — if any — must not be rmtree'd out from
+            # under a reader.
+            if exc.errno not in (errno.EEXIST, errno.ENOTEMPTY):
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
             if not os.path.exists(os.path.join(path, "_SUCCESS")):
                 shutil.rmtree(path, ignore_errors=True)
-                os.rename(tmp, path)  # second failure is real: raise
+                try:
+                    os.rename(tmp, path)
+                except OSError:
+                    # A third builder can slip in between our rmtree
+                    # and retry; if ITS publish completed, read it —
+                    # only raise when nobody produced a complete MV.
+                    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                        shutil.rmtree(tmp, ignore_errors=True)
+                        raise
+                    shutil.rmtree(tmp, ignore_errors=True)
             else:
                 shutil.rmtree(tmp, ignore_errors=True)  # lost the race
     else:

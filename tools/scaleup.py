@@ -2,9 +2,14 @@
 checks (VERDICT r4 #7).
 
 Fact tables (lineitem, orders, events, documents) are replicated K
-times with copy-disjoint primary keys, so per-key semantics (joins,
-sessionization, dedup groups) are preserved while data volume grows
-K-fold. Dimension tables (region, nation, customer, supplier, part)
+times with copy-disjoint primary keys, so join/dedup-group semantics
+on those keys are preserved while data volume grows K-fold. Note the
+deliberate cap: `user_id` and `ts` are NOT shifted across copies, so
+dim-keyed grains (user_id x day — sessionization, w2/t2 baselines)
+keep FIXED cardinality under replication and see K-fold duplicated
+timestamps per key. Their flat scale curves therefore measure the
+MV-grain cap (output rows don't grow), not per-event cost — read them
+as "grain design holds", not "events are free" (ADVICE r5). Dimension tables (region, nation, customer, supplier, part)
 and the ANN corpus (embeddings) are copied 1:1:
 
 - dims: at 100 TB the fact:dim ratio grows, not shrinks — scaling the
