@@ -79,26 +79,58 @@ HEADLINE = [
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
-# median, so one GC pause / JIT blip can't fake a regression.
-N_RUNS = 3
+# median, so GC pauses / JIT blips can't fake a regression.
+N_RUNS = 5
 
-# Regression guard (sf0.1 medians): queries that have drifted across
-# rounds or sit near the ~1 s working budget are pinned; a breach shows
-# up in the JSON's "over_budget" field so drift is loud in the bench
-# artifact itself, not just in a side-by-side of old files.
+# Host-noise calibration (VERDICT r5 #2): budgets kept getting widened
+# whenever a slow host tripped them, which erodes the guard. Instead,
+# a fixed-work calibration probe (16B-element codegen sum — pure CPU,
+# no data dependence, ~1 s) is timed in the same process; each query's
+# median is divided by how much slower than CALIB_REF_SEC the host ran
+# before the budget comparison. Raw seconds still go in "queries" (the
+# cross-round artifact); only the guard is normalized. The MIN of the
+# timed runs is used — it is the cleanest estimator of sustained host
+# speed (~3% spread across batches vs ~8% for the median; a shuffle-
+# based probe was 20%+, BENCH_NOTES r6). The scale never drops below
+# 1.0 — a fast host must not tighten the pins.
+CALIB_REF_SEC = 0.90  # probe min on the round-6 build box (BENCH_NOTES)
+
+
+def _calibrate(spark) -> dict:
+    times = []
+    for _ in range(N_RUNS + 1):  # first is warm-up
+        t0 = time.perf_counter()
+        spark.range(0, 16_000_000_000, 1, 32).selectExpr("sum(id % 7)").collect()
+        times.append(time.perf_counter() - t0)
+    times = sorted(times[1:])
+    best = times[0]
+    return {
+        "sec": round(best, 3),
+        "ref": CALIB_REF_SEC,
+        "scale": round(max(1.0, best / CALIB_REF_SEC), 3),
+        "spread": round(times[-1] - times[0], 3),
+    }
+
+
+# Regression guard (sf0.1 medians, noise-normalized): queries that
+# have drifted across rounds or sit near the ~1 s working budget are
+# pinned; a breach shows up in the JSON's "over_budget" field so drift
+# is loud in the bench artifact itself, not just in a side-by-side of
+# old files. Tight r4 values restored now that the guard is
+# calibration-normalized instead of pin-widened (VERDICT r5 #2).
 BUDGET = {
-    "u3_evidence_union": 1.6,   # VERDICT r4 #4: r4 rewrite landed 1.48; pin it
-    "e7_narrative_timeline": 0.45,  # VERDICT r4 #4: shared-MV seam cost it 0.24->0.32
-    #                                 (0.40 tripped on 1% host noise; real drift was 33%)
+    "u3_evidence_union": 1.0,   # r6: pre-union evidence stored via the MV seam
+    "e7_narrative_timeline": 0.40,  # VERDICT r4 #4 value, restored r6
     "d8_ann_ivf": 1.3,          # VERDICT r3 #4: assignment now a stored MV
     "e6_sector_baseline": 1.0,  # VERDICT r3 #2: durable MV, no cold plan
     "e3_storylines": 1.3,
     "d1_exact_dedup": 1.0,
-    "d3_ann_topk": 1.15,        # VERDICT r4 #3: norms now a stored MV (1.0 tripped
-    #                             on 3% noise; the regression it guards was 1.6+)
-    "a1_pricing_summary": 0.9,  # VERDICT r4 #2: session pre-warmed before timing
+    "d3_ann_topk": 1.0,         # VERDICT r4 #3 value, restored r6
+    "a1_pricing_summary": 0.7,  # VERDICT r4 #2 ask, restored r6
     "d15_decontaminate": 1.0,   # r5: gram relation stored via the MV seam
     "d16_rerank": 1.4,          # r5: inherits d8's pipeline (pinned 1.3) + rerank
+    "j1_star_join": 1.0,        # r6: drift guard (VERDICT r5 #4)
+    "j4_entity_daily_metrics": 1.0,  # r6: drift guard (VERDICT r5 #4)
 }
 
 
@@ -139,6 +171,8 @@ def main() -> None:
     except Exception:
         pass
 
+    calib = _calibrate(spark)
+
     per_query: dict[str, float] = {}
     for name in names:
         # warm-up run pays whole-stage-codegen compilation + parquet
@@ -155,9 +189,13 @@ def main() -> None:
         per_query[name] = round(times[len(times) // 2], 3)
 
     over = {
-        n: {"sec": per_query[n], "budget": b}
+        n: {
+            "sec": per_query[n],
+            "normalized_sec": round(per_query[n] / calib["scale"], 3),
+            "budget": b,
+        }
         for n, b in BUDGET.items()
-        if n in per_query and per_query[n] > b
+        if n in per_query and per_query[n] / calib["scale"] > b
     }
     print(
         json.dumps(
@@ -167,6 +205,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
+                "calibration": calib,
                 "over_budget": over,
             }
         )
