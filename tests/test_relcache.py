@@ -102,3 +102,50 @@ def test_fingerprint_sees_size_preserving_data_change(tmp_path):
     fp2 = relcache._fingerprint(str(d))
     assert (d / "t.parquet").stat().st_size == size1  # test premise
     assert fp1 != fp2
+
+
+def test_prune_keeps_newest_and_pruned_reader_fails_loudly(
+    spark, tmp_path, mv_root
+):
+    """The per-relation store keeps only the newest KEEP_DATASETS
+    fingerprints (VERDICT r5 #7): building a 5th dataset prunes the
+    LRU one, and a reader still holding the pruned relation's handle
+    fails LOUDLY on its next action — it must never silently return
+    empty/junk rows from a half-deleted scan."""
+    import os
+    import time
+
+    dirs = []
+    for i in range(relcache.KEEP_DATASETS + 1):
+        d = tmp_path / f"ds{i}"
+        spark.range(10 + i).toDF("id").write.parquet(str(d))
+        dirs.append(str(d))
+
+    fps = []
+    handles = []
+    for i, d in enumerate(dirs):
+        handles.append(
+            relcache.cached_relation("k", d, lambda d=d: spark.read.parquet(d))
+        )
+        fp = relcache._fingerprint(d)
+        fps.append(fp)
+        # distinct publish mtimes so LRU order is deterministic even on
+        # a coarse-mtime filesystem
+        t = time.time() - (relcache.KEEP_DATASETS + 1 - i) * 10
+        os.utime(os.path.join(relcache.MV_ROOT, "k", fp), (t, t))
+        # simulate cross-process readers: the session handle cache must
+        # not refresh recency for datasets no longer in service
+        relcache.clear()
+
+    key_dir = os.path.join(relcache.MV_ROOT, "k")
+    kept = {e for e in os.listdir(key_dir) if ".tmp-" not in e}
+    assert kept == set(fps[1:]), "oldest fingerprint must be pruned"
+    assert len(kept) == relcache.KEEP_DATASETS
+
+    # the pruned dataset's in-flight reader: loud failure, not junk
+    with pytest.raises(Exception) as exc:
+        handles[0].count()
+    msg = str(exc.value)
+    assert "ds0" in msg or "FileNotFound" in msg or "does not exist" in msg
+    # survivors still read clean
+    assert handles[-1].count() == 10 + relcache.KEEP_DATASETS
