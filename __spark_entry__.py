@@ -26,47 +26,40 @@ def entry(spark: SparkSession) -> DataFrame:
 # Sampling order for correctness runs: queries whose driver evidence is
 # oldest first, so a bounded per-round sample keeps every registry row's
 # latest green driver evidence at most one round old. Rotated each
-# round. Round 5: tier 1 = the 43 queries whose latest green row is
-# CORRECTNESS_r03 (they were out of the r04 sample); tier 2 = queries
-# whose plan or perf posture changed this round (re-validate the
-# rewrite); the r04-green remainder follows in registry order.
+# round. Round 6: tier 1 = the two queries displaced in round 5 (o7 at
+# r04/rows-only, a13 at r03) followed by the 45 queries whose latest
+# green row is CORRECTNESS_r04; tier 2 = u3 (plan changed this round:
+# evidence now served from stored MVs) plus the two perf-investigated
+# queries (a1/j4 — re-layout A/B, BENCH_NOTES r6). That fills the
+# 50-slot window exactly; the r05-green remainder follows in registry
+# order and is at most one round old.
 _SAMPLE_FIRST = [
-    # tier 1 — latest driver green is r03; every one of these must get
-    # a fresh row this round (43 names, registry order)
-    "a5_top_headlines", "a6_screen", "a7_sector_stats",
-    "a8_index_union", "a9_evidence_summary", "a10_tag_counts_map",
-    "a11_majority_vote", "a12_bucket_counts", "a12b_storylines",
-    "a14_latest_lookup",
-    "a15_sector_company_count", "a16_confusion_matrix",
-    "t2_crisis_chain", "u4_anomaly_rules",
-    "d4_ngram_jaccard", "d6_simhash", "d3_ann_topk",
-    "d7_embedding_dedup", "d5_ann_lsh_bucket",
-    "t_lang_id", "t_quality_score", "t_token_count",
-    "t_fingerprint", "t_lang_confusion",
-    "d10_corpus_curation", "d11_hash_sample",
-    "e1_trend_summary", "e2_crisis_durations",
-    "f1_llm_classify",
-    "t1_narrative_rollup", "t3_first_wins_dedup",
-    "w6_anchored_windows", "w9_duration_asof",
-    "e4_crisis_impact",
-    "a2_control_counts", "a3_feature_index",
-    "j4_entity_daily_metrics",
-    "e5_evidence", "f2_feature_summary",
-    "e7_narrative_timeline", "e8_crisis_patterns",
-    "e9_negative_summary",
-    # tier 2 — new or plan-changed in round 5 (d15/d16 are brand-new;
-    # d3/d5/d7 in tier 1 and d8/d14 here got stored-norm MVs; u3/a1
-    # are the pinned bench rows; o7 has new golden fixtures) — every
-    # behavior-touched query sits inside the 50-query sample window
-    "d15_decontaminate", "d16_rerank", "e14_narrative_overlay",
-    "e15_processed_serps",
-    "u3_evidence_union", "a1_pricing_summary",
-    "d8_ann_ivf", "d14_ann_ivf_nprobe2",
-    # displaced to keep every new/changed query inside the 50-slot
-    # window (they rotate back next round): a13 is a trivial DISTINCT
-    # and o7's driver check is rows-only anyway (its real evidence is
-    # the golden-fixture pytest suite)
+    # tier 1 — displaced last round; rotate back first (VERDICT r5 #1).
+    # o7's driver check is rows-only by contract; its value evidence is
+    # the golden-fixture pytest suite (tests/test_fuzzy_golden.py).
     "o7_fuzzy_topk", "a13_distinct_dates",
+    # tier 1 — latest driver green is r04 (45 names, registry order)
+    "d1_exact_dedup", "d2_minhash_pairs", "d9_dedup_clusters",
+    "f4_sentiment", "f3_hf_batch",
+    "d12_token_stream_pack", "d13_stratified_sample",
+    "e3_storylines", "p2_override_daily", "e6_sector_baseline",
+    "e10_processed_articles", "e11_industry_durations",
+    "e12_narrative_tags", "e13_feature_series",
+    "j1_star_join", "j5_branch_union", "j6_conditional_join",
+    "j9_asof_freshness", "j10_scope_semi", "j11_unmatched_anti",
+    "m1_binary_meta", "m2_decode_features", "m3_frame_resize",
+    "a1b_rounding_parity", "a1_daily_event_counts",
+    "s_url_normalize", "s_control_classify", "s_risk_regex",
+    "s_name_normalize", "s_date_bounds", "s_json_array_math",
+    "p5_ilike_match", "s2_pipe_series_explode",
+    "o1_pagination", "o2_topk_compound", "o3_nulls_last",
+    "o6_risk_leaderboard",
+    "u1_entity_branches", "u2_key_union_dedup",
+    "w1_weekly_rollup", "w2_anomaly_baselines", "w5_latest_per_key",
+    "w8_activity_episodes", "w7_error_streak", "w10_lag_delta",
+    # tier 2 — changed or perf-investigated in round 6
+    "u3_evidence_union", "a1_pricing_summary",
+    "j4_entity_daily_metrics",
 ]
 
 
