@@ -57,9 +57,12 @@ _SAMPLE_FIRST = [
     "u1_entity_branches", "u2_key_union_dedup",
     "w1_weekly_rollup", "w2_anomaly_baselines", "w5_latest_per_key",
     "w8_activity_episodes", "w7_error_streak", "w10_lag_delta",
-    # tier 2 — changed or perf-investigated in round 6
-    "u3_evidence_union", "a1_pricing_summary",
-    "j4_entity_daily_metrics",
+    # tier 2 — changed or new in round 6: u3 now serves evidence from
+    # stored MVs; t_repetition / t_ngram_docfreq are the round's new
+    # corpus-curation queries (green-on-arrival evidence). a1/j4 (the
+    # perf-investigated pair) stay r05-green — one round old, inside
+    # the rotation contract.
+    "u3_evidence_union", "t_repetition", "t_ngram_docfreq",
 ]
 
 

@@ -76,6 +76,8 @@ HEADLINE = [
     "e14_narrative_overlay",
     "e15_processed_serps",
     "m3_frame_resize",
+    "t_repetition",
+    "t_ngram_docfreq",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
@@ -131,6 +133,8 @@ BUDGET = {
     "d16_rerank": 1.4,          # r5: inherits d8's pipeline (pinned 1.3) + rerank
     "j1_star_join": 1.0,        # r6: drift guard (VERDICT r5 #4)
     "j4_entity_daily_metrics": 1.0,  # r6: drift guard (VERDICT r5 #4)
+    "t_repetition": 0.9,        # r6: O(len) sorted-run mode, bound split
+    "t_ngram_docfreq": 1.1,     # r6: gram relation stored via the MV seam
 }
 
 

@@ -331,3 +331,204 @@ def f3_hf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return infer_batch(docs, "text").select(
         "doc_id", "n_tokens", "truncated", "label", "score", "model_version"
     )
+
+
+# ---------------------------------------------------------------- r6
+# Corpus-curation additions (brief §extras): Gopher-style per-document
+# repetition rules and the C4/RefinedWeb-style corpus n-gram document-
+# frequency profile. Both derive every double as int/int division so
+# the oracle hash-matches bit-for-bit.
+
+
+@query(
+    "t_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    ex AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t)-1),
+                                   i -> t[i] || ' ' || t[i+1])) AS b
+      FROM toks
+    ),
+    cnt AS (
+      SELECT doc_id, b, COUNT(*) AS c FROM ex GROUP BY doc_id, b
+    ),
+    stats AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(MAX(c) AS BIGINT) AS top_count
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT doc_id,
+           n_bigrams,
+           n_distinct AS n_distinct_bigrams,
+           CAST(top_count AS DOUBLE) / n_bigrams AS top_bigram_frac,
+           CAST(n_bigrams - n_distinct AS DOUBLE) / n_bigrams
+             AS dup_bigram_frac,
+           CAST(CASE WHEN CAST(top_count AS DOUBLE) / n_bigrams > 0.18
+                      OR CAST(n_bigrams - n_distinct AS DOUBLE)
+                         / n_bigrams > 0.30
+                THEN 1 ELSE 0 END AS INTEGER) AS is_repetitive
+    FROM stats
+    UNION ALL
+    SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0, 0.0,
+           CAST(0 AS INTEGER)
+    FROM toks WHERE len(t) < 2
+    """,
+)
+def t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality rules (Rae et al. 2021 §A1.1):
+    per document, the fraction of word 2-grams occupied by the single
+    most frequent 2-gram and the fraction that are duplicates; a doc
+    is flagged repetitive past the published-style thresholds (top
+    fraction > 0.18, dup fraction > 0.30). Pure per-row higher-order
+    array functions — NO shuffle on the corpus (the oracle uses the
+    relational unnest/GROUP BY form as the clearer spec; at 100 TB
+    the per-row form wins because it never exchanges the corpus).
+    Two d15 lessons applied (BENCH_NOTES r5): the word split is bound
+    to a projected column (interpreted lambdas don't CSE), and the
+    mode count is O(len) — sort the bigram array once and take the
+    longest equal-adjacent run with a single aggregate() fold, not
+    the O(distinct x len) count-per-distinct probe (1.44 s -> see
+    BENCH_NOTES r6)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("__w")
+    ).select(
+        "doc_id",
+        F.expr(
+            "zip_with(slice(__w, 1, size(__w) - 1),"
+            "         slice(__w, 2, size(__w) - 1),"
+            "         (a, b) -> concat(a, ' ', b))"
+        ).alias("bigrams"),
+    )
+    s = d.select(
+        "doc_id",
+        F.size("bigrams").alias("n_bigrams"),
+        F.size(F.array_distinct("bigrams")).alias("n_distinct"),
+        F.expr(
+            "aggregate(array_sort(bigrams),"
+            " named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),"
+            " (acc, x) -> named_struct("
+            "   'prev', x,"
+            "   'run', IF(x <=> acc.prev, acc.run + 1, 1),"
+            "   'best', GREATEST(acc.best, IF(x <=> acc.prev, acc.run + 1, 1))),"
+            " acc -> acc.best)"
+        ).alias("top_count"),
+    )
+    zero = F.col("n_bigrams") == 0
+    top_frac = F.when(zero, F.lit(0.0)).otherwise(
+        F.col("top_count").cast("double") / F.col("n_bigrams")
+    )
+    dup_frac = F.when(zero, F.lit(0.0)).otherwise(
+        (F.col("n_bigrams") - F.col("n_distinct")).cast("double")
+        / F.col("n_bigrams")
+    )
+    flag = (~zero) & ((top_frac > 0.18) | (dup_frac > 0.30))
+    return s.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("n_distinct").cast("long").alias("n_distinct_bigrams"),
+        top_frac.alias("top_bigram_frac"),
+        dup_frac.alias("dup_bigram_frac"),
+        F.when(flag, 1).otherwise(0).cast("int").alias("is_repetitive"),
+    )
+
+
+@query(
+    "t_ngram_docfreq",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(generate_series(1, len(t)-2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    ),
+    freq AS (
+      SELECT gram, COUNT(*) AS docfreq FROM grams GROUP BY gram
+    ),
+    per_doc AS (
+      SELECT g.doc_id,
+             COUNT(*) AS n_grams,
+             COUNT(*) FILTER (WHERE f.docfreq >= 5) AS n_common
+      FROM grams g JOIN freq f USING (gram)
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(n_common AS DOUBLE) / n_grams AS common_share
+    FROM per_doc
+    UNION ALL
+    SELECT doc_id, 0, 0, 0.0
+    FROM documents WHERE len(string_split(text, ' ')) < 3
+    """,
+)
+def t_ngram_docfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram document-frequency profile (the C4/RefinedWeb
+    'how boilerplate is this document' signal): per document, the
+    share of its DISTINCT word 3-grams that occur in >= 5 documents
+    corpus-wide. The (doc_id, gram) relation is tokenize-at-ingest
+    work and lives in the durable MV store (`t_tri_grams`, the d15
+    pattern — with the word split bound to a projected column, since
+    interpreted lambdas don't CSE). Query topology: scan the gram
+    relation -> one gram-keyed shuffle builds the inverted document-
+    frequency relation -> join back on the SAME gram partitioning
+    (exchange reused, no second gram shuffle) -> one doc_id-keyed agg.
+    Docs too short to have a 3-gram enter via a scan-only UNION branch
+    instead of a left join, which would need a doc_id shuffle of the
+    whole corpus at 100 TB. Map-side combine absorbs gram repetition
+    before the shuffle, and no stage carries more than (gram, docfreq)
+    pairs — at 100 TB this is the standard inverted-index profile
+    build."""
+    from .relcache import cached_relation
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _build_grams() -> DataFrame:
+        return docs.select(
+            "doc_id", F.split(F.col("text"), " ").alias("__w")
+        ).select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "zip_with(zip_with("
+                        "  slice(__w, 1, size(__w) - 2),"
+                        "  slice(__w, 2, size(__w) - 2),"
+                        "  (a, b) -> concat(a, ' ', b)),"
+                        "  slice(__w, 3, size(__w) - 2),"
+                        "  (ab, c) -> concat(ab, ' ', c))"
+                    )
+                )
+            ).alias("gram"),
+        )
+
+    grams = cached_relation("t_tri_grams", sf_dir, _build_grams)
+    freq = grams.groupBy("gram").agg(F.count("*").alias("docfreq"))
+    per_doc = (
+        grams.join(freq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count(F.when(F.col("docfreq") >= 5, 1)).alias("n_common"),
+        )
+    )
+    main = per_doc.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_common").cast("long").alias("n_common"),
+        (F.col("n_common").cast("double") / F.col("n_grams")).alias(
+            "common_share"
+        ),
+    )
+    short = docs.where(F.size(F.split("text", " ")) < 3).select(
+        "doc_id",
+        F.lit(0).cast("long").alias("n_grams"),
+        F.lit(0).cast("long").alias("n_common"),
+        F.lit(0.0).alias("common_share"),
+    )
+    return main.unionByName(short)
