@@ -399,9 +399,12 @@ def t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split(F.col("text"), " ").alias("__w")
     ).select(
         "doc_id",
+        # greatest(.., 0): slice() raises on a negative length, which
+        # size(__w) - 1 hits for the empty-ish doc (caught by
+        # tests/test_textstats_edges.py, not by the driver corpus)
         F.expr(
-            "zip_with(slice(__w, 1, size(__w) - 1),"
-            "         slice(__w, 2, size(__w) - 1),"
+            "zip_with(slice(__w, 1, greatest(size(__w) - 1, 0)),"
+            "         slice(__w, 2, greatest(size(__w) - 1, 0)),"
             "         (a, b) -> concat(a, ' ', b))"
         ).alias("bigrams"),
     )
@@ -495,12 +498,14 @@ def t_ngram_docfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(
                 F.array_distinct(
+                    # greatest(.., 0): slice() raises on negative
+                    # length (1-token docs; tests/test_textstats_edges)
                     F.expr(
                         "zip_with(zip_with("
-                        "  slice(__w, 1, size(__w) - 2),"
-                        "  slice(__w, 2, size(__w) - 2),"
+                        "  slice(__w, 1, greatest(size(__w) - 2, 0)),"
+                        "  slice(__w, 2, greatest(size(__w) - 2, 0)),"
                         "  (a, b) -> concat(a, ' ', b)),"
-                        "  slice(__w, 3, size(__w) - 2),"
+                        "  slice(__w, 3, greatest(size(__w) - 2, 0)),"
                         "  (ab, c) -> concat(ab, ' ', c))"
                     )
                 )
