@@ -52,10 +52,9 @@ MAX_EXCHANGES = 3
 # exchange moves a dim-sized relation, not the fact table; the pinned
 # counts make drift loud.
 EXCH_BUDGET = {
-    "u3_evidence_union": 5,         # 1 fact-union agg; the other 4 move the
-                                    # enum-sized (weight, suffix) dictionary
-                                    # (built twice statically; ReuseExchange
-                                    # dedups at runtime)
+    # u3_evidence_union left the exception list in r6: its union/
+    # dictionary stages moved into stored MVs, so the query compiles
+    # to 1 exchange (the dedup agg) and sits under the default budget.
     "j4_entity_daily_metrics": 4,   # key-union + per-class re-aggregation
     "e3_storylines": 6,             # episode/durs/ent/samples/stats branches
     "e6_sector_baseline": 6,        # ent agg consumed by rank + summary branches;
