@@ -246,3 +246,50 @@ def test_fuzzy_resolve_matches_python_spec(spark, cands, probes):
         for r in fuzzy_resolve(p, c).collect()
     )
     assert got == _fuzzy_spec(list(enumerate(probes)), cands)
+
+
+# ---------------------------------------------------------------- r6
+# Repetition-stats parity: the O(len) sorted-run fold used by
+# t_repetition must equal a brute-force Python mode count for
+# arbitrary token streams (including empty / single-token docs).
+_rep_word = st.sampled_from(["a", "b", "c", "spam", "the", ""])
+
+
+@given(st.lists(_rep_word, min_size=0, max_size=14))
+@settings(max_examples=25, deadline=None)
+def test_repetition_fold_matches_bruteforce(spark, words):
+    from collections import Counter
+
+    text = " ".join(words)
+    toks = text.split(" ")
+    bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    expect = (
+        len(bigrams),
+        len(set(bigrams)),
+        max(Counter(bigrams).values()) if bigrams else 0,
+    )
+
+    row = (
+        spark.createDataFrame([(text,)], "text string")
+        .selectExpr(
+            "split(text, ' ') AS __w"
+        )
+        .selectExpr(
+            "zip_with(slice(__w, 1, greatest(size(__w) - 1, 0)),"
+            "         slice(__w, 2, greatest(size(__w) - 1, 0)),"
+            "         (a, b) -> concat(a, ' ', b)) AS bigrams"
+        )
+        .selectExpr(
+            "size(bigrams) AS n",
+            "size(array_distinct(bigrams)) AS nd",
+            "aggregate(array_sort(bigrams),"
+            " named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),"
+            " (acc, x) -> named_struct("
+            "   'prev', x,"
+            "   'run', IF(x <=> acc.prev, acc.run + 1, 1),"
+            "   'best', GREATEST(acc.best, IF(x <=> acc.prev, acc.run + 1, 1))),"
+            " acc -> acc.best) AS top",
+        )
+        .first()
+    )
+    assert (row.n, row.nd, row.top) == expect
