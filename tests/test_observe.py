@@ -41,3 +41,31 @@ def test_single_flight_breaks_stale_lock(tmp_path):
     lock.write_text("999999999")  # pid that cannot exist
     with single_flight(str(tmp_path), "refresh_mv") as got:
         assert got is True
+
+
+def test_lock_break_does_not_steal_fresh_lock(tmp_path, monkeypatch):
+    """ADVICE r5: a slow breaker that observed a stale pid must not
+    delete a rival's FRESH lock. Interleave the rival deterministically:
+    just before our tombstone rename lands, the rival breaks the stale
+    lock itself and re-acquires with a live pid. Our breaker must
+    detect the pid mismatch inside the tombstone, restore the lock,
+    and yield acquired=False."""
+    import os
+
+    import risk_dashboard_database_spark.observe as obs
+
+    lock = tmp_path / "job.lock"
+    lock.write_text("999999999")  # stale: pid that cannot exist
+    live_pid = str(os.getpid())
+    real_rename = os.rename
+
+    def racing_rename(src, dst):
+        if src == str(lock) and ".stale." in dst and lock.read_text() == "999999999":
+            lock.write_text(live_pid)  # rival re-acquired just in time
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(obs.os, "rename", racing_rename)
+    with obs.single_flight(str(tmp_path), "job") as got:
+        assert got is False, "breaker must not steal the rival's fresh lock"
+    assert lock.exists() and lock.read_text() == live_pid
+    assert not list(tmp_path.glob("*.stale.*")), "tombstone must be cleaned up"
