@@ -1,0 +1,99 @@
+"""Streaming curation gate: quality + repetition verdict on arrival.
+
+A pre-training ingest pipeline wants to admit or quarantine each
+document the moment it lands (the reference classifies articles at
+ingest, `src/ingest_v2.py` — same shape, different rules). Both
+signals are pure per-row expressions, so the streaming form is
+STATELESS: no watermark, no state store, no shuffle — per-document
+cost is O(tokens) and the gate scales with the scan at 100 TB.
+
+The gate is an independent implementation (bound-column projections,
+O(len) sorted-run mode fold), pinned by test not by code-sharing:
+`tests/test_stream_quality.py` replays it availableNow over the real
+documents table and asserts the verdict equals the conjunction of the
+two DuckDB-oracle-verified batch queries (`t_quality_score`,
+`t_repetition`) — a cross-implementation check, so a drift in either
+side is caught instead of silently shared.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.textstats import STOPWORDS
+
+# Admission thresholds: quality_score (0-3 band count, as in
+# t_quality_score) must reach 2 and the doc must not trip the Gopher
+# repetition rules (as in t_repetition).
+MIN_QUALITY = 2
+
+
+def with_curation_verdict(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, ...) -> (doc_id, quality_score, is_repetitive,
+    keep). Works identically on batch and streaming DataFrames."""
+    words = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("__w")
+    )
+    stats = toks.select(
+        "doc_id",
+        F.size("__w").alias("n_tokens"),
+        F.size(F.array_distinct("__w")).alias("n_unique"),
+        F.expr(f"size(filter(__w, t -> t IN ({words})))").alias("stop_hits"),
+        F.expr(
+            "zip_with(slice(__w, 1, greatest(size(__w) - 1, 0)),"
+            "         slice(__w, 2, greatest(size(__w) - 1, 0)),"
+            "         (a, b) -> concat(a, ' ', b))"
+        ).alias("bigrams"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_unique",
+        "stop_hits",
+        F.size("bigrams").alias("n_bigrams"),
+        F.size(F.array_distinct("bigrams")).alias("n_distinct"),
+        F.expr(
+            "aggregate(array_sort(bigrams),"
+            " named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),"
+            " (acc, x) -> named_struct("
+            "   'prev', x,"
+            "   'run', IF(x <=> acc.prev, acc.run + 1, 1),"
+            "   'best', GREATEST(acc.best, IF(x <=> acc.prev, acc.run + 1, 1))),"
+            " acc -> acc.best)"
+        ).alias("top_count"),
+    )
+    unique_ratio = F.col("n_unique").cast("double") / F.col("n_tokens")
+    stop_ratio = F.col("stop_hits").cast("double") / F.col("n_tokens")
+    quality = (
+        F.when(F.col("n_tokens").between(20, 80), 1).otherwise(0)
+        + F.when(unique_ratio >= 0.5, 1).otherwise(0)
+        + F.when(stop_ratio.between(0.01, 0.6), 1).otherwise(0)
+    ).cast("int")
+    zero = F.col("n_bigrams") == 0
+    top_frac = F.col("top_count").cast("double") / F.col("n_bigrams")
+    dup_frac = (F.col("n_bigrams") - F.col("n_distinct")).cast("double") / F.col(
+        "n_bigrams"
+    )
+    repetitive = (
+        F.when(zero, F.lit(False))
+        .otherwise((top_frac > 0.18) | (dup_frac > 0.30))
+        .cast("int")
+    )
+    return stats.select(
+        "doc_id",
+        quality.alias("quality_score"),
+        repetitive.alias("is_repetitive"),
+        ((quality >= MIN_QUALITY) & (repetitive == 0)).cast("int").alias("keep"),
+    )
+
+
+def stream_curation_gate(
+    spark: SparkSession, docs_dir: str, schema=None
+) -> DataFrame:
+    """readStream over a documents directory -> per-document admission
+    verdict. Stateless; safe in append mode with no watermark."""
+    if schema is None:
+        schema = spark.read.parquet(docs_dir).schema
+    docs = spark.readStream.schema(schema).parquet(docs_dir)
+    return with_curation_verdict(docs)
