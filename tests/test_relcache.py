@@ -149,3 +149,79 @@ def test_prune_keeps_newest_and_pruned_reader_fails_loudly(
     assert "ds0" in msg or "FileNotFound" in msg or "does not exist" in msg
     # survivors still read clean
     assert handles[-1].count() == 10 + relcache.KEEP_DATASETS
+
+
+def test_publish_rename_eexist_reads_rival(spark, tmp_path, mv_root, monkeypatch):
+    """A failed publish rename with EEXIST/ENOTEMPTY means a rival
+    builder won: the loser must read the rival's complete output and
+    clean its own temp — never rmtree the published path."""
+    import errno
+    import os
+
+    data = tmp_path / "ds"
+    spark.range(7).toDF("id").write.parquet(str(data))
+
+    # rival publishes first (a normal build)
+    first = relcache.cached_relation(
+        "k", str(data), lambda: spark.read.parquet(str(data))
+    )
+    assert first.count() == 7
+    fp = relcache._fingerprint(str(data))
+    published = os.path.join(relcache.MV_ROOT, "k", fp)
+    marker = os.path.join(published, "_SUCCESS")
+    assert os.path.exists(marker)
+
+    # second builder: same (key, fingerprint) but its rename collides
+    relcache.clear()
+    real_rename = os.rename
+    calls = []
+
+    def eexist_rename(src, dst):
+        if dst == published:
+            calls.append(src)
+            raise OSError(errno.EEXIST, "File exists", src)
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(relcache.os, "rename", eexist_rename)
+    # force a rebuild attempt against the existing publish
+    monkeypatch.setattr(
+        relcache.os.path,
+        "exists",
+        lambda p, _real=os.path.exists: False if p == marker and not calls else _real(p),
+    )
+    again = relcache.cached_relation(
+        "k", str(data), lambda: spark.read.parquet(str(data))
+    )
+    assert calls, "the colliding rename must have been attempted"
+    assert again.count() == 7              # rival's output served
+    assert os.path.exists(marker)          # rival's publish untouched
+    leftovers = [d for d in os.listdir(os.path.dirname(published)) if ".tmp-" in d]
+    assert not leftovers, "loser must clean its temp dir"
+
+
+def test_publish_rename_real_error_propagates(spark, tmp_path, mv_root, monkeypatch):
+    """A rename failure with a non-collision errno (EACCES, EXDEV...)
+    is a REAL publish failure: it must raise and must NOT rmtree the
+    destination path (a reader may be scanning a rival's output)."""
+    import errno
+    import os
+
+    import pytest as _pytest
+
+    data = tmp_path / "ds2"
+    spark.range(5).toDF("id").write.parquet(str(data))
+    fp = relcache._fingerprint(str(data))
+    published = os.path.join(relcache.MV_ROOT, "k2", fp)
+
+    real_rename = os.rename
+
+    def eacces_rename(src, dst):
+        if dst == published:
+            raise OSError(errno.EACCES, "Permission denied", src)
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(relcache.os, "rename", eacces_rename)
+    with _pytest.raises(OSError):
+        relcache.cached_relation(
+            "k2", str(data), lambda: spark.read.parquet(str(data))
+        )
