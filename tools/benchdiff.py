@@ -1,0 +1,61 @@
+"""Compare two bench JSON artifacts query-by-query.
+
+Usage: python tools/benchdiff.py OLD.json NEW.json [threshold_pct]
+
+Prints per-query deltas sorted by regression size. When both files
+carry a `calibration` field (round 6+), a second normalized delta
+divides each side by its host-speed scale first, separating real plan
+drift from host noise — the same arithmetic bench.py's budget guard
+uses.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def load(path: str) -> dict:
+    """Accept either bench.py's raw one-line JSON or the driver's
+    BENCH_r{N}.json wrapper (payload under 'parsed')."""
+    with open(path) as f:
+        text = f.read().strip()
+    try:
+        d = json.loads(text)          # pretty-printed driver artifact
+    except json.JSONDecodeError:
+        d = json.loads(text.splitlines()[-1])  # bench.py one-liner
+    return d.get("parsed", d)
+
+
+def main() -> None:
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
+    so = old.get("calibration", {}).get("scale", 1.0)
+    sn = new.get("calibration", {}).get("scale", 1.0)
+    rows = []
+    for q, tn in new["queries"].items():
+        to = old["queries"].get(q)
+        if to is None:
+            rows.append((float("inf"), f"{q:32s} NEW {tn:.3f}s"))
+            continue
+        raw = 100.0 * (tn - to) / to
+        norm = 100.0 * (tn / sn - to / so) / (to / so)
+        if abs(norm) >= thresh:
+            rows.append(
+                (norm, f"{q:32s} {to:.3f} -> {tn:.3f}  raw {raw:+.0f}%  "
+                       f"normalized {norm:+.0f}%")
+            )
+    for q in old["queries"]:
+        if q not in new["queries"]:
+            rows.append((float("-inf"), f"{q:32s} REMOVED"))
+    rows.sort(reverse=True)
+    for _, line in rows:
+        print(line)
+    print(
+        f"\nsuite {old['value']:.1f}s -> {new['value']:.1f}s | "
+        f"calib scale {so} -> {sn} | showing |normalized| >= {thresh:.0f}%"
+    )
+
+
+if __name__ == "__main__":
+    main()
