@@ -137,6 +137,54 @@ BUDGET = {
     "t_ngram_docfreq": 1.1,     # r6: gram relation stored via the MV seam
 }
 
+# Full-coverage pins (r6): every remaining headline query, generated as
+# 1.4x the worst calibration-NORMALIZED median across three round-6
+# bench runs (one idle, two deliberately host-contended — the guard
+# held through a 1.5x-slow box), rounded up to 0.05, floored at 0.35.
+# Explicit BUDGET entries above take precedence. Regenerate with the
+# recipe in BENCH_NOTES.md if plans change legitimately.
+BUDGET_GENERATED = {
+    "a12b_storylines": 0.85,
+    "a1_daily_event_counts": 0.9,
+    "a5_top_headlines": 0.6,
+    "a6_screen": 0.35,
+    "a7_sector_stats": 0.75,
+    "d10_corpus_curation": 0.65,
+    "d11_hash_sample": 0.35,
+    "d12_token_stream_pack": 0.4,
+    "d13_stratified_sample": 0.35,
+    "d14_ann_ivf_nprobe2": 1.05,
+    "d2_minhash_pairs": 0.75,
+    "d9_dedup_clusters": 0.35,
+    "e10_processed_articles": 0.65,
+    "e11_industry_durations": 0.45,
+    "e12_narrative_tags": 0.5,
+    "e13_feature_series": 0.85,
+    "e14_narrative_overlay": 0.65,
+    "e15_processed_serps": 0.5,
+    "e1_trend_summary": 0.35,
+    "e2_crisis_durations": 0.5,
+    "e4_crisis_impact": 0.5,
+    "e5_evidence": 1.1,
+    "e8_crisis_patterns": 0.55,
+    "e9_negative_summary": 1.0,
+    "f1_llm_classify": 0.4,
+    "f2_feature_summary": 0.35,
+    "f3_hf_batch": 0.4,
+    "f4_sentiment": 0.5,
+    "j9_asof_freshness": 0.8,
+    "m3_frame_resize": 0.35,
+    "p2_override_daily": 0.85,
+    "t2_crisis_chain": 0.5,
+    "t_quality_score": 0.4,
+    "u4_anomaly_rules": 0.65,
+    "w1_weekly_rollup": 0.9,
+    "w2_anomaly_baselines": 0.5,
+    "w5_latest_per_key": 0.7,
+    "w8_activity_episodes": 0.45,
+}
+BUDGET = {**BUDGET_GENERATED, **BUDGET}
+
 
 def materialize(df) -> None:
     """Execute the full plan without collecting to the driver."""
