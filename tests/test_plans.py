@@ -121,3 +121,44 @@ def test_exchange_budget(summaries):
         if c["Exchange"] > EXCH_BUDGET.get(n, MAX_EXCHANGES)
     }
     assert not bad, f"queries over their exchange budget: {bad}"
+
+
+def test_pushdown_and_pruning_reach_the_scans():
+    """PLANS.md promises that filters and column selection reach the
+    parquet scans; pin it for representative queries so a refactor
+    that breaks pushdown (e.g. wrapping a scan in an opaque UDF stage)
+    fails CI, not just the bench. Checked on the executed plan string:
+    - j1: the orders scan carries the date-range PushedFilters and the
+      lineitem scan reads exactly its 3 needed columns;
+    - u1: the enum isin predicate is pushed into the events scan;
+    - t_ngram_docfreq: the docfreq branch scans only the gram column."""
+    from risk_dashboard_database_spark.session import get_spark
+
+    spark = get_spark(shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def plan(name):
+        return (
+            QUERIES[name](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    p = plan("j1_star_join")
+    assert "GreaterThanOrEqual(o_orderdate" in p, "date lower bound not pushed"
+    assert "LessThan(o_orderdate" in p, "date upper bound not pushed"
+    li = [ln for ln in p.splitlines() if "FileScan" in ln and "l_orderkey" in ln]
+    assert li and "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>" in li[0], (
+        "lineitem scan must be pruned to its 3 needed columns"
+    )
+
+    p = plan("u1_entity_branches")
+    assert "In(event_type" in p, "enum isin not pushed into the events scan"
+
+    p = plan("t_ngram_docfreq")
+    gram_scans = [
+        ln for ln in p.splitlines()
+        if "FileScan" in ln and "t_tri_grams" in ln and "ReadSchema: struct<gram:string>" in ln
+    ]
+    assert gram_scans, "docfreq branch must scan only the gram column"
