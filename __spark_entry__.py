@@ -61,7 +61,10 @@ _SAMPLE_FIRST = [
     # stored MVs; t_repetition / t_ngram_docfreq are the round's new
     # corpus-curation queries (green-on-arrival evidence). a1/j4 (the
     # perf-investigated pair) stay r05-green — one round old, inside
-    # the rotation contract.
+    # the rotation contract. d17_pretrain_build (also new) waits for
+    # the r7 window: it COMPOSES operators that all have fresh driver
+    # rows (d9, d15, t_quality, d12), so its local-gate evidence
+    # (exact at sf0.001/sf0.01, tools/check.py) carries it one round.
     "u3_evidence_union", "t_repetition", "t_ngram_docfreq",
 ]
 

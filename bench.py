@@ -78,6 +78,7 @@ HEADLINE = [
     "m3_frame_resize",
     "t_repetition",
     "t_ngram_docfreq",
+    "d17_pretrain_build",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
@@ -135,6 +136,7 @@ BUDGET = {
     "j4_entity_daily_metrics": 1.0,  # r6: drift guard (VERDICT r5 #4)
     "t_repetition": 0.9,        # r6: O(len) sorted-run mode, bound split
     "t_ngram_docfreq": 1.1,     # r6: gram relation stored via the MV seam
+    "d17_pretrain_build": 1.3,  # r6: 4-stage composed build, 1.04 measured
 }
 
 # Full-coverage pins (r6): every remaining headline query, generated as

@@ -1456,3 +1456,154 @@ def d16_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rerank", F.row_number().over(w).cast("int"))
         .where(F.col("rerank") <= 2)
     )
+
+
+# ---------------------------------------------------------------- d17
+def _d17_oracle() -> str:
+    from .textstats import _stop_count_sql
+
+    return f"""
+    WITH RECURSIVE {_D9_CTES},
+    nd_drops AS (SELECT doc_id FROM sized WHERE rn <> 1),
+    dw AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    dc_bg AS (
+      SELECT DISTINCT
+        unnest(list_transform(range(1, greatest(len(w) - 2, 1)),
+               i -> array_to_string(list_slice(w, i, i + 3), ' '))) AS h
+      FROM dw WHERE doc_id % 97 = 0
+    ),
+    dc_flag AS (
+      SELECT doc_id,
+             MAX(CASE WHEN h IN (SELECT h FROM dc_bg) THEN 1 ELSE 0 END)
+               AS contaminated
+      FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(hs) = 0 THEN [NULL] ELSE hs END) AS h
+        FROM (
+          SELECT doc_id,
+                 list_transform(range(1, greatest(len(w) - 2, 1)),
+                   i -> array_to_string(list_slice(w, i, i + 3), ' ')) AS hs
+          FROM dw WHERE doc_id % 97 <> 0
+        )
+      )
+      GROUP BY doc_id
+    ),
+    qual AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 80
+                  THEN 1 ELSE 0 END
+           + CASE WHEN CAST(len(list_distinct(string_split(text, ' ')))
+                       AS DOUBLE) / len(string_split(text, ' ')) >= 0.5
+                  THEN 1 ELSE 0 END
+           + CASE WHEN CAST({_stop_count_sql('en')} AS DOUBLE)
+                       / len(string_split(text, ' '))
+                       BETWEEN 0.01 AND 0.6
+                  THEN 1 ELSE 0 END AS score
+      FROM documents
+    ),
+    survivors AS (
+      SELECT d.doc_id, d.lang, CAST(q.n_tokens AS BIGINT) AS n_tokens
+      FROM documents d
+      JOIN qual q USING (doc_id)
+      JOIN dc_flag f USING (doc_id)
+      LEFT JOIN nd_drops nd ON nd.doc_id = d.doc_id
+      WHERE nd.doc_id IS NULL AND q.score >= 2 AND f.contaminated = 0
+    ),
+    packed AS (
+      SELECT doc_id, lang, n_tokens,
+             doc_id % {PACK_SHARDS} AS shard,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY doc_id % {PACK_SHARDS} ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_prev
+      FROM survivors
+    )
+    SELECT doc_id, lang,
+           CAST(shard AS BIGINT) AS shard,
+           n_tokens,
+           cum_prev // {PACK_BUDGET} AS start_seq,
+           cum_prev % {PACK_BUDGET} AS start_offset,
+           (cum_prev + n_tokens - 1) // {PACK_BUDGET} AS end_seq,
+           (cum_prev + n_tokens - 1) // {PACK_BUDGET}
+             > cum_prev // {PACK_BUDGET} AS spans_boundary
+    FROM packed
+    """
+
+
+@query("d17_pretrain_build", oracle=_d17_oracle())
+def d17_pretrain_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining-data build as ONE query — the capstone a
+    100 TB curation run actually executes per document: near-dup drop
+    (non-canonical members of d9 clusters) -> quality gate (score >=
+    2) -> benchmark exclusion + decontamination (d15 flags; benchmark
+    docs themselves leave the corpus) -> token-stream packing of the
+    SURVIVORS into fixed-{PACK_BUDGET}-token sequences (d12 layout).
+    Output: one row per surviving document with its shard/sequence/
+    offset placement — the exact write plan of the training-shard job.
+
+    Every stage is the already-driver-verified operator composed, not
+    re-derived: d9's cluster MV, d15's stored-gram flags, the
+    t_quality exprs, d12's per-shard window. Scale posture follows the
+    pieces: drop list broadcasts, flags come off the stored gram MV
+    with one per-doc agg, quality is per-row JVM, packing is
+    {PACK_SHARDS} parallel streams (one narrow shuffle) — the corpus
+    is never globally sorted or exchanged more than once.
+    (Rotation note: lands with full local-gate evidence — exact at
+    sf0.001/sf0.01 — and enters the driver sample window in round 7;
+    its constituent operators all have fresh driver rows already.)"""
+    from .textstats import _stop_count, _tokens
+
+    clusters = d9_dedup_clusters(spark, sf_dir)
+    nd_drops = F.broadcast(
+        clusters.where(~F.col("is_canonical")).select(
+            "doc_id", F.lit(True).alias("is_dup")
+        )
+    )
+    flags = d15_decontaminate(spark, sf_dir).select("doc_id", "contaminated")
+    docs = load_table(spark, sf_dir, "documents")
+    tk = _tokens(F.col("text"))
+    n_tokens = F.size(tk)
+    score = (
+        F.when(n_tokens.between(20, 80), 1).otherwise(0)
+        + F.when(F.size(F.array_distinct(tk)).cast("double") / n_tokens >= 0.5, 1)
+        .otherwise(0)
+        + F.when(
+            (_stop_count(tk, "en").cast("double") / n_tokens).between(0.01, 0.6), 1
+        ).otherwise(0)
+    )
+    survivors = (
+        docs.select(
+            "doc_id", "lang", n_tokens.cast("long").alias("n_tokens"), score.alias("score")
+        )
+        .join(flags, "doc_id")
+        .join(nd_drops, "doc_id", "left")
+        .where(
+            F.col("is_dup").isNull()
+            & (F.col("score") >= 2)
+            & (F.col("contaminated") == 0)
+        )
+        .select("doc_id", "lang", "n_tokens")
+    )
+    w = (
+        Window.partitionBy(F.col("doc_id") % PACK_SHARDS)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = survivors.withColumn(
+        "cum_prev", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    start_seq = (F.col("cum_prev") / PACK_BUDGET).cast("long")
+    end_seq = ((F.col("cum_prev") + F.col("n_tokens") - 1) / PACK_BUDGET).cast("long")
+    return c.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % PACK_SHARDS).cast("long").alias("shard"),
+        "n_tokens",
+        start_seq.alias("start_seq"),
+        (F.col("cum_prev") % PACK_BUDGET).alias("start_offset"),
+        end_seq.alias("end_seq"),
+        (end_seq > start_seq).alias("spans_boundary"),
+    )
