@@ -247,3 +247,31 @@ def test_rerank_stage_reorders_candidates(spark):
     assert any(
         r.rerank == 1 and base[(r.query_id, r.candidate_id)] != 1 for r in rr
     )
+
+
+def test_salted_agg_salt_on_keeps_distinct_partials_disjoint(spark):
+    """salt_on (r6): a value-pure salt makes per-salt DISTINCT sets
+    disjoint, so summed partial distinct counts are EXACT. (Catalyst
+    already plans count_distinct this way — see skew.py's note — so
+    this matters for UDAF-style state; the invariant is tested with
+    count_distinct as the stand-in merge.)"""
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 3).alias("key"),
+        (F.col("id") % 91).alias("v"),
+    )
+    plain = {
+        r["key"]: r["nd"]
+        for r in df.groupBy("key").agg(F.count_distinct("v").alias("nd")).collect()
+    }
+    salted = {
+        r["key"]: r["nd"]
+        for r in salted_agg(
+            df,
+            ["key"],
+            partials={"nd": F.count_distinct(F.col("v"))},
+            merges={"nd": F.sum("nd")},
+            n_salts=8,
+            salt_on=["v"],
+        ).collect()
+    }
+    assert salted == plain
