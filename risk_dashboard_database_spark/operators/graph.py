@@ -35,6 +35,8 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    import gc
+
     for _ in range(max_iter):
         nbr = und.join(
             labels.select(F.col("id").alias("dst"), "label"), "dst"
@@ -59,6 +61,13 @@ def connected_components(
             .count()
         )
         labels = new_labels
+        # Previous rounds' checkpoint blocks are only freed when their
+        # RDDs are garbage-collected (ContextCleaner); Python's lazy GC
+        # let them pile up in the block manager — on a 50M-edge graph
+        # (the 100x near-duplicate corpus) that accumulated past the
+        # heap and OOM'd the JVM (BENCH_NOTES r6). Collect explicitly
+        # so each round's storage is bounded by TWO label generations.
+        gc.collect()
         if changed == 0:
             break
     return labels

@@ -62,7 +62,12 @@ def get_spark(
         # Reference semantics are Postgres-style permissive casts; the
         # oracle comparison also depends on non-ANSI null-on-bad-cast.
         .config("spark.sql.ansi.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Local mode runs everything in the driver JVM, so this IS the
+        # executor heap: 8g OOM'd the 100x connected-components run
+        # (50M cached edges + label generations) on a 128 GiB box.
+        # 24g leaves ample host headroom; takes effect only at JVM
+        # launch (first getOrCreate in the process).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
