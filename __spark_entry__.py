@@ -29,10 +29,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # round. Round 6: tier 1 = the two queries displaced in round 5 (o7 at
 # r04/rows-only, a13 at r03) followed by the 45 queries whose latest
 # green row is CORRECTNESS_r04; tier 2 = u3 (plan changed this round:
-# evidence now served from stored MVs) plus the two perf-investigated
-# queries (a1/j4 — re-layout A/B, BENCH_NOTES r6). That fills the
-# 50-slot window exactly; the r05-green remainder follows in registry
-# order and is at most one round old.
+# evidence now served from stored MVs) plus the round's two new
+# operator queries (t_repetition, t_ngram_docfreq — green-on-arrival).
+# That fills the 50-slot window exactly; the r05-green remainder
+# (including a1/j4, whose re-layout A/B changed no plan) follows in
+# registry order and is at most one round old.
 _SAMPLE_FIRST = [
     # tier 1 — displaced last round; rotate back first (VERDICT r5 #1).
     # o7's driver check is rows-only by contract; its value evidence is

@@ -93,12 +93,20 @@ def single_flight(lock_dir: str, name: str) -> Iterator[bool]:
             # broke the lock and re-acquired — stealing the rival's
             # FRESH lock. So after the rename, re-read the pid inside
             # the tombstone: if it isn't the stale pid we observed, we
-            # grabbed a live lock by mistake — put it back and treat
-            # the lock as held.
+            # grabbed a live lock by mistake — put it back (only while
+            # its holder is still RUNNING: resurrecting a lock whose
+            # holder already released would starve every future
+            # caller) and treat the lock as held. This NARROWS the
+            # break race, it does not eliminate it — plain files have
+            # no compare-and-swap, so a third caller can slip in while
+            # the path is briefly absent; refresh idempotence plus the
+            # MV store's atomic publish are the correctness backstop
+            # for that residual window.
             tomb = f"{path}.stale.{os.getpid()}"
             try:
                 os.rename(path, tomb)
-                if _lock_pid(tomb) == pid:
+                tpid = _lock_pid(tomb)
+                if tpid == pid or tpid is None or not _pid_running(tpid):
                     os.remove(tomb)
                     acquired = try_acquire()
                 else:

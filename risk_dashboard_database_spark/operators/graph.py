@@ -65,8 +65,11 @@ def connected_components(
         # RDDs are garbage-collected (ContextCleaner); Python's lazy GC
         # let them pile up in the block manager — on a 50M-edge graph
         # (the 100x near-duplicate corpus) that accumulated past the
-        # heap and OOM'd the JVM (BENCH_NOTES r6). Collect explicitly
-        # so each round's storage is bounded by TWO label generations.
+        # heap and OOM'd the JVM (BENCH_NOTES r6). Drop the locals
+        # that still reference the previous generation FIRST (they are
+        # rebound only at the top of the next round), then collect, so
+        # storage is genuinely bounded by two label generations.
+        del nbr, merged, hop
         gc.collect()
         if changed == 0:
             break

@@ -19,6 +19,21 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_heap() -> str:
+    """Driver-JVM heap default: a quarter of host RAM, clamped to
+    [4g, 24g] (24g was sized against the 100x scale runs; 4g keeps a
+    tiny CI box functional). SPARK_GRAFT_DRIVER_MEM overrides."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gb = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(4, min(24, total_gb // 4))}g"
+    except OSError:
+        pass
+    return "8g"
+
+
 def get_spark(
     app_name: str = "risk-dashboard-database-spark",
     master: str | None = None,
@@ -65,9 +80,14 @@ def get_spark(
         # Local mode runs everything in the driver JVM, so this IS the
         # executor heap: 8g OOM'd the 100x connected-components run
         # (50M cached edges + label generations) on a 128 GiB box.
-        # 24g leaves ample host headroom; takes effect only at JVM
+        # Default scales with host RAM (a fixed 24g would drive a
+        # 16 GiB contributor box into kernel OOM-kill instead of a
+        # clean JVM OutOfMemoryError); takes effect only at JVM
         # launch (first getOrCreate in the process).
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_heap()),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

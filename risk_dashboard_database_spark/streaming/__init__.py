@@ -9,6 +9,9 @@
   (per-bucket stateful pair generation == batch d2 band join)
 - decontam: benchmark decontamination on arrival (stateless literal
   benchmark-gram probe == batch d15 flags)
+- quality: curation gate on arrival (stateless quality + repetition
+  verdict == conjunction of the oracle-verified t_quality_score /
+  t_repetition batch queries)
 """
 
-from . import daily, decontam, dedup, neardup, stateful  # noqa: F401
+from . import daily, decontam, dedup, neardup, quality, stateful  # noqa: F401

@@ -69,3 +69,28 @@ def test_lock_break_does_not_steal_fresh_lock(tmp_path, monkeypatch):
         assert got is False, "breaker must not steal the rival's fresh lock"
     assert lock.exists() and lock.read_text() == live_pid
     assert not list(tmp_path.glob("*.stale.*")), "tombstone must be cleaned up"
+
+
+def test_lock_break_does_not_resurrect_dead_rivals_lock(tmp_path, monkeypatch):
+    """Code-review r6: if the pid found inside the tombstone is
+    DIFFERENT but its process already exited (the rival acquired and
+    released, or died), restoring the lock would starve every future
+    caller forever. The breaker must treat it as free and acquire."""
+    import os
+
+    import risk_dashboard_database_spark.observe as obs
+
+    lock = tmp_path / "job.lock"
+    lock.write_text("999999999")       # stale pid
+    real_rename = os.rename
+
+    def racing_rename(src, dst):
+        if src == str(lock) and ".stale." in dst and lock.read_text() == "999999999":
+            lock.write_text("999999998")  # rival's pid — also not running
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(obs.os, "rename", racing_rename)
+    with obs.single_flight(str(tmp_path), "job") as got:
+        assert got is True, "a dead rival's lock must not be resurrected"
+    assert not lock.exists()
+    assert not list(tmp_path.glob("*.stale.*"))
