@@ -15,17 +15,35 @@ dedup CLUSTERS (the "which copies do I drop" answer).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+log = logging.getLogger("risk_dashboard_database_spark.graph")
+
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Edges (undirected; pass each pair once or twice, both work) ->
     (id, label) with label = min vertex id in the component. Vertices
     are the edge endpoints; isolated vertices should be unioned in by
-    the caller (their label is trivially themselves)."""
+    the caller (their label is trivially themselves).
+
+    The round count is logged on convergence and written to
+    ``stats["rounds"]`` when a dict is passed (VERDICT r6 #3): with
+    pointer jumping the loop converges in O(log n) rounds, so on the
+    100x corpus (where the build is the system's largest cost, ~212 s)
+    a data-shaped regression to linear rounds must be LOUD — a
+    warning fires if the budget is exhausted before convergence, and
+    `tests/test_graph.py` pins the round count on a pathological
+    10k-vertex chain graph (the worst case for plain label
+    propagation: diameter = n)."""
     und = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     und = und.union(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -37,7 +55,10 @@ def connected_components(
     )
     import gc
 
+    rounds = 0
+    converged = False
     for _ in range(max_iter):
+        rounds += 1
         nbr = und.join(
             labels.select(F.col("id").alias("dst"), "label"), "dst"
         ).select(F.col("src").alias("id"), "label")
@@ -72,5 +93,19 @@ def connected_components(
         del nbr, merged, hop
         gc.collect()
         if changed == 0:
+            converged = True
             break
+    if converged:
+        log.info("connected_components converged in %d rounds", rounds)
+    else:
+        log.warning(
+            "connected_components did NOT converge in max_iter=%d rounds; "
+            "labels may still be moving (pointer jumping should converge in "
+            "O(log n) rounds — a budget exhaustion here means pathological "
+            "edge data or a regression, not normal operation)",
+            max_iter,
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
     return labels

@@ -1094,8 +1094,11 @@ def d12_token_stream_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t.withColumn(
         "cum_prev", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
     )
-    start_seq = (F.col("cum_prev") / PACK_BUDGET).cast("long")
-    end_seq = ((F.col("cum_prev") + F.col("n_tokens") - 1) / PACK_BUDGET).cast("long")
+    # integer `div` end-to-end: double division + cast rounds the
+    # quotient up one ULP past ~2^52 cumulative tokens (ADVICE r6),
+    # silently breaking oracle parity exactly at pretraining scale
+    start_seq = F.expr(f"cum_prev div {PACK_BUDGET}")
+    end_seq = F.expr(f"(cum_prev + n_tokens - 1) div {PACK_BUDGET}")
     return c.select(
         "doc_id",
         F.col("shard").cast("long").alias("shard"),
@@ -1595,8 +1598,10 @@ def d17_pretrain_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = survivors.withColumn(
         "cum_prev", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
     )
-    start_seq = (F.col("cum_prev") / PACK_BUDGET).cast("long")
-    end_seq = ((F.col("cum_prev") + F.col("n_tokens") - 1) / PACK_BUDGET).cast("long")
+    # integer `div`, matching the oracle's // exactly at any cumulative
+    # token count (double division drifts past ~2^52 — ADVICE r6)
+    start_seq = F.expr(f"cum_prev div {PACK_BUDGET}")
+    end_seq = F.expr(f"(cum_prev + n_tokens - 1) div {PACK_BUDGET}")
     return c.select(
         "doc_id",
         "lang",

@@ -66,6 +66,101 @@ def refresh_aggregates(
     return paths
 
 
+# ---------------------------------------------------------------------------
+# Durable MV-store refresh DAG (VERDICT r6 #5). The relcache MVs are
+# built lazily by the first query that touches them — correct, but at
+# 100x scale first-touch costs run 17-212 s and land on an arbitrary
+# user query. refresh_all() pre-pays every one of them in dependency
+# order, mirroring the reference's scheduled MV rebuild script
+# (`sql/rebuild_serp_feature_mvs.sql:10-30`), with independent steps
+# built concurrently (Spark's scheduler is thread-safe; each thread
+# submits independent jobs).
+#
+# Each step names the relcache keys it materializes and the accessor
+# that owns them; calling the accessor IS the build — cached_relation
+# writes the parquet eagerly on first call, so no extra action is
+# needed. Steps whose MVs derive from other MVs declare deps so the
+# parent is always store-warm (and hence a plain scan) when the child
+# compiles its build plan.
+MV_STORE_DAG: list[tuple[str, tuple[str, ...], tuple[str, ...]]] = [
+    # step            produces (relcache keys)            deps (steps)
+    ("layouts",       ("layout_*",),                      ()),
+    ("user_day",      ("user_day",),                      ("layouts",)),
+    ("override_items", ("override_items",),               ("layouts",)),
+    ("narr_cand",     ("narr_cand",),                     ("layouts",)),
+    ("narrative_rows", ("narrative_rows",),               ("narr_cand",)),
+    ("narr_anch90",   ("narr_anch90",),                   ("narrative_rows",)),
+    ("u3",            ("u3_evidence", "u3_codes", "u3_enc"), ("layouts",)),
+    ("d2_sigs",       ("d2_toks", "d2_sigs"),             ("layouts",)),
+    ("d9_clusters",   ("d9_clusters",),                   ("d2_sigs",)),
+    ("d3_normed",     ("d3_normed",),                     ()),
+    ("d8_assigned",   ("d8_assigned_v2",),                ()),
+    ("d15_grams",     ("d15_grams",),                     ("layouts",)),
+    ("t_tri_grams",   ("t_tri_grams",),                   ("layouts",)),
+]
+
+
+def _mv_warmer(step: str):
+    """Accessor that owns the step's relcache key(s). Imported lazily
+    to keep module import light and avoid cycles."""
+    from ..tables import FACT_TABLES, load_table
+    from . import dedup, endpoints, narrative, overrides, textstats, unions
+    from .common import user_day as user_day_mv
+
+    def warm_layouts(spark, sf_dir):
+        for t in FACT_TABLES:
+            load_table(spark, sf_dir, t)
+
+    return {
+        "layouts": warm_layouts,
+        "user_day": user_day_mv,
+        "override_items": overrides.items,
+        "narr_cand": narrative.narrative_candidates,
+        "narrative_rows": endpoints._narrative_rows,
+        "narr_anch90": endpoints._anchored_win90,
+        "u3": unions.u3_evidence_union,
+        "d2_sigs": dedup.d2_minhash_pairs,
+        "d9_clusters": dedup.d9_dedup_clusters,
+        "d3_normed": dedup._normed_embeddings,
+        "d8_assigned": dedup._ivf_assigned,
+        "d15_grams": dedup._decon_grams,
+        "t_tri_grams": textstats.t_ngram_docfreq,
+    }[step]
+
+
+def refresh_all(
+    spark: SparkSession, sf_dir: str, max_workers: int = 4
+) -> dict[str, float]:
+    """Build every registered MV-store relation for sf_dir's current
+    content, dependency-ordered, independent steps concurrent.
+    Returns {step: build_seconds}. Idempotent and cheap when warm:
+    each accessor returns a plain scan if the store already holds the
+    dataset's fingerprint, so a scheduled rerun costs milliseconds."""
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    timings: dict[str, float] = {}
+    done: set[str] = set()
+    pending = list(MV_STORE_DAG)
+
+    def run_step(step: str) -> None:
+        t0 = _time.perf_counter()
+        _mv_warmer(step)(spark, sf_dir)
+        timings[step] = round(_time.perf_counter() - t0, 3)
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        while pending:
+            ready = [s for s, _, deps in pending if all(d in done for d in deps)]
+            if not ready:
+                raise RuntimeError(f"MV DAG cycle or missing dep: {pending}")
+            futures = {s: pool.submit(run_step, s) for s in ready}
+            for s, fut in futures.items():
+                fut.result()
+                done.add(s)
+            pending = [e for e in pending if e[0] not in done]
+    return timings
+
+
 def refresh_window(
     spark: SparkSession,
     sf_dir: str,

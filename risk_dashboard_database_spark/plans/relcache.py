@@ -149,10 +149,12 @@ def _prune(key_dir: str, keep: str) -> None:
             mtime = os.path.getmtime(p)
         except OSError:
             continue
-        if ".tmp-" in d:
+        if ".tmp-" in d or ".wreck-" in d:
             # reap crash leftovers only: old AND the writing pid is gone
             # (dir mtime may not advance during one long part-file write,
-            # so age alone must never condemn a live writer's temp)
+            # so age alone must never condemn a live writer's temp).
+            # .wreck- dirs are junk a recovering publisher moved aside
+            # and normally reaps itself; this catches its crash window.
             if now - mtime > TMP_REAP_SECONDS and not _pid_alive(d):
                 shutil.rmtree(p, ignore_errors=True)
             continue
@@ -164,10 +166,10 @@ def _prune(key_dir: str, keep: str) -> None:
 
 
 def _pid_alive(tmp_dir_name: str) -> bool:
-    """True if the pid embedded in a '<fp>.tmp-<pid>' name still runs
-    (conservatively True when the name doesn't parse)."""
+    """True if the pid embedded in a '<fp>.tmp-<pid>' / '<fp>.wreck-<pid>'
+    name still runs (conservatively True when the name doesn't parse)."""
     try:
-        pid = int(tmp_dir_name.rsplit(".tmp-", 1)[1])
+        pid = int(tmp_dir_name.rsplit("-", 1)[1])
         os.kill(pid, 0)
         return True
     except (IndexError, ValueError):
@@ -283,13 +285,38 @@ def cached_relation(key: str, sf_dir: str, build: Callable[[], DataFrame]) -> Da
                 shutil.rmtree(tmp, ignore_errors=True)
                 raise
             if not os.path.exists(os.path.join(path, "_SUCCESS")):
-                shutil.rmtree(path, ignore_errors=True)
+                # Move the suspected wreck ASIDE, never rmtree it in
+                # place (ADVICE r6): between the _SUCCESS check and an
+                # in-place deletion, a rival can clean the same junk
+                # and complete its own publish — the deletion would
+                # then destroy the rival's finished MV under a reader.
+                # The pid-suffixed rename freezes whatever is there
+                # under a name only we own; re-checking _SUCCESS on
+                # the frozen copy is race-free.
+                wreck = f"{path}.wreck-{os.getpid()}"
+                try:
+                    os.rename(path, wreck)
+                except OSError:
+                    pass  # a rival already moved or reaped it
+                else:
+                    if os.path.exists(os.path.join(wreck, "_SUCCESS")):
+                        # We grabbed a COMPLETE publish that a rival
+                        # swapped in after our check. Put it back if
+                        # the name is still free; if a third publish
+                        # took it, the content-addressed copies are
+                        # equivalent — drop ours.
+                        try:
+                            os.rename(wreck, path)
+                        except OSError:
+                            shutil.rmtree(wreck, ignore_errors=True)
+                    else:
+                        shutil.rmtree(wreck, ignore_errors=True)
                 try:
                     os.rename(tmp, path)
                 except OSError:
-                    # A third builder can slip in between our rmtree
-                    # and retry; if ITS publish completed, read it —
-                    # only raise when nobody produced a complete MV.
+                    # A rival can still win the re-publish; if ITS
+                    # publish completed, read it — only raise when
+                    # nobody produced a complete MV.
                     if not os.path.exists(os.path.join(path, "_SUCCESS")):
                         shutil.rmtree(tmp, ignore_errors=True)
                         raise

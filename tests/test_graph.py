@@ -73,6 +73,26 @@ def test_random_graphs_match_union_find(spark):
         assert got == want, f"trial {trial}: {sorted(got.items())} != {sorted(want.items())}"
 
 
+def test_chain_round_count_is_logarithmic(spark):
+    """The 100x d9 build's cost is CC rounds x 2 shuffles; pointer
+    jumping keeps rounds at O(log n) even on the worst case for plain
+    label propagation — a chain (diameter = n). Pin the round count so
+    a regression toward linear convergence fails HERE, not as a 10x
+    ingest slowdown (VERDICT r6 #3). Measured: 9 rounds at n=256,
+    11 at n=1024 (~log2(n) + 1)."""
+    import math
+
+    n = 1024
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    stats = {}
+    out = connected_components(df, max_iter=40, stats=stats)
+    assert {r["label"] for r in out.collect()} == {0}
+    assert stats["converged"]
+    assert stats["rounds"] <= math.ceil(math.log2(n)) + 3, stats
+
+
 def test_empty_edge_frame(spark):
     df = spark.createDataFrame([], "src long, dst long")
     out = connected_components(df)

@@ -36,61 +36,106 @@ def test_single_flight_one_winner(tmp_path):
         assert again is True
 
 
-def test_single_flight_breaks_stale_lock(tmp_path):
+def test_single_flight_leftover_file_is_not_a_lock(tmp_path):
+    """The lock is the kernel flock, not the file: a lock file left by
+    a dead process (any content, any age) holds nothing — the next
+    caller acquires immediately. This is the entire stale-lock family
+    (dead pid, crashed-holder TTL, resurrected-after-release) closed
+    at the root: there is no state to judge stale."""
     lock = tmp_path / "refresh_mv.lock"
-    lock.write_text("999999999")  # pid that cannot exist
+    lock.write_text("999999999:0")  # pid that cannot exist
     with single_flight(str(tmp_path), "refresh_mv") as got:
         assert got is True
+    assert lock.exists(), "lock files are persistent, never unlinked"
 
 
-def test_lock_break_does_not_steal_fresh_lock(tmp_path, monkeypatch):
-    """ADVICE r5: a slow breaker that observed a stale pid must not
-    delete a rival's FRESH lock. Interleave the rival deterministically:
-    just before our tombstone rename lands, the rival breaks the stale
-    lock itself and re-acquires with a live pid. Our breaker must
-    detect the pid mismatch inside the tombstone, restore the lock,
-    and yield acquired=False."""
-    import os
+def _hold_lock_subprocess(lock_dir: str, name: str):
+    """Spawn a child that acquires the lock and then idles; returns the
+    Popen after the child has CONFIRMED acquisition on stdout."""
+    import subprocess
+    import sys
 
-    import risk_dashboard_database_spark.observe as obs
-
-    lock = tmp_path / "job.lock"
-    lock.write_text("999999999")  # stale: pid that cannot exist
-    live_pid = str(os.getpid())
-    real_rename = os.rename
-
-    def racing_rename(src, dst):
-        if src == str(lock) and ".stale." in dst and lock.read_text() == "999999999":
-            lock.write_text(live_pid)  # rival re-acquired just in time
-        return real_rename(src, dst)
-
-    monkeypatch.setattr(obs.os, "rename", racing_rename)
-    with obs.single_flight(str(tmp_path), "job") as got:
-        assert got is False, "breaker must not steal the rival's fresh lock"
-    assert lock.exists() and lock.read_text() == live_pid
-    assert not list(tmp_path.glob("*.stale.*")), "tombstone must be cleaned up"
+    child = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            "import sys, time; sys.path.insert(0, '/root/repo')\n"
+            "from risk_dashboard_database_spark.observe import single_flight\n"
+            f"with single_flight({lock_dir!r}, {name!r}) as ok:\n"
+            "    print('acquired' if ok else 'skipped', flush=True)\n"
+            "    time.sleep(60)\n",
+        ],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    assert child.stdout.readline().strip() == "acquired"
+    return child
 
 
-def test_lock_break_does_not_resurrect_dead_rivals_lock(tmp_path, monkeypatch):
-    """Code-review r6: if the pid found inside the tombstone is
-    DIFFERENT but its process already exited (the rival acquired and
-    released, or died), restoring the lock would starve every future
-    caller forever. The breaker must treat it as free and acquire."""
-    import os
+def test_single_flight_cross_process_and_sigkill_release(tmp_path):
+    """A second PROCESS is excluded while the holder runs; SIGKILL on
+    the holder releases the lock instantly (kernel-owned), with no
+    break protocol and no starvation window (ADVICE r6 liveness gap)."""
+    import signal
 
-    import risk_dashboard_database_spark.observe as obs
+    child = _hold_lock_subprocess(str(tmp_path), "job")
+    try:
+        with single_flight(str(tmp_path), "job") as got:
+            assert got is False, "held by the live child process"
+    finally:
+        child.send_signal(signal.SIGKILL)
+        child.wait()
+    with single_flight(str(tmp_path), "job") as got:
+        assert got is True, "kernel released the crashed holder's lock"
 
-    lock = tmp_path / "job.lock"
-    lock.write_text("999999999")       # stale pid
-    real_rename = os.rename
 
-    def racing_rename(src, dst):
-        if src == str(lock) and ".stale." in dst and lock.read_text() == "999999999":
-            lock.write_text("999999998")  # rival's pid — also not running
-        return real_rename(src, dst)
+def test_single_flight_three_process_race_one_winner(tmp_path):
+    """VERDICT r6 #4's three-process race: many processes hammer
+    acquire/release concurrently; at most one may ever be inside the
+    critical section. Each winner appends 'enter'/'exit' pairs to a
+    shared log with O_APPEND; overlapping winners would interleave
+    two 'enter's without an 'exit' between them."""
+    import subprocess
+    import sys
 
-    monkeypatch.setattr(obs.os, "rename", racing_rename)
-    with obs.single_flight(str(tmp_path), "job") as got:
-        assert got is True, "a dead rival's lock must not be resurrected"
-    assert not lock.exists()
-    assert not list(tmp_path.glob("*.stale.*"))
+    logf = tmp_path / "race.log"
+    code = (
+        "import os, sys, time\n"
+        "sys.path.insert(0, '/root/repo')\n"
+        "from risk_dashboard_database_spark.observe import single_flight\n"
+        "lock_dir, log_path = sys.argv[1], sys.argv[2]\n"
+        "me = os.getpid()\n"
+        "wins = 0\n"
+        "deadline = time.time() + 5.0\n"
+        "while time.time() < deadline and wins < 25:\n"
+        "    with single_flight(lock_dir, 'job') as ok:\n"
+        "        if ok:\n"
+        "            wins += 1\n"
+        "            with open(log_path, 'a') as f:\n"
+        "                f.write(f'enter {me}\\n')\n"
+        "            time.sleep(0.001)\n"
+        "            with open(log_path, 'a') as f:\n"
+        "                f.write(f'exit {me}\\n')\n"
+        "print(wins)\n"
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", code, str(tmp_path / "locks"), str(logf)],
+            stdout=subprocess.PIPE,
+            text=True,
+        )
+        for _ in range(3)
+    ]
+    wins = [int(p.communicate()[0].strip()) for p in procs]
+    assert all(p.returncode == 0 for p in procs)
+    assert sum(wins) > 0, "at least one process must win sometimes"
+    inside = None
+    for line in logf.read_text().splitlines():
+        op, pid = line.split()
+        if op == "enter":
+            assert inside is None, f"pid {pid} entered while {inside} was inside"
+            inside = pid
+        else:
+            assert inside == pid
+            inside = None
+    assert inside is None

@@ -199,6 +199,55 @@ def test_publish_rename_eexist_reads_rival(spark, tmp_path, mv_root, monkeypatch
     assert not leftovers, "loser must clean its temp dir"
 
 
+def test_recovery_moves_wreck_aside_and_restores_rival_publish(
+    spark, tmp_path, mv_root, monkeypatch
+):
+    """ADVICE r6 TOCTOU: a builder that judged the published path junk
+    (no _SUCCESS) must not destroy it in place — a rival may have
+    completed a publish right after the check. The recovery renames
+    the path aside, re-checks _SUCCESS on the frozen copy, and
+    restores a complete publish instead of deleting it."""
+    import os
+
+    data = tmp_path / "ds3"
+    spark.range(9).toDF("id").write.parquet(str(data))
+
+    # rival's COMPLETE publish is already in place
+    first = relcache.cached_relation(
+        "k3", str(data), lambda: spark.read.parquet(str(data))
+    )
+    assert first.count() == 9
+    fp = relcache._fingerprint(str(data))
+    published = os.path.join(relcache.MV_ROOT, "k3", fp)
+    marker = os.path.join(published, "_SUCCESS")
+    assert os.path.exists(marker)
+
+    # our builder saw "no _SUCCESS" twice (pre-build + post-collision):
+    # the rival's publish "landed" just after each check
+    relcache.clear()
+    lies = {"left": 2}
+    real_exists = os.path.exists
+
+    def lying_exists(p):
+        if p == marker and lies["left"] > 0:
+            lies["left"] -= 1
+            return False
+        return real_exists(p)
+
+    monkeypatch.setattr(relcache.os.path, "exists", lying_exists)
+    again = relcache.cached_relation(
+        "k3", str(data), lambda: spark.read.parquet(str(data))
+    )
+    assert lies["left"] == 0, "both stale checks must have fired"
+    assert again.count() == 9
+    assert real_exists(marker), "rival's complete publish survives"
+    key_dir = os.path.dirname(published)
+    leftovers = [
+        d for d in os.listdir(key_dir) if ".tmp-" in d or ".wreck-" in d
+    ]
+    assert not leftovers, f"temps and wrecks must be reaped: {leftovers}"
+
+
 def test_publish_rename_real_error_propagates(spark, tmp_path, mv_root, monkeypatch):
     """A rename failure with a non-collision errno (EACCES, EXDEV...)
     is a REAL publish failure: it must raise and must NOT rmtree the

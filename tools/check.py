@@ -91,6 +91,65 @@ def rows_equal(a, b):
     return "close", f"float-only drift, worst rel {worst:.2e}"
 
 
+def _o7_py_oracle(sf_dir: str):
+    """Independent plain-Python spec of o7_fuzzy_topk (VERDICT r6 #6):
+    difflib IS the reference's scoring function (`app.py:1048-1056`),
+    so the oracle is the straight-line Python a reviewer would write —
+    no Spark, no SQL. The driver contract for o7 stays rows-only (no
+    SQL equivalent); THIS gate makes its local value evidence
+    corpus-scale instead of fixture-scale."""
+    from decimal import ROUND_HALF_UP, Decimal
+    from difflib import SequenceMatcher
+
+    import pandas as pd
+
+    cust = duckdb.sql(
+        f"SELECT c_custkey, c_name FROM '{sf_dir}/customer.parquet'"
+    ).fetchdf()
+    names = sorted(cust.c_name.tolist())
+    rows = []
+    probes = cust[cust.c_custkey % 100 == 0]
+    for pid, pname in zip(probes.c_custkey, probes.c_name):
+        probe_name = pname[: max(len(pname) - 3, 0)]
+        pl = probe_name.lower()
+        scored = []
+        for cand in names:
+            la, lb = len(probe_name), len(cand)
+            # same lossless length-band bound the Spark plan applies
+            if la + lb == 0 or 2.0 * min(la, lb) / (la + lb) < 0.72:
+                continue
+            s = SequenceMatcher(None, pl, cand.lower()).ratio()
+            if s >= 0.72:
+                scored.append((s, cand))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        top = scored[:5]
+        if not top:
+            continue
+        best = top[0][0]
+        runner = top[1][0] if len(top) > 1 else None
+        for rk, (s, cand) in enumerate(top, 1):
+            resolved = int(
+                rk == 1
+                and best >= 0.84
+                and (runner is None or best - runner >= 0.01)
+            )
+            # Spark ROUND(double, 6) = BigDecimal(double) HALF_UP;
+            # Decimal(float) is the same exact binary value
+            score6 = float(
+                Decimal(s).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+            )
+            rows.append((int(pid), probe_name, cand, score6, rk, resolved))
+    return pd.DataFrame(
+        rows,
+        columns=["probe_id", "probe_name", "candidate", "score", "rank", "resolved"],
+    )
+
+
+# Queries with no SQL oracle but an independent plain-Python spec:
+# checked value-exactly here even though the driver only counts rows.
+PY_ORACLES = {"o7_fuzzy_topk": _o7_py_oracle}
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -134,14 +193,18 @@ def main():
             n_fail += 1
             continue
         el = time.time() - t0
-        if name not in oracles:
+        py_oracle = name not in oracles and name in PY_ORACLES
+        if name not in oracles and not py_oracle:
             print(f"rows  {name}: {len(sdf)} rows (no oracle) [{el:.1f}s]")
             n_pass += 1
             continue
         try:
-            odf = con.execute(oracles[name]).fetchdf()
+            if py_oracle:
+                odf = PY_ORACLES[name](sf_dir)
+            else:
+                odf = con.execute(oracles[name]).fetchdf()
         except Exception:
-            print(f"FAIL  {name}: duckdb raised")
+            print(f"FAIL  {name}: oracle raised")
             traceback.print_exc()
             n_fail += 1
             continue
@@ -152,8 +215,9 @@ def main():
             n_fail += 1
             continue
         verdict, detail = rows_equal(srows, orows)
+        tag = " (py-oracle)" if py_oracle else ""
         if verdict == "exact":
-            print(f"PASS  {name}: {len(srows)} rows exact [{el:.1f}s]")
+            print(f"PASS  {name}: {len(srows)} rows exact{tag} [{el:.1f}s]")
             n_pass += 1
         elif verdict == "close":
             print(f"CLOSE {name}: {len(srows)} rows — {detail} [{el:.1f}s]")
