@@ -14,6 +14,21 @@ documents table and asserts the verdict equals the conjunction of the
 two DuckDB-oracle-verified batch queries (`t_quality_score`,
 `t_repetition`) — a cross-implementation check, so a drift in either
 side is caught instead of silently shared.
+
+Trigger guidance (measured, local[32] — full curve in BENCH_NOTES r7):
+the cost floor is ~0.55 s PER MICRO-BATCH, independent of batch size
+(99 one-file batches over 500k docs: 55.6 s; one 100-file batch:
+2.8 s, 176k docs/s). So:
+
+- **Backfill / bounded replay**: ``trigger(availableNow=True)`` with
+  NO ``maxFilesPerTrigger`` — everything drains as one maximal batch;
+  setting maxFilesPerTrigger only multiplies the 0.55 s floor.
+- **Continuous ingest**: one long-lived ``processingTime`` stream
+  (arrival->verdict latency for a 5k-doc file is ~0.6 s steady-state,
+  ~3x cheaper than a fresh availableNow run per arrival, which repays
+  ~2 s of query-start). Size micro-batches so each carries well over
+  the floor — >=50k docs/batch keeps overhead under 2% — via the
+  trigger interval or a high maxFilesPerTrigger, never 1-file batches.
 """
 
 from __future__ import annotations
