@@ -79,6 +79,8 @@ HEADLINE = [
     "t_repetition",
     "t_ngram_docfreq",
     "d17_pretrain_build",
+    "t_pii_redact",
+    "d18_temperature_mix",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
@@ -194,6 +196,8 @@ BUDGET = {
     "t_repetition": 0.9,        # r6: O(len) sorted-run mode, bound split
     "t_ngram_docfreq": 1.1,     # r6: gram relation stored via the MV seam
     "d17_pretrain_build": 1.3,  # r6: 4-stage composed build, 1.04 measured
+    "t_pii_redact": 0.9,        # r7: per-row regex scan, 0.62 measured
+    "d18_temperature_mix": 1.0,  # r7: rank window + quota broadcast, 0.68 measured
 }
 
 # Full-coverage pins (r6): every remaining headline query, generated as

@@ -1612,3 +1612,84 @@ def d17_pretrain_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         end_seq.alias("end_seq"),
         (end_seq > start_seq).alias("spans_boundary"),
     )
+
+
+# --------------------------------------------------------------- d18
+# Mixture-sampling temperature: weights per domain are n^(1/2)
+# (alpha = 0.5), the standard down-weighting of over-represented
+# sources in pretraining data recipes. All boundary math is pure
+# integer arithmetic so no float summation order can move a quota.
+MIX_W_SCALE = 1_000_000
+
+
+@query(
+    "d18_temperature_mix",
+    oracle=f"""
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    w AS (SELECT lang, n,
+                 CAST(round(sqrt(CAST(n AS DOUBLE)) * {MIX_W_SCALE}) AS BIGINT) AS w
+          FROM c),
+    t AS (SELECT SUM(w) AS sw, SUM(n) AS n_total FROM w),
+    q AS (SELECT lang, n, w,
+                 (((n_total + 3) // 4) * w + sw - 1) // sw AS quota
+          FROM w, t),
+    r AS (SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS rk
+          FROM documents)
+    SELECT r.doc_id, r.lang, CAST(r.rk AS BIGINT) AS rk,
+           CAST(q.quota AS BIGINT) AS quota
+    FROM r JOIN q ON q.lang = r.lang
+    WHERE r.rk <= q.quota
+    """,
+)
+def d18_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted domain mixture sampling: per-domain quotas
+    proportional to n^alpha (alpha=0.5) over a global target of 1/4 of
+    the corpus, filled by deterministic md5-rank within each domain —
+    the source-rebalancing step of a pretraining data recipe (rare
+    domains are up-weighted relative to proportional sampling; the
+    dominant domain is down-weighted). Complements d13's fixed-rate
+    stratified quota: d13 keeps the mixture, d18 reshapes it.
+
+    Determinism at boundaries is engineered, not hoped for: weights
+    are ``round(sqrt(n) * 1e6)`` as BIGINT and the quota is
+    ``ceil(target * w / sum_w)`` computed entirely with integer
+    division, so Spark and the oracle can never disagree by one ULP on
+    a ceil edge.
+
+    Scale: one count agg + one rank window, both partitioned by the
+    domain key — a single exchange; the 5-row quota table broadcasts.
+    At 100 TB the ranked scan streams and only quota rows survive."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    w = counts.withColumn(
+        "w",
+        F.round(F.sqrt(F.col("n").cast("double")) * MIX_W_SCALE).cast("long"),
+    )
+    # totals via a global window over the per-domain frame (a handful
+    # of rows — one tiny single-partition exchange) rather than a
+    # second aggregation branch: one documents scan, three exchanges
+    # total, no nested-loop anchor join.
+    tot_w = Window.partitionBy(F.lit(1))
+    quotas = (
+        w.withColumn("sw", F.sum("w").over(tot_w))
+        .withColumn("n_total", F.sum("n").over(tot_w))
+        .withColumn(
+            "quota",
+            F.expr("(((n_total + 3) div 4) * w + sw - 1) div sw"),
+        )
+        .select("lang", "quota")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    ranked = docs.select("doc_id", "lang", rk.cast("long").alias("rk"))
+    return (
+        ranked.join(F.broadcast(quotas), "lang")
+        .where(F.col("rk") <= F.col("quota"))
+        .select("doc_id", "lang", "rk", F.col("quota").cast("long").alias("quota"))
+    )

@@ -537,3 +537,92 @@ def t_ngram_docfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("common_share"),
     )
     return main.unionByName(short)
+
+
+# ------------------------------------------------------------- t_pii
+# PII scrubbing — the redaction pass every pretraining pipeline runs
+# before packing. The synthetic corpus carries no PII (no digits, no
+# '@'), so the query DETERMINISTICALLY plants doc_id-derived emails /
+# phone numbers on a subset of documents (same injection expression on
+# both engines) and then detects + redacts them; this keeps the
+# operator non-vacuous and the oracle value-exact while the regex
+# plumbing (patterns, counts, global replace) is the real production
+# path. Patterns are restricted to the Java-regex/RE2 common dialect
+# (classes, bounded repeats, \b) so Spark and DuckDB agree literally.
+_PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE_RE = r"\b555-[0-9]{4}\b"
+
+
+@query(
+    "t_pii_redact",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE
+               WHEN doc_id % 7 = 0 THEN
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or admin' || CAST(doc_id AS VARCHAR)
+                      || '@mail.test.org soon'
+               WHEN doc_id % 11 = 0 THEN
+                 text || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      || ' now'
+               ELSE text
+             END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE_RE}')) AS BIGINT)
+             AS n_phones,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL_RE}'))
+                + len(regexp_extract_all(text, '{_PII_PHONE_RE}')) > 0 AS INT)
+             AS has_pii,
+           regexp_replace(regexp_replace(text, '{_PII_EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{_PII_PHONE_RE}', '[PHONE]', 'g') AS redacted
+    FROM planted
+    """,
+)
+def t_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over the corpus: count email/phone
+    matches per document and emit the globally-redacted text (emails
+    -> [EMAIL], phones -> [PHONE]). Per-row JVM regex — no shuffle, no
+    Python; at 100 TB this runs at scan speed alongside the quality
+    gate. Cited shape: the reference normalizes/classifies free text
+    with the same regexp_replace chains (`app.py` control/URL
+    classification families); here the target is pretraining-corpus
+    scrubbing rather than display cleanup."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or admin"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.test.org soon"),
+        ),
+    ).when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" now"),
+        ),
+    ).otherwise(F.col("text"))
+    t = docs.select("doc_id", planted.alias("text"))
+    n_emails = F.regexp_count("text", F.lit(_PII_EMAIL_RE)).cast("long")
+    n_phones = F.regexp_count("text", F.lit(_PII_PHONE_RE)).cast("long")
+    return t.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        ((n_emails + n_phones) > 0).cast("int").alias("has_pii"),
+        F.regexp_replace(
+            F.regexp_replace("text", _PII_EMAIL_RE, "[EMAIL]"),
+            _PII_PHONE_RE,
+            "[PHONE]",
+        ).alias("redacted"),
+    )

@@ -1,0 +1,74 @@
+"""Round-7 corpus-curation additions: PII redaction (t_pii_redact)
+and temperature-weighted domain mixture sampling (d18_temperature_mix).
+Value-exactness vs DuckDB is the oracle gate's job (both ship with full
+SQL oracles); these tests pin the semantic invariants a hash can't
+explain on its own: non-vacuity, complete redaction, and the mixture
+actually reshaping the domain distribution."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from risk_dashboard_database_spark.plans.dedup import d18_temperature_mix
+from risk_dashboard_database_spark.plans.textstats import (
+    _PII_EMAIL_RE,
+    _PII_PHONE_RE,
+    t_pii_redact,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_pii_redact_is_complete_and_nonvacuous(spark):
+    rows = t_pii_redact(spark, SF_DIR).collect()
+    assert len(rows) == 500
+    email = re.compile(_PII_EMAIL_RE)
+    phone = re.compile(_PII_PHONE_RE)
+    n_with_pii = 0
+    for r in rows:
+        # redaction is total: no pattern survives in the output text
+        assert not email.search(r["redacted"]), r["doc_id"]
+        assert not phone.search(r["redacted"]), r["doc_id"]
+        if r["doc_id"] % 7 == 0:
+            # the %7 branch plants exactly two addresses (and wins over
+            # the %11 branch on doc_id % 77 == 0 — CASE order)
+            assert r["n_emails"] == 2 and r["n_phones"] == 0
+            assert "[EMAIL]" in r["redacted"]
+        elif r["doc_id"] % 11 == 0:
+            assert r["n_phones"] == 1 and r["n_emails"] == 0
+            assert "[PHONE]" in r["redacted"]
+        else:
+            assert r["n_emails"] == 0 and r["n_phones"] == 0
+            assert r["has_pii"] == 0
+        assert r["has_pii"] == int(r["n_emails"] + r["n_phones"] > 0)
+        n_with_pii += r["has_pii"]
+    assert n_with_pii > 0, "corpus gate must be non-vacuous"
+
+
+def test_temperature_mix_reshapes_the_distribution(spark):
+    out = d18_temperature_mix(spark, SF_DIR)
+    rows = out.collect()
+    assert rows, "mixture sample must be non-empty"
+    by_lang = {}
+    for r in rows:
+        assert r["rk"] <= r["quota"]
+        by_lang.setdefault(r["lang"], []).append(r)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    n_total = sum(corpus.values())
+    target = (n_total + 3) // 4
+    picked = sum(len(v) for v in by_lang.values())
+    # quotas use per-domain ceil, so the total overshoots the target by
+    # at most one doc per domain and never undershoots
+    assert target <= picked <= target + len(corpus)
+    # temperature flattens: the dominant domain's sampled share sits
+    # strictly below its corpus share, rare domains strictly above
+    dominant = max(corpus, key=corpus.get)
+    rare = min(corpus, key=corpus.get)
+    assert len(by_lang[dominant]) / picked < corpus[dominant] / n_total
+    assert len(by_lang[rare]) / picked > corpus[rare] / n_total
+    # per-domain quota == observed count (every quota row materializes)
+    for lang, lrows in by_lang.items():
+        assert len(lrows) == lrows[0]["quota"]
