@@ -289,6 +289,7 @@ def main() -> None:
     calib = _calibrate(spark)
 
     per_query: dict[str, float] = {}
+    per_query_min: dict[str, float] = {}
     for name in names:
         # warm-up run pays whole-stage-codegen compilation + parquet
         # footer reads; the timed runs are steady-state latency (the
@@ -302,15 +303,26 @@ def main() -> None:
             times.append(time.perf_counter() - t0)
         times.sort()
         per_query[name] = round(times[len(times) // 2], 3)
+        per_query_min[name] = round(times[0], 3)
 
+    # Budget guard trips on the normalized MIN of the timed runs, not
+    # the median: a real plan regression (extra shuffle, lost pushdown)
+    # raises every run including the calm ones, while episodic
+    # co-tenant noise inflates the median but almost never all five
+    # runs (measured r7: a1 medians 0.78/0.55/0.44 across consecutive
+    # batches on a noisy box, min stable ~0.45 — the 0.78 median would
+    # trip its 0.70 pin; the min correctly doesn't). The artifact's
+    # "queries" stays the median (honest typical latency); "over
+    # budget" means even the best of five runs blew the pin.
     over = {
         n: {
             "sec": per_query[n],
-            "normalized_sec": round(per_query[n] / calib["guard_scale"], 3),
+            "min_sec": per_query_min[n],
+            "normalized_min_sec": round(per_query_min[n] / calib["guard_scale"], 3),
             "budget": b,
         }
         for n, b in BUDGET.items()
-        if n in per_query and per_query[n] / calib["guard_scale"] > b
+        if n in per_query and per_query_min[n] / calib["guard_scale"] > b
     }
     print(
         json.dumps(
@@ -319,6 +331,7 @@ def main() -> None:
                 "value": round(sum(per_query.values()), 3),
                 "unit": "sec",
                 "queries": per_query,
+                "queries_min": per_query_min,
                 "sf": sf,
                 "calibration": calib,
                 "over_budget": over,
