@@ -49,11 +49,12 @@ def connected_components(
     The round count is logged on convergence and written to
     ``stats["rounds"]`` when a dict is passed (VERDICT r6 #3): with
     pointer jumping the loop converges in O(log n) rounds, so on the
-    100x corpus (where the build is the system's largest cost, ~212 s)
+    100x corpus (where the build was the system's largest cost — 116 s
+    after the r7 contraction preamble, from 212 s)
     a data-shaped regression to linear rounds must be LOUD — a
     warning fires if the budget is exhausted before convergence, and
     `tests/test_graph.py` pins the round count on a pathological
-    10k-vertex chain graph (the worst case for plain label
+    1024-vertex chain graph (the worst case for plain label
     propagation: diameter = n)."""
     und0 = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     und0 = (
@@ -70,7 +71,7 @@ def connected_components(
     # heavy (K copies of a document form a ~K-clique), and a clique
     # collapses to a single representative in this one pass, so the
     # loop's edge set shrinks by orders of magnitude (100x corpus:
-    # 47.6M directed edges -> the quotient's residue). Correctness:
+    # 54.4M directed edges -> 38 quotient edges, BENCH_NOTES r7). Correctness:
     # contracting (v, p(v)) edges preserves components (p(v) is v
     # itself or a neighbor), the quotient graph is the standard edge
     # relabeling, and the final composition label(v) =

@@ -69,7 +69,7 @@ def refresh_aggregates(
 # ---------------------------------------------------------------------------
 # Durable MV-store refresh DAG (VERDICT r6 #5). The relcache MVs are
 # built lazily by the first query that touches them — correct, but at
-# 100x scale first-touch costs run 17-212 s and land on an arbitrary
+# 100x scale first-touch costs run 17-116 s and land on an arbitrary
 # user query. refresh_all() pre-pays every one of them in dependency
 # order, mirroring the reference's scheduled MV rebuild script
 # (`sql/rebuild_serp_feature_mvs.sql:10-30`), with independent steps
