@@ -293,3 +293,64 @@ def test_repetition_fold_matches_bruteforce(spark, words):
         .first()
     )
     assert (row.n, row.nd, row.top) == expect
+
+
+# ---------------------------------------------------------------- r7
+# PII regex cross-dialect parity: t_pii_redact's patterns must mean
+# the same thing to Java regex (Spark) and Python re — counts AND the
+# globally-redacted string. Texts mix plausible PII shapes with
+# near-misses (no TLD, 3-digit phones, doubled @) so boundary
+# semantics (\b, {2,}) are actually exercised.
+_pii_frag = st.sampled_from(
+    [
+        "hello world",
+        "a.b@c.io",
+        "x@y",                      # near-miss: TLD too short for {2,}
+        "user_1%x@mail.test.org",
+        "call 555-0199 now",
+        "x555-0199",                # \b boundary: digit-adjacent prefix
+        "555-019",                  # near-miss: 3-digit suffix
+        "555-01999",                # 5 digits: \b after 4th digit fails
+        "a@@b.com",
+        "end.",
+        "",
+    ]
+)
+
+
+@given(st.lists(_pii_frag, min_size=0, max_size=6))
+@settings(max_examples=25, deadline=None)
+def test_pii_regexes_match_python_re(spark, frags):
+    import re
+
+    from pyspark.sql import functions as F
+
+    from risk_dashboard_database_spark.plans.textstats import (
+        _PII_EMAIL_RE,
+        _PII_PHONE_RE,
+    )
+
+    text = " ".join(frags)
+    expect_emails = len(re.findall(_PII_EMAIL_RE, text))
+    expect_phones = len(re.findall(_PII_PHONE_RE, text))
+    expect_red = re.sub(
+        _PII_PHONE_RE, "[PHONE]", re.sub(_PII_EMAIL_RE, "[EMAIL]", text)
+    )
+    row = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(
+            F.regexp_count("text", F.lit(_PII_EMAIL_RE)).alias("e"),
+            F.regexp_count("text", F.lit(_PII_PHONE_RE)).alias("p"),
+            F.regexp_replace(
+                F.regexp_replace("text", _PII_EMAIL_RE, "[EMAIL]"),
+                _PII_PHONE_RE,
+                "[PHONE]",
+            ).alias("red"),
+        )
+        .collect()[0]
+    )
+    assert (row["e"], row["p"], row["red"]) == (
+        expect_emails,
+        expect_phones,
+        expect_red,
+    ), text
