@@ -98,7 +98,10 @@ def single_flight(lock_dir: str, name: str) -> Iterator[bool]:
     code path trusts it."""
     os.makedirs(lock_dir, exist_ok=True)
     path = os.path.join(lock_dir, f"{name}.lock")
-    fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
+    # O_CLOEXEC: a child spawned mid-refresh must not inherit the fd —
+    # an inherited flock would keep the job locked after the parent
+    # exits, exactly the stale-holder class this design eliminates.
+    fd = os.open(path, os.O_CREAT | os.O_RDWR | os.O_CLOEXEC, 0o644)
     acquired = False
     try:
         try:
