@@ -81,6 +81,7 @@ HEADLINE = [
     "d17_pretrain_build",
     "t_pii_redact",
     "d18_temperature_mix",
+    "d19_embedding_clusters",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
@@ -198,6 +199,7 @@ BUDGET = {
     "d17_pretrain_build": 1.3,  # r6: 4-stage composed build, 1.04 measured
     "t_pii_redact": 0.9,        # r7: per-row regex scan, 0.62 measured
     "d18_temperature_mix": 1.0,  # r7: rank window + quota broadcast, 0.68 measured
+    "d19_embedding_clusters": 0.35,  # r7: stored cluster MV scan, 0.07 measured
 }
 
 # Full-coverage pins (r6): every remaining headline query, generated as

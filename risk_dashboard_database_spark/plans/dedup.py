@@ -1693,3 +1693,77 @@ def d18_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= F.col("quota"))
         .select("doc_id", "lang", "rk", F.col("quota").cast("long").alias("quota"))
     )
+
+
+# --------------------------------------------------------------- d19
+def _d19_oracle() -> str:
+    return f"""
+    WITH RECURSIVE b AS (
+      SELECT vec_id, embedding,
+             {_BUCKET_SQL.format(e='embedding')} AS bucket
+      FROM embeddings
+    ),
+    prs AS (
+      SELECT a.vec_id AS va, c.vec_id AS vb
+      FROM b a JOIN b c ON c.bucket = a.bucket AND a.vec_id < c.vec_id
+      WHERE {_DOT_SQL.format(a='a.embedding', b='c.embedding')}
+              / (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
+                 * sqrt({_DOT_SQL.format(a='c.embedding', b='c.embedding')})) >= 0.40
+    ),
+    edges AS (
+      SELECT va AS u, vb AS v FROM prs
+      UNION ALL
+      SELECT vb, va FROM prs
+    ),
+    walk AS (
+      SELECT u AS id, u AS reach FROM edges
+      UNION
+      SELECT w.id, e.v FROM walk w JOIN edges e ON e.u = w.reach
+    ),
+    comp AS (
+      SELECT id AS vec_id, MIN(reach) AS cluster_id FROM walk GROUP BY id
+    )
+    SELECT cluster_id, vec_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size,
+           vec_id = cluster_id AS is_canonical
+    FROM comp
+    """
+
+
+@query("d19_embedding_clusters", oracle=_d19_oracle())
+def d19_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space dedup CLUSTERS — the ANN twin of d9: d7's
+    sign-LSH + exact-cosine near-dup PAIRS become transitive clusters
+    via distributed connected components, with the min-vec_id member
+    as the canonical representative (everything else is the drop
+    list). Composes two already-verified operators (d7 pairs,
+    operators/graph.py CC vs the recursive-CTE oracle); one new plan,
+    no new primitives. Scale posture follows d9's: the CC preamble
+    contracts clique-heavy duplicate groups in one pass, and the
+    bucket join never goes all-pairs."""
+    from .relcache import cached_relation
+
+    return cached_relation(
+        "d19_clusters", sf_dir, lambda: _build_d19_clusters(spark, sf_dir)
+    )
+
+
+def _build_d19_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CC is iterative (driver-side loop with actions), so the cluster
+    # table is materialized once per dataset via the MV seam — the
+    # same policy as d9; serving reads are a plain scan.
+    from ..operators.graph import connected_components
+
+    pairs = d7_embedding_dedup(spark, sf_dir).select("vec_a", "vec_b")
+    labels = connected_components(pairs, "vec_a", "vec_b")
+    comp = labels.select(
+        F.col("label").alias("cluster_id"), F.col("id").alias("vec_id")
+    )
+    w = Window.partitionBy("cluster_id")
+    return comp.select(
+        "cluster_id",
+        "vec_id",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("vec_id") == F.col("cluster_id")).alias("is_canonical"),
+    )

@@ -94,6 +94,7 @@ MV_STORE_DAG: list[tuple[str, tuple[str, ...], tuple[str, ...]]] = [
     ("d2_sigs",       ("d2_toks", "d2_sigs"),             ("layouts",)),
     ("d9_clusters",   ("d9_clusters",),                   ("d2_sigs",)),
     ("d3_normed",     ("d3_normed",),                     ()),
+    ("d19_clusters",  ("d19_clusters",),                  ("d3_normed",)),
     ("d8_assigned",   ("d8_assigned_v2",),                ()),
     ("d15_grams",     ("d15_grams",),                     ("layouts",)),
     ("t_tri_grams",   ("t_tri_grams",),                   ("layouts",)),
@@ -121,6 +122,7 @@ def _mv_warmer(step: str):
         "u3": unions.u3_evidence_union,
         "d2_sigs": dedup.d2_minhash_pairs,
         "d9_clusters": dedup.d9_dedup_clusters,
+        "d19_clusters": dedup.d19_embedding_clusters,
         "d3_normed": dedup._normed_embeddings,
         "d8_assigned": dedup._ivf_assigned,
         "d15_grams": dedup._decon_grams,
