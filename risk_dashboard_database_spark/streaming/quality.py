@@ -112,3 +112,60 @@ def stream_curation_gate(
         schema = spark.read.parquet(docs_dir).schema
     docs = spark.readStream.schema(schema).parquet(docs_dir)
     return with_curation_verdict(docs)
+
+
+def with_pii_verdict(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, ...) -> (doc_id, n_emails, n_phones, has_pii,
+    redacted): the PII screen applied at ingest, batch/stream
+    identical. Stateless per-row regex (same Java/RE2-common patterns
+    as the oracle-verified batch t_pii_redact, including its
+    deterministic planted-PII harness so stream-vs-batch parity is
+    checkable end to end on the synthetic corpus); a production
+    deployment points this at raw arriving text and quarantines or
+    redacts before the curation gate."""
+    from ..plans.textstats import _PII_EMAIL_RE, _PII_PHONE_RE
+
+    planted = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or admin"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.test.org soon"),
+        ),
+    ).when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" now"),
+        ),
+    ).otherwise(F.col("text"))
+    t = docs.select("doc_id", planted.alias("text"))
+    n_emails = F.regexp_count("text", F.lit(_PII_EMAIL_RE)).cast("long")
+    n_phones = F.regexp_count("text", F.lit(_PII_PHONE_RE)).cast("long")
+    return t.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        ((n_emails + n_phones) > 0).cast("int").alias("has_pii"),
+        F.regexp_replace(
+            F.regexp_replace("text", _PII_EMAIL_RE, "[EMAIL]"),
+            _PII_PHONE_RE,
+            "[PHONE]",
+        ).alias("redacted"),
+    )
+
+
+def stream_pii_gate(spark: SparkSession, docs_dir: str, schema=None) -> DataFrame:
+    """readStream over a documents directory -> per-document PII
+    verdict + redacted text. Stateless; same trigger guidance as
+    stream_curation_gate (one maximal availableNow batch for
+    backfills, a long-lived processingTime stream for ingest)."""
+    if schema is None:
+        schema = spark.read.parquet(docs_dir).schema
+    docs = spark.readStream.schema(schema).parquet(docs_dir)
+    return with_pii_verdict(docs)
