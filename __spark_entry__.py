@@ -61,10 +61,11 @@ _SAMPLE_FIRST = [
     "e15_processed_serps",
     "f1_llm_classify", "f2_feature_summary",
 ]
-# Round 7's three NEW queries (t_pii_redact, d18_temperature_mix,
-# d19_embedding_clusters) are deliberately NOT in the 50-slot window:
+# Round 7's four NEW queries (t_pii_redact, d18_temperature_mix,
+# d19_embedding_clusters, d20_decontam_spans) are deliberately NOT in
+# the 50-slot window:
 # displacing an r05-stale row for them would leave that row two
-# rounds old, while the new trio lands with full local-gate evidence
+# rounds old, while the new queries land with full local-gate evidence
 # (tools/check.py: each exact vs its DuckDB oracle at sf0.01 and
 # sf0.001, also under a vanilla ANSI session) and enters the r8
 # rotation tier-1 — the same precedent d17 set in round 6.

@@ -82,6 +82,7 @@ HEADLINE = [
     "t_pii_redact",
     "d18_temperature_mix",
     "d19_embedding_clusters",
+    "d20_decontam_spans",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
@@ -200,6 +201,7 @@ BUDGET = {
     "t_pii_redact": 0.9,        # r7: per-row regex scan, 0.62 measured
     "d18_temperature_mix": 1.0,  # r7: rank window + quota broadcast, 0.68 measured
     "d19_embedding_clusters": 0.35,  # r7: stored cluster MV scan, 0.07 measured
+    "d20_decontam_spans": 0.95,  # r7: gram MV probe + doc agg, 0.66 measured
 }
 
 # Full-coverage pins (r6): every remaining headline query, generated as

@@ -1767,3 +1767,55 @@ def _build_d19_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("cluster_size"),
         (F.col("vec_id") == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+# --------------------------------------------------------------- d20
+@query(
+    "d20_decontam_spans",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT DISTINCT
+        unnest(list_transform(range(1, greatest(len(w) - {_DECON_N - 2}, 1)),
+               i -> array_to_string(list_slice(w, i, i + {_DECON_N - 1}), ' '))) AS h
+      FROM d WHERE doc_id % 97 = 0
+    ),
+    expl AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, greatest(len(w) - {_DECON_N - 2}, 1)),
+               i -> array_to_string(list_slice(w, i, i + {_DECON_N - 1}), ' '))) AS h
+      FROM d WHERE doc_id % 97 <> 0
+    )
+    SELECT doc_id, lang,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_hits,
+           string_agg(DISTINCT h, ' | ' ORDER BY h) AS hits
+    FROM expl
+    WHERE h IN (SELECT h FROM bg)
+    GROUP BY doc_id, lang
+    """,
+)
+def d20_decontam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination AUDIT: for every corpus document
+    d15 would flag, report WHICH benchmark n-grams matched (canonical
+    sorted list) and how many — the evidence trail a data-governance
+    review wants before dropping training documents, not just the
+    boolean. Same plan shape as d15 (the bounded benchmark gram set
+    broadcasts; the corpus side reads the stored gram MV, probes the
+    broadcast, and collapses to one row per flagged doc in a single
+    doc-keyed aggregation); output is only the flagged docs, so the
+    result stays benchmark-sized at any corpus scale."""
+    g = _decon_grams(spark, sf_dir)
+    bench_g = (
+        g.where((F.col("doc_id") % 97 == 0) & F.col("h").isNotNull())
+        .select("h")
+        .distinct()
+    )
+    hits = g.where((F.col("doc_id") % 97 != 0) & F.col("h").isNotNull()).join(
+        F.broadcast(bench_g), "h"
+    )
+    return hits.groupBy("doc_id", "lang").agg(
+        F.countDistinct("h").alias("n_hits"),
+        F.array_join(F.sort_array(F.collect_set("h")), " | ").alias("hits"),
+    )
