@@ -72,3 +72,52 @@ def test_temperature_mix_reshapes_the_distribution(spark):
     # per-domain quota == observed count (every quota row materializes)
     for lang, lrows in by_lang.items():
         assert len(lrows) == lrows[0]["quota"]
+
+
+def test_embedding_clusters_agree_with_pairs(spark):
+    """d19's clusters must be exactly the transitive closure of d7's
+    pairs: both endpoints of every pair share a cluster_id, the
+    canonical member is the min vec_id, and cluster_size matches the
+    member count."""
+    from risk_dashboard_database_spark.plans.dedup import (
+        d7_embedding_dedup,
+        d19_embedding_clusters,
+    )
+
+    clusters = d19_embedding_clusters(spark, SF_DIR).collect()
+    assert clusters, "corpus must produce at least one cluster"
+    cid = {r["vec_id"]: r["cluster_id"] for r in clusters}
+    by_cluster = {}
+    for r in clusters:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for members in by_cluster.values():
+        assert len(members) >= 2, "singletons have no near-dup partner"
+        assert {m["cluster_size"] for m in members} == {len(members)}
+        canon = [m for m in members if m["is_canonical"]]
+        assert len(canon) == 1
+        assert canon[0]["vec_id"] == min(m["vec_id"] for m in members)
+        assert canon[0]["vec_id"] == members[0]["cluster_id"]
+    for p in d7_embedding_dedup(spark, SF_DIR).collect():
+        assert cid[p["vec_a"]] == cid[p["vec_b"]], (p["vec_a"], p["vec_b"])
+
+
+def test_decontam_spans_agree_with_flags(spark):
+    """d20's audit rows must be exactly d15's contaminated set, with
+    >= 1 matched gram each and the gram list canonically sorted."""
+    from risk_dashboard_database_spark.plans.dedup import (
+        d15_decontaminate,
+        d20_decontam_spans,
+    )
+
+    spans = d20_decontam_spans(spark, SF_DIR).collect()
+    flagged = {
+        r["doc_id"]
+        for r in d15_decontaminate(spark, SF_DIR).collect()
+        if r["contaminated"] == 1
+    }
+    assert {r["doc_id"] for r in spans} == flagged
+    assert flagged, "decontamination must be non-vacuous"
+    for r in spans:
+        grams = r["hits"].split(" | ")
+        assert r["n_hits"] == len(grams) >= 1
+        assert grams == sorted(grams)
