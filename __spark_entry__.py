@@ -26,49 +26,45 @@ def entry(spark: SparkSession) -> DataFrame:
 # Sampling order for correctness runs: queries whose driver evidence is
 # oldest first, so a bounded per-round sample keeps every registry row's
 # latest green driver evidence at most one round old. Rotated each
-# round. Round 7 (VERDICT r6 #1): tier 1 = d17_pretrain_build — the
-# only registry query that has never had a driver CORRECTNESS row (it
-# landed in round 6 with local-gate evidence only: exact vs DuckDB at
-# sf0.001/sf0.01 via tools/check.py) — followed by the 49 queries
-# whose latest green driver row is CORRECTNESS_r05. That is exactly
-# the 50 registry names absent from CORRECTNESS_r06 and fills the
-# 50-slot window exactly; the r06-green remainder follows in registry
-# order and stays at most one round old.
+# round. Round 8 (VERDICT r7 #1): tier 1 = the four round-7 queries
+# that have never had a driver CORRECTNESS row (each landed with a
+# real DuckDB oracle, exact local-gate runs at sf0.001/sf0.01 via
+# tools/check.py, and invariant tests tying it to its parent
+# operator) — followed by the 50 queries whose latest green driver
+# row is CORRECTNESS_r06. If the driver caps the sample at 50, the
+# LAST four r06 names here fall out and go two rounds stale; they are
+# deliberately the four with the strongest independent per-round
+# evidence (o7's exact py-oracle rerun each round in COVERAGE.md, and
+# the m-family's pytest seam/plumbing coverage).
 _SAMPLE_FIRST = [
-    # tier 1 — never driver-sampled; the round-6 capstone (d9 near-dup
-    # drop -> quality gate -> d15 decontamination -> d12 packing).
-    "d17_pretrain_build",
-    # tier 1 — latest driver green is r05 (49 names, registry order)
-    "a1_pricing_summary", "a2_control_counts", "a3_feature_index",
-    "a5_top_headlines", "a6_screen", "a7_sector_stats",
-    "a8_index_union", "a9_evidence_summary", "a10_tag_counts_map",
-    "a11_majority_vote", "a12_bucket_counts", "a12b_storylines",
-    "a14_latest_lookup", "a15_sector_company_count",
-    "a16_confusion_matrix",
-    "t1_narrative_rollup", "t2_crisis_chain", "t3_first_wins_dedup",
-    "u4_anomaly_rules",
-    "w6_anchored_windows", "w9_duration_asof",
-    "j4_entity_daily_metrics",
-    "d3_ann_topk", "d4_ngram_jaccard", "d5_ann_lsh_bucket",
-    "d6_simhash", "d7_embedding_dedup", "d8_ann_ivf",
-    "d10_corpus_curation", "d11_hash_sample", "d14_ann_ivf_nprobe2",
-    "d15_decontaminate", "d16_rerank",
-    "t_lang_id", "t_lang_confusion", "t_quality_score",
-    "t_token_count", "t_fingerprint",
-    "e1_trend_summary", "e2_crisis_durations", "e4_crisis_impact",
-    "e5_evidence", "e7_narrative_timeline", "e8_crisis_patterns",
-    "e9_negative_summary", "e14_narrative_overlay",
-    "e15_processed_serps",
-    "f1_llm_classify", "f2_feature_summary",
+    # tier 1 — never driver-sampled (landed round 7)
+    "t_pii_redact", "d18_temperature_mix",
+    "d19_embedding_clusters", "d20_decontam_spans",
+    # tier 2 — latest driver green is r06 (50 names)
+    "a13_distinct_dates", "d1_exact_dedup", "d2_minhash_pairs",
+    "d9_dedup_clusters", "f4_sentiment", "f3_hf_batch",
+    "t_repetition", "t_ngram_docfreq",
+    "d12_token_stream_pack", "d13_stratified_sample",
+    "e3_storylines", "p2_override_daily", "e6_sector_baseline",
+    "e10_processed_articles", "e11_industry_durations",
+    "e12_narrative_tags", "e13_feature_series",
+    "j1_star_join", "j5_branch_union", "j6_conditional_join",
+    "j9_asof_freshness", "j10_scope_semi", "j11_unmatched_anti",
+    "a1b_rounding_parity", "a1_daily_event_counts",
+    "s_url_normalize", "s_control_classify", "s_risk_regex",
+    "s_name_normalize", "s_date_bounds", "s_json_array_math",
+    "p5_ilike_match", "s2_pipe_series_explode",
+    "o1_pagination", "o2_topk_compound", "o3_nulls_last",
+    "o6_risk_leaderboard",
+    "u1_entity_branches", "u2_key_union_dedup", "u3_evidence_union",
+    "w1_weekly_rollup", "w2_anomaly_baselines", "w5_latest_per_key",
+    "w8_activity_episodes", "w7_error_streak", "w10_lag_delta",
+    # last four: strongest independent evidence if the 50-cap drops
+    # them (o7 has a per-round exact py-oracle run; m1-m3 have
+    # pytest plumbing coverage and a fake-codec seam by design).
+    "o7_fuzzy_topk", "m1_binary_meta", "m2_decode_features",
+    "m3_frame_resize",
 ]
-# Round 7's four NEW queries (t_pii_redact, d18_temperature_mix,
-# d19_embedding_clusters, d20_decontam_spans) are deliberately NOT in
-# the 50-slot window:
-# displacing an r05-stale row for them would leave that row two
-# rounds old, while the new queries land with full local-gate evidence
-# (tools/check.py: each exact vs its DuckDB oracle at sf0.01 and
-# sf0.001, also under a vanilla ANSI session) and enters the r8
-# rotation tier-1 — the same precedent d17 set in round 6.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
