@@ -1627,7 +1627,8 @@ MIX_W_SCALE = 1_000_000
     oracle=f"""
     WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
     w AS (SELECT lang, n,
-                 CAST(round(sqrt(CAST(n AS DOUBLE)) * {MIX_W_SCALE}) AS BIGINT) AS w
+                 CAST(floor(sqrt(CAST(n AS DOUBLE)) * {MIX_W_SCALE} + 0.5)
+                      AS BIGINT) AS w
           FROM c),
     t AS (SELECT SUM(w) AS sw, SUM(n) AS n_total FROM w),
     q AS (SELECT lang, n, w,
@@ -1654,44 +1655,84 @@ def d18_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     stratified quota: d13 keeps the mixture, d18 reshapes it.
 
     Determinism at boundaries is engineered, not hoped for: weights
-    are ``round(sqrt(n) * 1e6)`` as BIGINT and the quota is
+    are ``floor(sqrt(n) * 1e6 + 0.5)`` as BIGINT — the identical IEEE
+    double expression on both engines (Spark's ``round`` is HALF_UP
+    via BigDecimal, DuckDB's is half-away-from-zero via libm; floor
+    of x+0.5 sidesteps the dialect split entirely) — and the quota is
     ``ceil(target * w / sum_w)`` computed entirely with integer
     division, so Spark and the oracle can never disagree by one ULP on
     a ceil edge.
 
-    Scale: one count agg + one rank window, both partitioned by the
-    domain key — a single exchange; the 5-row quota table broadcasts.
-    At 100 TB the ranked scan streams and only quota rows survive."""
+    Scale — two-phase bucketed rank, no single-task domain sort: a
+    Zipf-skewed corpus puts most rows in one domain, and a plain
+    ``row_number() over (partition by lang)`` would sort that domain
+    in ONE task. Instead rows are pre-bucketed on the first two hex
+    chars of the same md5 the rank orders by (256 buckets; fixed-width
+    lowercase hex sorts identically as text and as its integer value,
+    so bucket order IS md5-prefix order), ranked within
+    (lang, bucket), and offset by broadcast per-bucket prefix-sum
+    counts: global rk = offset + bucket_rk, bit-identical to the
+    single-window rank the oracle computes. Buckets whose offset
+    already exceeds the domain quota are dropped BEFORE the window, so
+    the dominant domain's tail — the vast majority of its rows under
+    temperature down-weighting — is never sorted at all, and the
+    survivors' sort spreads across ~256 tasks per domain. Big-table
+    exchanges: one (lang,bucket) count agg + one (lang,bucket) window;
+    the bucket/quota tables are a few thousand rows and broadcast."""
     docs = load_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("lang").agg(F.count("*").alias("n"))
-    w = counts.withColumn(
-        "w",
-        F.round(F.sqrt(F.col("n").cast("double")) * MIX_W_SCALE).cast("long"),
+    h = F.md5(F.col("doc_id").cast("string"))
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        h.alias("h"),
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("bkt"),
     )
-    # totals via a global window over the per-domain frame (a handful
-    # of rows — one tiny single-partition exchange) rather than a
-    # second aggregation branch: one documents scan, three exchanges
-    # total, no nested-loop anchor join.
-    tot_w = Window.partitionBy(F.lit(1))
-    quotas = (
-        w.withColumn("sw", F.sum("w").over(tot_w))
-        .withColumn("n_total", F.sum("n").over(tot_w))
+    bucket_counts = keyed.groupBy("lang", "bkt").agg(F.count("*").alias("bn"))
+    # ALL quota/offset math happens as windows over the tiny
+    # (langs x 256)-row bucket frame, so the big table is aggregated
+    # exactly once and never re-scanned for a second quota branch.
+    # Each lang's weight is summed once globally by taking it on the
+    # lang's first bucket row only. The global window over this frame
+    # is a deliberate tiny single-partition exchange (see PLANS.md).
+    off_w = (
+        Window.partitionBy("lang")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lang_w = Window.partitionBy("lang")
+    first_w = Window.partitionBy("lang").orderBy("bkt")
+    glob_w = Window.partitionBy(F.lit(1))
+    first_only = lambda c: F.when(F.row_number().over(first_w) == 1, c).otherwise(
+        F.lit(0)
+    )
+    live_buckets = (
+        bucket_counts.withColumn(
+            "off", F.coalesce(F.sum("bn").over(off_w), F.lit(0)).cast("long")
+        )
+        .withColumn("n", F.sum("bn").over(lang_w))
+        .withColumn(
+            "w",
+            F.floor(F.sqrt(F.col("n").cast("double")) * MIX_W_SCALE + 0.5).cast(
+                "long"
+            ),
+        )
+        .withColumn("sw", F.sum(first_only(F.col("w"))).over(glob_w))
+        .withColumn("n_total", F.sum(first_only(F.col("n"))).over(glob_w))
         .withColumn(
             "quota",
-            F.expr("(((n_total + 3) div 4) * w + sw - 1) div sw"),
+            F.expr("(((n_total + 3) div 4) * w + sw - 1) div sw").cast("long"),
         )
-        .select("lang", "quota")
+        .where(F.col("off") < F.col("quota"))  # dead buckets never sort
+        .select("lang", "bkt", "off", "quota")
     )
-    rk = F.row_number().over(
-        Window.partitionBy("lang").orderBy(
-            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-        )
+    bucket_rk = F.row_number().over(
+        Window.partitionBy("lang", "bkt").orderBy("h", "doc_id")
     )
-    ranked = docs.select("doc_id", "lang", rk.cast("long").alias("rk"))
     return (
-        ranked.join(F.broadcast(quotas), "lang")
+        keyed.join(F.broadcast(live_buckets), ["lang", "bkt"])
+        .withColumn("rk", (F.col("off") + bucket_rk).cast("long"))
         .where(F.col("rk") <= F.col("quota"))
-        .select("doc_id", "lang", "rk", F.col("quota").cast("long").alias("quota"))
+        .select("doc_id", "lang", "rk", "quota")
     )
 
 

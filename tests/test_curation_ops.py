@@ -74,6 +74,31 @@ def test_temperature_mix_reshapes_the_distribution(spark):
         assert len(lrows) == lrows[0]["quota"]
 
 
+def test_temperature_mix_rank_is_deskewed(spark):
+    """The r8 two-phase rank contract: the row_number window must be
+    partitioned by (lang, bkt) — never by lang alone, which would sort
+    a Zipf-dominant domain in one task — and the dead-bucket filter
+    (the broadcast join against live buckets) must sit BELOW the
+    window in the executed plan, so pruned buckets are never sorted."""
+    plan = (
+        d18_temperature_mix(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    lines = plan.splitlines()
+    win = [
+        i
+        for i, ln in enumerate(lines)
+        if "row_number() windowspecdefinition" in ln
+    ]
+    assert win, "rank window missing from executed plan"
+    spec = lines[win[0]]
+    assert re.search(r"windowspecdefinition\(lang#\d+, bkt#\d+,", spec), spec
+    join = [i for i, ln in enumerate(lines) if "BroadcastHashJoin" in ln]
+    assert join and join[0] > win[0], "bucket-prune join must feed the window"
+
+
 def test_embedding_clusters_agree_with_pairs(spark):
     """d19's clusters must be exactly the transitive closure of d7's
     pairs: both endpoints of every pair share a cluster_id, the

@@ -61,6 +61,11 @@ EXCH_BUDGET = {
                                     # identical subtrees dedup at runtime (ReuseExchange)
     "e8_crisis_patterns": 9,        # episode + durs/ent/stats/samples branches
     "e11_industry_durations": 6,    # episode + durs/ent/tagtot branches
+    "d18_temperature_mix": 5,       # two-phase de-skewed rank: only the
+                                    # (lang,bkt) count agg + (lang,bkt)
+                                    # window move the big table; the other
+                                    # exchanges shuffle the langs x 256
+                                    # bucket frame (quota/offset windows)
 }
 
 
