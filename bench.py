@@ -252,6 +252,14 @@ BUDGET_GENERATED = {
 }
 BUDGET = {**BUDGET_GENERATED, **BUDGET}
 
+# Cold MV-store build budget (VERDICT r7 #4): queries are pinned but
+# the MV build path is the real operational cost (292.5 s cold at
+# 100x), and until r8 it had no regression tripwire. The whole store
+# is rebuilt from scratch once per bench run and the wall time pinned
+# (calibration-normalized like every other budget). Measured r8 on an
+# idle host: ~17 s; pinned at the usual 1.4x headroom.
+REFRESH_ALL_BUDGET = 24.0
+
 
 def materialize(df) -> None:
     """Execute the full plan without collecting to the driver."""
@@ -292,8 +300,24 @@ def main() -> None:
 
     calib = _calibrate(spark)
 
+    # Cold MV-store rebuild (VERDICT r7 #4): wipe the store and time
+    # refresh_all building every registered relation for this dataset.
+    # Runs after calibration (probes don't touch the store) and before
+    # the query loop, which therefore measures MV-warm steady state —
+    # the same footing as every prior round.
+    import shutil
+
+    from risk_dashboard_database_spark.plans import relcache as _rc
+    from risk_dashboard_database_spark.plans.refresh import refresh_all
+
+    shutil.rmtree(_rc.MV_ROOT, ignore_errors=True)
+    t0 = time.perf_counter()
+    refresh_steps = refresh_all(spark, sf_dir)
+    refresh_cold = round(time.perf_counter() - t0, 3)
+
     per_query: dict[str, float] = {}
     per_query_min: dict[str, float] = {}
+    per_query_low2: dict[str, float] = {}
     for name in names:
         # warm-up run pays whole-stage-codegen compilation + parquet
         # footer reads; the timed runs are steady-state latency (the
@@ -308,26 +332,48 @@ def main() -> None:
         times.sort()
         per_query[name] = round(times[len(times) // 2], 3)
         per_query_min[name] = round(times[0], 3)
+        per_query_low2[name] = round(times[min(1, len(times) - 1)], 3)
 
-    # Budget guard trips on the normalized MIN of the timed runs, not
-    # the median: a real plan regression (extra shuffle, lost pushdown)
-    # raises every run including the calm ones, while episodic
-    # co-tenant noise inflates the median but almost never all five
-    # runs (measured r7: a1 medians 0.78/0.55/0.44 across consecutive
-    # batches on a noisy box, min stable ~0.45 — the 0.78 median would
-    # trip its 0.70 pin; the min correctly doesn't). The artifact's
-    # "queries" stays the median (honest typical latency); "over
-    # budget" means even the best of five runs blew the pin.
+    # Budget guard trips on the normalized 2ND-SMALLEST of the timed
+    # runs (ADVICE r7: the strict min let a regression that inflates
+    # 4/5 runs — an intermittent spill, a load-dependent extra
+    # exchange — pass as long as one clean run snuck under the pin;
+    # the median tripped on pure co-tenant noise, measured r7: a1
+    # medians 0.78/0.55/0.44 across consecutive batches, min stable
+    # ~0.45). The 2nd-smallest keeps one-run noise immunity while a
+    # 4/5-run regression still trips. The artifact's "queries" stays
+    # the median (honest typical latency); a normalized-MEDIAN breach
+    # is additionally REPORTED (not gated) in "median_over_budget" so
+    # a noisy-but-real drift is visible in the artifact history.
     over = {
         n: {
             "sec": per_query[n],
             "min_sec": per_query_min[n],
-            "normalized_min_sec": round(per_query_min[n] / calib["guard_scale"], 3),
+            "low2_sec": per_query_low2[n],
+            "normalized_low2_sec": round(
+                per_query_low2[n] / calib["guard_scale"], 3
+            ),
             "budget": b,
         }
         for n, b in BUDGET.items()
-        if n in per_query and per_query_min[n] / calib["guard_scale"] > b
+        if n in per_query and per_query_low2[n] / calib["guard_scale"] > b
     }
+    median_over = {
+        n: {
+            "sec": per_query[n],
+            "normalized_sec": round(per_query[n] / calib["guard_scale"], 3),
+            "budget": b,
+        }
+        for n, b in BUDGET.items()
+        if n in per_query and per_query[n] / calib["guard_scale"] > b
+    }
+    if refresh_cold / calib["guard_scale"] > REFRESH_ALL_BUDGET:
+        over["refresh_all_cold"] = {
+            "sec": refresh_cold,
+            "normalized_sec": round(refresh_cold / calib["guard_scale"], 3),
+            "budget": REFRESH_ALL_BUDGET,
+            "steps": refresh_steps,
+        }
     print(
         json.dumps(
             {
@@ -338,7 +384,10 @@ def main() -> None:
                 "queries_min": per_query_min,
                 "sf": sf,
                 "calibration": calib,
+                "refresh_all_cold_sec": refresh_cold,
+                "refresh_all_steps": refresh_steps,
                 "over_budget": over,
+                "median_over_budget": median_over,
             }
         )
     )

@@ -79,6 +79,28 @@ def lock_holder(path: str) -> tuple[int, int] | None:
         return None
 
 
+# fds of lock files currently open in THIS process. flock lives on the
+# open file description, which fork() shares (O_CLOEXEC only covers
+# exec), so a forked child that never execs — multiprocessing's 'fork'
+# start method, the Linux default — would co-hold the lock and keep the
+# job locked after the parent dies (ADVICE r7). The at-fork handler
+# closes the child's duplicates immediately, leaving the parent the
+# sole holder; its exit then releases the job as documented.
+_live_lock_fds: set[int] = set()
+
+
+def _drop_inherited_lock_fds() -> None:
+    for fd in list(_live_lock_fds):
+        try:
+            os.close(fd)
+        except OSError:
+            pass
+    _live_lock_fds.clear()
+
+
+os.register_at_fork(after_in_child=_drop_inherited_lock_fds)
+
+
 @contextmanager
 def single_flight(lock_dir: str, name: str) -> Iterator[bool]:
     """Non-blocking per-job lock: yields True for the one caller that
@@ -87,21 +109,26 @@ def single_flight(lock_dir: str, name: str) -> Iterator[bool]:
     rather than waiting, `app.py:95-106`).
 
     Implemented as ``flock(LOCK_EX | LOCK_NB)`` on a persistent
-    per-job file. The kernel releases the lock on ANY process exit —
-    clean return, unhandled exception, SIGKILL — so a crashed holder
-    frees the job immediately and no staleness heuristic (pid probe,
-    TTL, break protocol) exists to race or starve. The lock file is
-    created once and NEVER unlinked: unlinking would let a later
-    caller lock a fresh inode while an older holder still held the
-    unlinked one — two simultaneous winners. File content is the
-    holder's "pid:epoch" for humans inspecting a stuck refresh; no
-    code path trusts it."""
+    per-job file. The kernel releases the lock when the last open
+    file description referencing it closes — on ANY exit of the sole
+    holder: clean return, unhandled exception, SIGKILL — so a crashed
+    holder frees the job immediately and no staleness heuristic (pid
+    probe, TTL, break protocol) exists to race or starve. Two
+    inheritance channels could create a second holder and are both
+    closed: exec()ed children via O_CLOEXEC, and fork()ed children
+    that never exec (the multiprocessing 'fork' default on Linux,
+    which O_CLOEXEC does NOT cover — ADVICE r7) via an
+    ``os.register_at_fork`` handler that closes the child's duplicate
+    fd immediately after fork, leaving the parent the sole holder.
+    The lock file is created once and NEVER unlinked: unlinking would
+    let a later caller lock a fresh inode while an older holder still
+    held the unlinked one — two simultaneous winners. File content is
+    the holder's "pid:epoch" for humans inspecting a stuck refresh;
+    no code path trusts it."""
     os.makedirs(lock_dir, exist_ok=True)
     path = os.path.join(lock_dir, f"{name}.lock")
-    # O_CLOEXEC: a child spawned mid-refresh must not inherit the fd —
-    # an inherited flock would keep the job locked after the parent
-    # exits, exactly the stale-holder class this design eliminates.
     fd = os.open(path, os.O_CREAT | os.O_RDWR | os.O_CLOEXEC, 0o644)
+    _live_lock_fds.add(fd)
     acquired = False
     try:
         try:
@@ -119,4 +146,5 @@ def single_flight(lock_dir: str, name: str) -> Iterator[bool]:
                 os.ftruncate(fd, 0)
             except OSError:
                 pass
+        _live_lock_fds.discard(fd)
         os.close(fd)  # close releases the flock

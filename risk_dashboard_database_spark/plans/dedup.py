@@ -1860,3 +1860,191 @@ def d20_decontam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("h").alias("n_hits"),
         F.array_join(F.sort_array(F.collect_set("h")), " | ").alias("hits"),
     )
+
+
+# --------------------------------------------------------------- d21
+@query(
+    "d21_token_budget_mix",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (SELECT lang, SUM(n_tokens) AS t FROM tok GROUP BY lang),
+    w AS (SELECT lang, t,
+                 CAST(floor(sqrt(CAST(t AS DOUBLE)) * {MIX_W_SCALE} + 0.5)
+                      AS BIGINT) AS w
+          FROM c),
+    tt AS (SELECT SUM(w) AS sw, SUM(t) AS t_total FROM w),
+    q AS (SELECT lang, (((t_total + 3) // 4) * w + sw - 1) // sw AS quota
+          FROM w, tt),
+    r AS (SELECT doc_id, lang, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_prev
+          FROM tok)
+    SELECT r.doc_id, r.lang, r.n_tokens,
+           CAST(r.cum_prev AS BIGINT) AS cum_prev,
+           CAST(q.quota AS BIGINT) AS quota
+    FROM r JOIN q ON q.lang = r.lang
+    WHERE r.cum_prev < q.quota
+    """,
+)
+def d21_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget temperature mixture (new r8): d18 reshapes the
+    mixture in DOCUMENT counts, but real pretraining recipes budget in
+    TOKENS — per-domain token quotas proportional to sqrt(domain token
+    mass) over a global target of 1/4 of the corpus tokens, filled
+    greedily in deterministic md5 order (a doc is kept iff the tokens
+    BEFORE it in its domain's shuffle order are under the quota, so
+    each domain overshoots by at most one document).
+
+    All boundary math is integer (token counts, integer-division
+    ceil); the weight is floor(sqrt(t)*1e6 + 0.5), the same
+    dialect-split-free rounding as d18.
+
+    Scale: the same two-phase de-skewed shape as d18 — rows pre-bucket
+    on the leading two hex chars of the rank md5 (bucket order IS md5
+    order), per-bucket TOKEN sums roll into broadcast prefix-sum
+    offsets, and buckets whose offset already exceeds the quota are
+    dropped before the cumulative-sum window. A Zipf-dominant domain
+    never sorts in one task, and its beyond-quota tail is never sorted
+    at all. Big-table exchanges: one (lang,bkt) agg + one (lang,bkt)
+    window."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        h.alias("h"),
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("bkt"),
+    )
+    bucket_sums = keyed.groupBy("lang", "bkt").agg(
+        F.sum("n_tokens").alias("bt")
+    )
+    off_w = (
+        Window.partitionBy("lang")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lang_w = Window.partitionBy("lang")
+    first_w = Window.partitionBy("lang").orderBy("bkt")
+    glob_w = Window.partitionBy(F.lit(1))
+    first_only = lambda c: F.when(
+        F.row_number().over(first_w) == 1, c
+    ).otherwise(F.lit(0))
+    live = (
+        bucket_sums.withColumn(
+            "off", F.coalesce(F.sum("bt").over(off_w), F.lit(0)).cast("long")
+        )
+        .withColumn("t", F.sum("bt").over(lang_w))
+        .withColumn(
+            "w",
+            F.floor(F.sqrt(F.col("t").cast("double")) * MIX_W_SCALE + 0.5).cast(
+                "long"
+            ),
+        )
+        .withColumn("sw", F.sum(first_only(F.col("w"))).over(glob_w))
+        .withColumn("t_total", F.sum(first_only(F.col("t"))).over(glob_w))
+        .withColumn(
+            "quota",
+            F.expr("(((t_total + 3) div 4) * w + sw - 1) div sw").cast("long"),
+        )
+        .where(F.col("off") < F.col("quota"))
+        .select("lang", "bkt", "off", "quota")
+    )
+    cum_w = (
+        Window.partitionBy("lang", "bkt")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        keyed.join(F.broadcast(live), ["lang", "bkt"])
+        .withColumn(
+            "cum_prev",
+            (
+                F.col("off")
+                + F.coalesce(F.sum("n_tokens").over(cum_w), F.lit(0))
+            ).cast("long"),
+        )
+        .where(F.col("cum_prev") < F.col("quota"))
+        .select("doc_id", "lang", "n_tokens", "cum_prev", "quota")
+    )
+
+
+# --------------------------------------------------------------- d22
+# Epoch-shuffle constants: the seed makes each training epoch a
+# different (but fully reproducible) global permutation; the shard
+# count models the writer parallelism of a packed training-data sink.
+SHUFFLE_SEED = "e1:"
+SHUFFLE_SHARDS = 8
+
+
+@query(
+    "d22_epoch_shuffle",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY md5('{SHUFFLE_SEED}' || CAST(doc_id AS VARCHAR)),
+                        doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, CAST(rk AS BIGINT) AS rk,
+           CAST((rk - 1) % {SHUFFLE_SHARDS} AS BIGINT) AS shard,
+           CAST((rk - 1) // {SHUFFLE_SHARDS} AS BIGINT) AS pos
+    FROM r
+    """,
+)
+def d22_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (new r8): the global training-order
+    permutation a data loader needs — every document gets a unique
+    global rank in seeded-md5 order, a round-robin shard, and its
+    position within the shard. Same seed -> same order on any engine,
+    any partitioning, any run; a new epoch is just a new seed prefix.
+
+    The naive formulation is a GLOBAL row_number — one total sort on a
+    single task, the textbook 100 TB scale-killer. This plan computes
+    the identical rank two-phase: rows pre-bucket on the leading two
+    hex chars of the seeded md5 (fixed-width lowercase hex sorts the
+    same as its integer value, so bucket order IS global md5 order),
+    rank within bucket, and add broadcast per-bucket prefix-sum
+    offsets. One count agg + one 256-way-partitioned window; no task
+    ever sees more than ~1/256th of the corpus, and the tiny bucket
+    frame's running sum is the only single-partition step."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit(SHUFFLE_SEED), F.col("doc_id").cast("string")))
+    keyed = docs.select(
+        "doc_id",
+        h.alias("h"),
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("bkt"),
+    )
+    counts = keyed.groupBy("bkt").agg(F.count("*").alias("bn"))
+    # 256-row frame: the global running sum is the sanctioned tiny
+    # single-partition window (see PLANS.md).
+    off_w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "bkt",
+        F.coalesce(F.sum("bn").over(off_w), F.lit(0)).cast("long").alias("off"),
+    )
+    bucket_rk = F.row_number().over(
+        Window.partitionBy("bkt").orderBy("h", "doc_id")
+    )
+    ranked = (
+        keyed.join(F.broadcast(offsets), "bkt")
+        .withColumn("rk", (F.col("off") + bucket_rk).cast("long"))
+    )
+    return ranked.select(
+        "doc_id",
+        "rk",
+        ((F.col("rk") - 1) % SHUFFLE_SHARDS).cast("long").alias("shard"),
+        F.expr(f"(rk - 1) div {SHUFFLE_SHARDS}").cast("long").alias("pos"),
+    )

@@ -139,27 +139,36 @@ def refresh_all(
     each accessor returns a plain scan if the store already holds the
     dataset's fingerprint, so a scheduled rerun costs milliseconds."""
     import time as _time
-    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 
     timings: dict[str, float] = {}
     done: set[str] = set()
-    pending = list(MV_STORE_DAG)
+    pending: dict[str, tuple[str, ...]] = {
+        s: deps for s, _, deps in MV_STORE_DAG
+    }
 
     def run_step(step: str) -> None:
         t0 = _time.perf_counter()
         _mv_warmer(step)(spark, sf_dir)
         timings[step] = round(_time.perf_counter() - t0, 3)
 
+    # Event-driven scheduling, no wave barriers (ADVICE r7): each step
+    # is submitted the moment its OWN deps are done, so one slow step
+    # (d2_sigs) no longer delays steps whose deps completed long ago
+    # (d19_clusters can start while d9_clusters is still running).
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
-        while pending:
-            ready = [s for s, _, deps in pending if all(d in done for d in deps)]
-            if not ready:
+        in_flight: dict = {}
+        while pending or in_flight:
+            ready = [s for s, deps in pending.items() if done >= set(deps)]
+            for s in ready:
+                in_flight[pool.submit(run_step, s)] = s
+                del pending[s]
+            if not in_flight:
                 raise RuntimeError(f"MV DAG cycle or missing dep: {pending}")
-            futures = {s: pool.submit(run_step, s) for s in ready}
-            for s, fut in futures.items():
+            finished, _ = wait(in_flight, return_when=FIRST_COMPLETED)
+            for fut in finished:
                 fut.result()
-                done.add(s)
-            pending = [e for e in pending if e[0] not in done]
+                done.add(in_flight.pop(fut))
     return timings
 
 

@@ -100,13 +100,14 @@ def run_available_now(
     return the result as a batch DataFrame (bounded replay — how the
     tests and backfills consume the stream). complete for aggregation
     streams; append for row streams (dedup)."""
+    from .quality import apply_trigger
+
     spark = stream_df.sparkSession
-    q = (
+    q = apply_trigger(
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+        .outputMode(output_mode),
+        mode="backfill",
+    ).start()
     q.awaitTermination()
     return spark.table(query_name)

@@ -43,6 +43,26 @@ from ..plans.textstats import STOPWORDS
 # repetition rules (as in t_repetition).
 MIN_QUALITY = 2
 
+# Default trigger policy (VERDICT r7 #7): the measured knee above,
+# encoded as config rather than prose. Pass to ``writeStream.trigger``
+# as kwargs — or use ``apply_trigger`` — instead of re-deriving the
+# choice at every call site.
+BACKFILL_TRIGGER = {"availableNow": True}  # ONE maximal batch; never
+#                                            set maxFilesPerTrigger here
+INGEST_TRIGGER = {"processingTime": "0 seconds"}  # long-lived stream
+# continuous-ingest batches should carry >= this many docs so the
+# ~0.55 s per-micro-batch floor stays <2% overhead (size via the
+# trigger interval or a high maxFilesPerTrigger, never 1-file batches)
+MIN_INGEST_BATCH_DOCS = 50_000
+
+
+def apply_trigger(writer, mode: str = "backfill"):
+    """Apply the measured trigger policy to a DataStreamWriter:
+    ``mode='backfill'`` -> one maximal availableNow batch,
+    ``mode='ingest'`` -> long-lived processingTime stream."""
+    policy = {"backfill": BACKFILL_TRIGGER, "ingest": INGEST_TRIGGER}[mode]
+    return writer.trigger(**policy)
+
 
 def with_curation_verdict(docs: DataFrame) -> DataFrame:
     """(doc_id, text, ...) -> (doc_id, quality_score, is_repetitive,

@@ -49,6 +49,11 @@ def test_single_flight_leftover_file_is_not_a_lock(tmp_path):
     assert lock.exists(), "lock files are persistent, never unlinked"
 
 
+# repo root for spawned children (ADVICE r7: derive from this file, do
+# not hardcode the checkout path), passed via argv/sys.path injection.
+REPO_ROOT = str(__import__("pathlib").Path(__file__).resolve().parents[1])
+
+
 def _hold_lock_subprocess(lock_dir: str, name: str):
     """Spawn a child that acquires the lock and then idles; returns the
     Popen after the child has CONFIRMED acquisition on stdout."""
@@ -59,7 +64,7 @@ def _hold_lock_subprocess(lock_dir: str, name: str):
         [
             sys.executable,
             "-c",
-            "import sys, time; sys.path.insert(0, '/root/repo')\n"
+            f"import sys, time; sys.path.insert(0, {REPO_ROOT!r})\n"
             "from risk_dashboard_database_spark.observe import single_flight\n"
             f"with single_flight({lock_dir!r}, {name!r}) as ok:\n"
             "    print('acquired' if ok else 'skipped', flush=True)\n"
@@ -89,6 +94,54 @@ def test_single_flight_cross_process_and_sigkill_release(tmp_path):
         assert got is True, "kernel released the crashed holder's lock"
 
 
+def test_single_flight_forked_child_does_not_co_hold(tmp_path):
+    """ADVICE r7's residual stale-holder case, closed: a holder that
+    fork()s a long-lived child (no exec — O_CLOEXEC doesn't apply)
+    and then DIES must release the lock even while the orphan child
+    is still alive, because the at-fork handler closed the child's
+    inherited duplicate of the lock fd."""
+    import os
+    import signal
+    import subprocess
+    import sys
+
+    code = (
+        "import os, sys, time\n"
+        f"sys.path.insert(0, {REPO_ROOT!r})\n"
+        "from risk_dashboard_database_spark.observe import single_flight\n"
+        "lock_dir = sys.argv[1]\n"
+        "with single_flight(lock_dir, 'job') as ok:\n"
+        "    assert ok\n"
+        "    pid = os.fork()\n"
+        "    if pid == 0:\n"
+        "        time.sleep(60)  # orphan survives the parent\n"
+        "        os._exit(0)\n"
+        "    print(pid, flush=True)\n"
+        "    time.sleep(60)  # parent idles holding the lock\n"
+    )
+    parent = subprocess.Popen(
+        [sys.executable, "-c", code, str(tmp_path)],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    orphan_pid = int(parent.stdout.readline().strip())
+    try:
+        with single_flight(str(tmp_path), "job") as got:
+            assert got is False, "parent holds the lock"
+        parent.send_signal(signal.SIGKILL)
+        parent.wait()
+        # the orphan is still alive, but must not hold the lock
+        os.kill(orphan_pid, 0)  # raises if the orphan already died
+        with single_flight(str(tmp_path), "job") as got:
+            assert got is True, "forked child must not co-hold (at-fork close)"
+    finally:
+        parent.kill()
+        try:
+            os.kill(orphan_pid, signal.SIGKILL)
+        except OSError:
+            pass
+
+
 def test_single_flight_three_process_race_one_winner(tmp_path):
     """VERDICT r6 #4's three-process race: many processes hammer
     acquire/release concurrently; at most one may ever be inside the
@@ -101,7 +154,7 @@ def test_single_flight_three_process_race_one_winner(tmp_path):
     logf = tmp_path / "race.log"
     code = (
         "import os, sys, time\n"
-        "sys.path.insert(0, '/root/repo')\n"
+        f"sys.path.insert(0, {REPO_ROOT!r})\n"
         "from risk_dashboard_database_spark.observe import single_flight\n"
         "lock_dir, log_path = sys.argv[1], sys.argv[2]\n"
         "me = os.getpid()\n"

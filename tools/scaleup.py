@@ -85,6 +85,37 @@ DOCS_SALTED_SQL = """
                                       w -> w || '~{i}'), ' ')) END AS n_chars
     FROM src
 """
+# --mode=zipf (VERDICT r7 #3): the honest stress for a pretraining
+# corpus — the suffix/salt replicas keep the lang mixture uniform-ish,
+# but real corpora are Zipf-skewed. Three deliberate hot spots:
+# - documents: salted text (distinct shingles, as --mode=salt) PLUS
+#   90% of docs remapped to the corpus-dominant lang — stresses d13's
+#   per-lang quota rank, d18's per-domain rank, t_ngram_docfreq's gram
+#   shuffle, and the d2 band join's per-lang band population;
+# - events: 90% of rows remapped to one hot user_id — stresses the
+#   per-user windows (w2/t2/sessionize) and j4's grain;
+# - lineitem: 90% of rows remapped to one hot (copy-0, 1996-dated)
+#   l_orderkey — gives j1's lineitem<->orders shuffle a genuinely hot
+#   partition so AQE's skew-join split can be demonstrated (r7 #5).
+DOCS_ZIPF_SQL = DOCS_SALTED_SQL.replace(
+    "lang, source,",
+    "CASE WHEN doc_id % 10 < 9 THEN '{dom}' ELSE lang END AS lang, source,",
+)
+EVENTS_ZIPF_SQL = """
+    SELECT event_id + {off} AS event_id, ts,
+           CASE WHEN event_id % 10 < 9 THEN {hot_user} ELSE user_id END
+             AS user_id,
+           event_type, value, props
+    FROM src
+"""
+LINEITEM_ZIPF_SQL = """
+    SELECT CASE WHEN l_orderkey % 10 < 9 THEN {hot_order}
+                ELSE l_orderkey + {off} END AS l_orderkey,
+           l_partkey, l_suppkey, l_linenumber, l_quantity,
+           l_extendedprice, l_discount, l_tax, l_returnflag,
+           l_linestatus, l_shipdate
+    FROM src
+"""
 COPY_TABLES = ["region", "nation", "customer", "supplier", "part", "embeddings"]
 
 
@@ -97,14 +128,34 @@ def build(k: int, src: str, dst: str, mode: str = "suffix") -> None:
         )
         print(f"{t}: copied 1x")
     fact_sql = dict(FACT_SQL)
+    fmt = {}
     if mode == "salt":
         fact_sql["documents"] = DOCS_SALTED_SQL
+    elif mode == "zipf":
+        fact_sql["documents"] = DOCS_ZIPF_SQL
+        fact_sql["events"] = EVENTS_ZIPF_SQL
+        fact_sql["lineitem"] = LINEITEM_ZIPF_SQL
+        fmt["dom"] = con.sql(
+            f"SELECT lang FROM '{src}/documents.parquet' "
+            "GROUP BY lang ORDER BY count(*) DESC, lang LIMIT 1"
+        ).fetchone()[0]
+        fmt["hot_user"] = con.sql(
+            f"SELECT min(user_id) FROM '{src}/events.parquet'"
+        ).fetchone()[0]
+        fmt["hot_order"] = con.sql(
+            f"SELECT min(o_orderkey) FROM '{src}/orders.parquet' "
+            "WHERE o_orderdate >= DATE '1996-01-01' "
+            "AND o_orderdate < DATE '1997-01-01'"
+        ).fetchone()[0]
+        print(f"zipf hot spots: {fmt}")
     for t, tmpl in fact_sql.items():
         con.sql(f"CREATE OR REPLACE VIEW src AS SELECT * FROM '{src}/{t}.parquet'")
         parts = []
         for i in range(k):
             suffix_len = len(f" c{i}")
-            parts.append(tmpl.format(off=i * SHIFT, i=i, suffix_len=suffix_len))
+            parts.append(
+                tmpl.format(off=i * SHIFT, i=i, suffix_len=suffix_len, **fmt)
+            )
         union = " UNION ALL ".join(f"({p})" for p in parts)
         con.sql(f"COPY ({union}) TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
         n = con.sql(f"SELECT count(*) FROM '{dst}/{t}.parquet'").fetchone()[0]
@@ -113,8 +164,12 @@ def build(k: int, src: str, dst: str, mode: str = "suffix") -> None:
 
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    mode = "salt" if "--mode=salt" in sys.argv else "suffix"
+    mode = "suffix"
+    for m in ("salt", "zipf"):
+        if f"--mode={m}" in sys.argv:
+            mode = m
     k = int(args[0]) if args else 10
     src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
-    dst = args[2] if len(args) > 2 else f"/tmp/sfscale{k}{'-salt' if mode == 'salt' else ''}"
+    suffix = {"salt": "-salt", "zipf": "-zipf"}.get(mode, "")
+    dst = args[2] if len(args) > 2 else f"/tmp/sfscale{k}{suffix}"
     build(k, src, dst, mode=mode)
