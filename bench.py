@@ -83,6 +83,9 @@ HEADLINE = [
     "d18_temperature_mix",
     "d19_embedding_clusters",
     "d20_decontam_spans",
+    "d21_token_budget_mix",
+    "d22_epoch_shuffle",
+    "t_keyword_topk",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
@@ -305,12 +308,10 @@ def main() -> None:
     # Runs after calibration (probes don't touch the store) and before
     # the query loop, which therefore measures MV-warm steady state —
     # the same footing as every prior round.
-    import shutil
-
     from risk_dashboard_database_spark.plans import relcache as _rc
     from risk_dashboard_database_spark.plans.refresh import refresh_all
 
-    shutil.rmtree(_rc.MV_ROOT, ignore_errors=True)
+    _rc.drop_store()
     t0 = time.perf_counter()
     refresh_steps = refresh_all(spark, sf_dir)
     refresh_cold = round(time.perf_counter() - t0, 3)

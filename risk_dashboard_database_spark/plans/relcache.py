@@ -352,3 +352,13 @@ def drop_store() -> None:
     """Delete the on-disk store entirely (tests / forced rebuild)."""
     clear()
     shutil.rmtree(MV_ROOT, ignore_errors=True)
+    # Spark keeps a process-wide file-status cache for path reads; a
+    # rebuild publishes NEW part-file names under the SAME store paths,
+    # so without this refresh a post-rebuild scan in the same session
+    # lists the deleted files and dies with FILE_NOT_EXIST.
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        try:
+            spark.catalog.refreshByPath(MV_ROOT)
+        except Exception:
+            pass

@@ -14,6 +14,7 @@ from __future__ import annotations
 import pandas as pd  # module-level: pandas_udf resolves stringified hints here
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..tables import load_table
 from .registry import query
@@ -625,4 +626,108 @@ def t_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             _PII_PHONE_RE,
             "[PHONE]",
         ).alias("redacted"),
+    )
+
+
+# Keyword retrieval terms: mid-frequency corpus words, fixed so the
+# query is reproducible; weights derive from the data (integer
+# df-based), not from this list's order.
+KEYWORD_TERMS = ["vector", "hash", "stream"]
+KEYWORD_TOPK = 25
+
+
+def _kw_oracle() -> str:
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(string_split(text, ' '), t -> t = '{t}')) "
+        f"AS BIGINT) AS tf_{t}"
+        for t in KEYWORD_TERMS
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in KEYWORD_TERMS
+    )
+    score = " + ".join(
+        f"p.tf_{t} * (a.n_docs // a.df_{t})" for t in KEYWORD_TERMS
+    )
+    n_terms = " + ".join(
+        f"CASE WHEN p.tf_{t} > 0 THEN 1 ELSE 0 END" for t in KEYWORD_TERMS
+    )
+    return f"""
+    WITH per AS (SELECT doc_id, lang, {tf_cols} FROM documents),
+    a AS (SELECT COUNT(*) AS n_docs, {df_cols} FROM per),
+    scored AS (
+      SELECT p.doc_id, p.lang,
+             CAST({score} AS BIGINT) AS score,
+             CAST({n_terms} AS BIGINT) AS n_terms
+      FROM per p, a
+    ),
+    r AS (SELECT doc_id, lang, score, n_terms,
+                 ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+          FROM scored WHERE score > 0)
+    SELECT doc_id, lang, score, n_terms, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= {KEYWORD_TOPK}
+    """
+
+
+@query("t_keyword_topk", oracle=_kw_oracle())
+def t_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword retrieval top-k (new r8): the grep-grade search baseline
+    a corpus tool needs before any ANN/rerank stage — documents ranked
+    by term-frequency weighted with an integer document-frequency
+    weight (``n_docs div df``, a deterministic idf surrogate: rarer
+    terms count for more, and no ``ln`` enters the plan — unlike
+    ``sqrt``, libm/JVM ``log`` is not required to be correctly rounded,
+    so a log-based BM25 could drift a ULP between engines and flip a
+    rank; the integer weight cannot).
+
+    Spark-first shape: per-document term frequencies are PER-ROW
+    higher-order array expressions (no tokenize-explode shuffle of the
+    corpus); the document frequencies reduce to ONE aggregate row that
+    joins back as a broadcast (the e4/e7/e8 one-row-anchor pattern);
+    the top-k is TakeOrderedAndProject (per-partition heads, never a
+    global sort); only the final rank numbering — over at most
+    KEYWORD_TOPK rows — touches a single partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+
+    def tf(term):
+        # one-arg closure: a two-arg lambda would be called by
+        # F.filter as (element, INDEX) and silently shadow the term
+        return F.size(F.filter(toks, lambda x: x == term)).cast("long")
+
+    per = docs.select(
+        "doc_id",
+        "lang",
+        *[tf(t).alias(f"tf_{t}") for t in KEYWORD_TERMS],
+    )
+    agg = per.agg(
+        F.count("*").alias("n_docs"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in KEYWORD_TERMS
+        ],
+    )
+    score = None
+    n_terms = None
+    for t in KEYWORD_TERMS:
+        s = F.col(f"tf_{t}") * F.expr(f"n_docs div df_{t}")
+        m = (F.col(f"tf_{t}") > 0).cast("long")
+        score = s if score is None else score + s
+        n_terms = m if n_terms is None else n_terms + m
+    scored = (
+        per.join(F.broadcast(agg))
+        .select(
+            "doc_id",
+            "lang",
+            score.cast("long").alias("score"),
+            n_terms.cast("long").alias("n_terms"),
+        )
+        .where(F.col("score") > 0)
+    )
+    topk = scored.orderBy(F.col("score").desc(), "doc_id").limit(KEYWORD_TOPK)
+    rank = F.row_number().over(
+        Window.partitionBy(F.lit(1)).orderBy(F.col("score").desc(), "doc_id")
+    )
+    return topk.select(
+        "doc_id", "lang", "score", "n_terms", rank.cast("long").alias("rank")
     )

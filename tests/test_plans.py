@@ -33,6 +33,7 @@ BNLJ_OK = {
     "e11_industry_durations",  # 1-row anchor-date scalar crossJoin
     "e12_narrative_tags",  # 1-row anchor-date scalar crossJoin
     "e13_feature_series",  # 1-row anchor-date scalar crossJoin
+    "t_keyword_topk",   # 1-row docfreq/weight aggregate crossJoin
 }
 
 # Intentional statically-planned SortMergeJoins: both sides large at
@@ -66,6 +67,8 @@ EXCH_BUDGET = {
                                     # window move the big table; the other
                                     # exchanges shuffle the langs x 256
                                     # bucket frame (quota/offset windows)
+    "d21_token_budget_mix": 5,      # same two-phase shape as d18 with
+                                    # token sums instead of row counts
 }
 
 

@@ -1,0 +1,142 @@
+"""Round-8 additions: token-budget temperature mixture
+(d21_token_budget_mix), deterministic epoch shuffle (d22_epoch_shuffle)
+and integer-weighted keyword retrieval (t_keyword_topk). Value
+exactness vs DuckDB is the oracle gate's job (all three ship full SQL
+oracles); these tests pin the semantic invariants a hash can't explain
+and the de-skewed plan shapes the 100 TB story depends on."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from risk_dashboard_database_spark.plans.dedup import (
+    SHUFFLE_SHARDS,
+    d21_token_budget_mix,
+    d22_epoch_shuffle,
+)
+from risk_dashboard_database_spark.plans.textstats import (
+    KEYWORD_TERMS,
+    KEYWORD_TOPK,
+    t_keyword_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_token_budget_mix_fills_quotas_greedily(spark):
+    rows = d21_token_budget_mix(spark, SF_DIR).collect()
+    assert rows, "token mixture must be non-empty"
+    by_lang = {}
+    for r in rows:
+        assert r["cum_prev"] < r["quota"]
+        by_lang.setdefault(r["lang"], []).append(r)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus_tokens = {
+        r["lang"]: r["t"]
+        for r in docs.groupBy("lang")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("t"))
+        .collect()
+    }
+    for lang, lrows in by_lang.items():
+        picked = sum(r["n_tokens"] for r in lrows)
+        quota = lrows[0]["quota"]
+        max_doc = max(r["n_tokens"] for r in lrows)
+        # greedy fill: reaches the quota (unless the domain ran out of
+        # tokens) and overshoots by at most the final document
+        assert picked >= min(quota, corpus_tokens[lang])
+        assert picked < quota + max_doc
+    # temperature reshapes the TOKEN mixture: dominant domain's picked
+    # share sits below its corpus token share, the rarest above
+    total_corpus = sum(corpus_tokens.values())
+    total_picked = sum(sum(r["n_tokens"] for r in v) for v in by_lang.values())
+    dom = max(corpus_tokens, key=corpus_tokens.get)
+    rare = min(corpus_tokens, key=corpus_tokens.get)
+    assert (
+        sum(r["n_tokens"] for r in by_lang[dom]) / total_picked
+        < corpus_tokens[dom] / total_corpus
+    )
+    assert (
+        sum(r["n_tokens"] for r in by_lang[rare]) / total_picked
+        > corpus_tokens[rare] / total_corpus
+    )
+
+
+def test_token_budget_mix_plan_is_deskewed(spark):
+    """Same contract as d18's r8 rank: the cumulative-token window
+    partitions by (lang, bkt) and the dead-bucket broadcast join sits
+    below it, so a Zipf-dominant domain never sorts in one task."""
+    plan = _executed_plan(d21_token_budget_mix(spark, SF_DIR))
+    lines = plan.splitlines()
+    win = [
+        i
+        for i, ln in enumerate(lines)
+        if re.search(r"windowspecdefinition\(lang#\d+, bkt#\d+,", ln)
+    ]
+    assert win, "de-skewed (lang,bkt) window missing"
+    join = [i for i, ln in enumerate(lines) if "BroadcastHashJoin" in ln]
+    assert join and join[0] > win[0], "bucket-prune join must feed the window"
+
+
+def test_epoch_shuffle_is_a_permutation_with_consistent_shards(spark):
+    rows = d22_epoch_shuffle(spark, SF_DIR).collect()
+    n = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(rows) == n
+    ranks = sorted(r["rk"] for r in rows)
+    assert ranks == list(range(1, n + 1)), "rk must be a 1..N permutation"
+    for r in rows:
+        assert r["shard"] == (r["rk"] - 1) % SHUFFLE_SHARDS
+        assert r["pos"] == (r["rk"] - 1) // SHUFFLE_SHARDS
+    # round-robin sharding: shard sizes differ by at most one
+    sizes = {}
+    for r in rows:
+        sizes[r["shard"]] = sizes.get(r["shard"], 0) + 1
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # the order is a genuine shuffle, not doc_id order
+    by_rank = [r["doc_id"] for r in sorted(rows, key=lambda r: r["rk"])]
+    assert by_rank != sorted(by_rank)
+
+
+def test_epoch_shuffle_rank_window_is_bucketed_not_global(spark):
+    """The global rank must come from the two-phase bucketed plan: the
+    row_number window partitions by bkt (256-way), never an empty
+    partition spec over the whole corpus."""
+    plan = _executed_plan(d22_epoch_shuffle(spark, SF_DIR))
+    specs = re.findall(
+        r"row_number\(\) windowspecdefinition\(([^)]*?)\)", plan
+    )
+    assert specs, "rank window missing"
+    assert all(re.match(r"bkt#\d+,", s) for s in specs), specs
+
+
+def test_keyword_topk_scores_and_ranks(spark):
+    rows = t_keyword_topk(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= KEYWORD_TOPK
+    assert [r["rank"] for r in rows] == sorted(r["rank"] for r in rows)
+    prev = None
+    for r in rows:
+        assert r["score"] > 0
+        assert 1 <= r["n_terms"] <= len(KEYWORD_TERMS)
+        if prev is not None:
+            # descending score, doc_id tie-break
+            assert (prev["score"], -prev["doc_id"]) >= (r["score"], -r["doc_id"])
+        prev = r
+    # rarer terms must weigh more: recompute one row's score by hand
+    docs = {
+        d["doc_id"]: d["text"]
+        for d in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    n_docs = len(docs)
+    df = {
+        t: sum(1 for x in docs.values() if t in x.split(" "))
+        for t in KEYWORD_TERMS
+    }
+    top = rows[0]
+    toks = docs[top["doc_id"]].split(" ")
+    want = sum(toks.count(t) * (n_docs // df[t]) for t in KEYWORD_TERMS)
+    assert top["score"] == want

@@ -172,7 +172,9 @@ def _record_py_oracle_evidence(name: str, sf_dir: str, nrows: int) -> None:
     head, _, tail = text.partition(_LEDGER_MARK)
     if f"- {day}: `{name}`" in tail:
         return  # one entry per day is plenty
-    open(path, "w").write(head + _LEDGER_MARK + "\n" + line + "\n" + tail.lstrip("\n"))
+    open(path, "w").write(
+        head + _LEDGER_MARK + "\n" + line + "\n\n" + tail.lstrip("\n")
+    )
 
 
 def main():

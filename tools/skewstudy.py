@@ -46,6 +46,7 @@ CURATION = [
     "d2_minhash_pairs",
     "d13_stratified_sample",
     "d18_temperature_mix",
+    "d21_token_budget_mix",
     "d17_pretrain_build",
 ]
 
