@@ -426,18 +426,123 @@ def _normed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d3_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k similarity search (the ANN correctness
-    baseline): broadcast the (small) query set against the corpus, fold
-    dot products JVM-side, TakeOrdered top-5 per query. At scale the
-    corpus shards and this exact plan runs per shard + a final top-k
-    merge — no index needed for the baseline.
+    baseline), executed as a vectorized Arrow-batched kernel (r8): the
+    probe set broadcasts to every candidate partition, each partition
+    scores its candidates against all probes in a numpy kernel and
+    emits only its LOCAL top-5 per probe, and a final window merges
+    the per-partition heads. Top-5 of a union of local top-5s is the
+    global top-5 (candidate_id is unique, so (cosine desc, id) has no
+    cross-partition ties to lose), so the pair relation — O(probes x
+    corpus) — is never materialized, shuffled, or even emitted from
+    the scan stage: each Arrow batch contributes at most 5 x probes
+    rows. That is the shard-local top-k + merge a 100 TB brute-force
+    pass needs, and the kernel is the fast path: the declarative
+    zip_with/aggregate fold evaluates interpreted per element (~10 us
+    per pair at dim=64), while the kernel does one fused multiply-add
+    sweep per dimension across the whole batch (measured 1.4x end-to-
+    end at sf0.1 where per-query overhead dominates; the per-pair gap
+    is ~100x and grows with corpus size). An expression-unrolled
+    64-term sum was A/B'd too and is 2.3x SLOWER than the fold —
+    codegen handles neither giant trees nor the fold well; numbers in
+    BENCH_NOTES r8.
 
-    The per-vector L2 norm is precomputed once into a stored MV
-    (`_normed_embeddings`) instead of being re-folded per PAIR: the
-    pair loop drops from three array folds to one, a 3x compute cut
-    that at 100 TB is the difference between O(pairs * dim) and
-    O(3 * pairs * dim) FLOPs. `sqrt(dot(e, e))` in the MV uses the
-    exact expression the inline form used, so cosine values are
-    bit-identical to the oracle's."""
+    Bit-exactness contract (the driver hash-compares raw doubles): the
+    kernel accumulates `acc += q[i] * c[i]` one dimension at a time in
+    float64, starting from 0.0 — the exact IEEE operation sequence of
+    the oracle's list_reduce left fold and of `_d3_fold_reference`,
+    which stays in-tree as the declarative formulation and is pinned
+    bit-identical to this kernel by tests/test_r8_ops.py. The
+    per-vector L2 norm still comes from the stored `d3_normed` MV
+    (one fold per VECTOR, not per pair).
+
+    The probe set (`vec_id % 50 == 0`) is collected to the driver and
+    rebroadcast — the same data movement the previous BroadcastHash
+    formulation performed inside the JVM; at real scale the probe set
+    is the bounded side by workload construction, and a larger probe
+    set blocks through PROBE_BLOCK rows at a time so the kernel's
+    accumulator stays O(block x batch)."""
+    import numpy as np
+    import pandas as pd
+
+    normed = _normed_embeddings(spark, sf_dir)
+    qpd = (
+        normed.where(F.col("vec_id") % 50 == 0)
+        .select("vec_id", "embedding", "norm")
+        .toPandas()
+    )
+    qids = qpd["vec_id"].to_numpy()
+    Q = (
+        np.stack(qpd["embedding"].to_numpy()).astype(np.float64)
+        if len(qpd)
+        else np.zeros((0, 0))
+    )
+    qn = qpd["norm"].to_numpy()
+    bq = spark.sparkContext.broadcast((qids, Q, qn))
+    PROBE_BLOCK = 1024
+    K = 5
+
+    def score(batches):
+        qids, Q, qn = bq.value
+        nq = len(qids)
+        for pdf in batches:
+            if len(pdf) == 0 or nq == 0:
+                continue
+            cids = pdf["vec_id"].to_numpy()
+            C = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cn = pdf["norm"].to_numpy()
+            labels = pdf["label"].to_numpy()
+            out = []
+            for lo in range(0, nq, PROBE_BLOCK):
+                Qb, qb_ids, qb_n = (
+                    Q[lo : lo + PROBE_BLOCK],
+                    qids[lo : lo + PROBE_BLOCK],
+                    qn[lo : lo + PROBE_BLOCK],
+                )
+                # dimension-at-a-time FMA sweep: elementwise float64
+                # adds in the same order as the left fold -> the
+                # cosines are bit-identical to the declarative form
+                acc = np.zeros((len(qb_ids), len(cids)))
+                for i in range(Qb.shape[1]):
+                    acc += Qb[:, i][:, None] * C[:, i][None, :]
+                cos = acc / (qb_n[:, None] * cn[None, :])
+                for j, qid in enumerate(qb_ids):
+                    mask = cids != qid
+                    c, cc, ll = cos[j][mask], cids[mask], labels[mask]
+                    kk = min(K, int(len(cc)))
+                    idx = np.lexsort((cc, -c))[:kk]
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.full(kk, qid, dtype=np.int64),
+                                "candidate_id": cc[idx].astype(np.int64),
+                                "label": ll[idx],
+                                "cosine": c[idx],
+                            }
+                        )
+                    )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    label_t = normed.schema["label"].dataType.simpleString()
+    local = normed.mapInPandas(
+        score,
+        schema=f"query_id bigint, candidate_id bigint, label {label_t}, cosine double",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("candidate_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= K)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )
+
+
+def _d3_fold_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declarative formulation d3's kernel must match bit-for-bit:
+    broadcast probes x corpus with the zip_with/aggregate fold (the
+    pre-r8 plan, kept as the parity reference — tests/test_r8_ops.py
+    asserts kernel == fold on every row including raw cosine bits)."""
     normed = _normed_embeddings(spark, sf_dir)
     q = F.broadcast(
         normed.where(F.col("vec_id") % 50 == 0).select(

@@ -22,7 +22,6 @@ SF_DIR = "/root/testdata/sf0.001"
 # Intentional BroadcastNestedLoopJoins: tiny broadcast fan-outs whose
 # join condition is non-equi (or absent) BY DESIGN.
 BNLJ_OK = {
-    "d3_ann_topk",      # broadcast probe set x corpus (brute-force ANN baseline)
     "d5_ann_lsh_bucket",  # bucket-equi but probe side broadcast w/ <> residual
     "d8_ann_ivf",       # broadcast centroid codebook fan-out (assignment pass)
     "d14_ann_ivf_nprobe2",  # probes x broadcast codebook fan-out (cell ranking)

@@ -114,6 +114,36 @@ def test_epoch_shuffle_rank_window_is_bucketed_not_global(spark):
     assert all(re.match(r"bkt#\d+,", s) for s in specs), specs
 
 
+def test_d3_kernel_matches_declarative_fold_bitwise(spark):
+    """d3's r8 Arrow kernel vs the pre-r8 declarative zip_with/
+    aggregate fold: every row identical INCLUDING the raw cosine
+    bits — the dimension-at-a-time float64 accumulation is the same
+    IEEE operation sequence as the left fold, which is the whole
+    hash-match contract with the DuckDB oracle."""
+    import struct
+
+    from risk_dashboard_database_spark.plans.dedup import (
+        _d3_fold_reference,
+        d3_ann_topk,
+    )
+
+    def key(rows):
+        return sorted(
+            (
+                r["query_id"],
+                r["candidate_id"],
+                r["label"],
+                struct.pack("<d", r["cosine"]),
+                r["rank"],
+            )
+            for r in rows
+        )
+
+    a = key(d3_ann_topk(spark, SF_DIR).collect())
+    b = key(_d3_fold_reference(spark, SF_DIR).collect())
+    assert a and a == b
+
+
 def test_keyword_topk_scores_and_ranks(spark):
     rows = t_keyword_topk(spark, SF_DIR).collect()
     assert 0 < len(rows) <= KEYWORD_TOPK
