@@ -86,6 +86,8 @@ HEADLINE = [
     "d21_token_budget_mix",
     "d22_epoch_shuffle",
     "t_keyword_topk",
+    "d23_pq_codes",
+    "d24_ann_ivfpq",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the

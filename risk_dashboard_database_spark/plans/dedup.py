@@ -18,6 +18,9 @@ Components, each a driver-checked query:
                         (broadcast queries; the correctness baseline)
 - d5_ann_lsh_bucket   — sign-LSH bucketed ANN (the scale path: probes
                         only search their bucket)
+- d23/d24 (PQ)        — product-quantization code index + IVF-PQ
+                        asymmetric-distance search (the compressed
+                        billion-scale ANN leg)
 
 Determinism: all "random" hash functions are md5-based (identical in
 Spark and DuckDB); MinHash uses the lexicographic order of md5 hex
@@ -2152,4 +2155,245 @@ def d22_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rk",
         ((F.col("rk") - 1) % SHUFFLE_SHARDS).cast("long").alias("shard"),
         F.expr(f"(rk - 1) div {SHUFFLE_SHARDS}").cast("long").alias("pos"),
+    )
+
+
+# ---------------------------------------------------------- d23 / d24
+# Product quantization: the third leg of the ANN family (d5 sign-LSH,
+# d8/d14 IVF, d23/d24 PQ). At 100 TB the raw float vectors do not fit
+# hot storage; PQ compresses each vector to PQ_M small integer codes
+# against per-subspace codebooks, and search scores candidates with a
+# per-probe distance TABLE (|codebook| x PQ_M lookups computed once
+# per probe) instead of touching any candidate's floats — IVF-PQ is
+# the standard billion-scale ANN layout (Jegou et al., TPAMI 2011).
+PQ_M = 8        # subspaces
+PQ_SUBDIM = 8   # dims per subspace (embeddings are 64-dim)
+
+
+def _sql2_spark(a: F.Column, b: F.Column) -> F.Column:
+    """Left-fold squared-L2 over double casts — the same expression
+    tree as `_SQL2_SQL` so sub-distances hash-match the oracle."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+_SQL2_SQL = """
+  list_reduce(list_transform(list_zip({a}, {b}),
+    p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), (x, y) -> x + y)
+"""
+
+
+def _sub_sql(col: str, s: int) -> str:
+    """DuckDB 1-based inclusive slice of subspace s."""
+    return f"{col}[{(s - 1) * PQ_SUBDIM + 1}:{s * PQ_SUBDIM}]"
+
+
+def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ index: each vector's per-subspace nearest-centroid codes,
+    built once and stored through the MV seam (like d8's cell
+    assignment — real systems persist the codes, the floats go cold).
+    The build broadcasts the codebook (tiny by construction), computes
+    all PQ_M sub-distances in ONE fan-out pass, and argmins per
+    subspace as an AGGREGATE (min_by over a (dist, cid) struct — the
+    same shuffle-~n-not-n*k trick as `_ivf_assigned`, tie-break min
+    cid matching the oracle's ORDER BY dist, cid LIMIT 1)."""
+    from .relcache import cached_relation
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = _ivf_centroids(spark, sf_dir)
+
+    def _build() -> DataFrame:
+        dists = [
+            _sql2_spark(
+                F.slice(F.col("embedding"), (s - 1) * PQ_SUBDIM + 1, PQ_SUBDIM),
+                F.slice(F.col("ce"), (s - 1) * PQ_SUBDIM + 1, PQ_SUBDIM),
+            ).alias(f"d_{s}")
+            for s in range(1, PQ_M + 1)
+        ]
+        return (
+            emb.join(centroids)
+            .select("vec_id", "cid", *dists)
+            .groupBy("vec_id")
+            .agg(
+                *[
+                    F.min_by(
+                        F.col("cid"), F.struct(F.col(f"d_{s}"), F.col("cid"))
+                    ).alias(f"code_{s}")
+                    for s in range(1, PQ_M + 1)
+                ]
+            )
+        )
+
+    return cached_relation("d23_pq_codes", sf_dir, _build)
+
+
+_PQ_CODES_SQL = ",\n".join(
+    f"""             (SELECT c.cid FROM centroids c
+              ORDER BY {_SQL2_SQL.format(a=_sub_sql('e.embedding', s), b=_sub_sql('c.ce', s))}, c.cid
+              LIMIT 1) AS code_{s}"""
+    for s in range(1, PQ_M + 1)
+)
+
+
+@query(
+    "d23_pq_codes",
+    oracle=f"""
+    WITH centroids AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 100 = 0
+    )
+    SELECT e.vec_id,
+{_PQ_CODES_SQL}
+    FROM embeddings e
+    """,
+)
+def d23_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code build (new r8): every vector
+    compressed to PQ_M=8 nearest-centroid codes over 8-dim subspaces
+    of the shared deterministic codebook (every 100th vector — a
+    trained per-subspace k-means in a real system). 64 floats become
+    8 small ints: the compressed index d24 searches without touching
+    candidate floats. Output is pure integers, so cross-engine
+    hash-exactness needs only that the argmin COMPARISONS agree — and
+    they do, because each sub-distance is the identical left-fold
+    IEEE expression on both engines. Steady state compiles to a scan
+    of the stored codes MV."""
+    codes = _pq_codes(spark, sf_dir)
+    return codes.select(
+        "vec_id", *[F.col(f"code_{s}").cast("long") for s in range(1, PQ_M + 1)]
+    )
+
+
+_ADC_JOINS_SQL = "\n".join(
+    f"      JOIN dt dt{s} ON dt{s}.query_id = q.vec_id AND dt{s}.cid = k.code_{s}"
+    for s in range(1, PQ_M + 1)
+)
+_ADC_SUM_SQL = " + ".join(f"dt{s}.td_{s}" for s in range(1, PQ_M + 1))
+_DT_COLS_SQL = ",\n".join(
+    f"             {_SQL2_SQL.format(a=_sub_sql('q.embedding', s), b=_sub_sql('c.ce', s))} AS td_{s}"
+    for s in range(1, PQ_M + 1)
+)
+
+
+@query(
+    "d24_ann_ivfpq",
+    oracle=f"""
+    WITH centroids AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    assigned AS (
+      SELECT e.vec_id, e.label, e.embedding,
+             (SELECT c.cid FROM centroids c
+              ORDER BY {_DOT_SQL.format(a='e.embedding', b='c.ce')}
+                       / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+                          * sqrt({_DOT_SQL.format(a='c.ce', b='c.ce')})) DESC, c.cid
+              LIMIT 1) AS cell
+      FROM embeddings e
+    ),
+    codes AS (
+      SELECT e.vec_id,
+{_PQ_CODES_SQL}
+      FROM embeddings e
+    ),
+    q AS (SELECT vec_id, embedding, cell FROM assigned WHERE vec_id % 50 = 0),
+    dt AS (
+      SELECT q.vec_id AS query_id, c.cid,
+{_DT_COLS_SQL}
+      FROM q, centroids c
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS candidate_id, a.label, q.cell,
+             {_ADC_SUM_SQL} AS adc
+      FROM q
+      JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.vec_id
+      JOIN codes k ON k.vec_id = a.vec_id
+{_ADC_JOINS_SQL}
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc, candidate_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, candidate_id, label, cell, adc, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def d24_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search (new r8): probes search only their IVF cell (d8's
+    stored assignment MV) and score candidates by ASYMMETRIC DISTANCE
+    — the sum over subspaces of the distance from the probe's
+    sub-vector to the candidate's ASSIGNED CENTROID sub-vector, read
+    from the stored PQ codes MV. No candidate float is ever touched:
+    the probe computes one distance table (|codebook| x PQ_M entries,
+    probes x centroids rows — broadcast-sized by construction) and
+    every candidate scores via PQ_M table lookups. That inversion is
+    the PQ scale story: scoring cost is O(codes) per candidate
+    regardless of dimension, and the float corpus stays cold.
+
+    Plan shape: the distance table builds from the broadcast codebook
+    fan-out (probes x centroids); candidates join their codes MV; the
+    PQ_M lookups are PQ_M broadcast equi-joins on (query_id, code_s)
+    — the adc column sums the 8 lookups LEFT-ASSOCIATIVELY, the same
+    IEEE order as the oracle's dt1.td_1 + ... + dt8.td_8, and each
+    table entry is the identical sub-distance fold, so raw doubles
+    hash-match. Top-3 per probe by (adc asc, candidate_id)."""
+    assigned = _ivf_assigned(spark, sf_dir)
+    codes = _pq_codes(spark, sf_dir)
+    centroids = _ivf_centroids(spark, sf_dir)
+
+    probes = assigned.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("cell").alias("qcell"),
+    )
+    dt = probes.join(centroids).select(
+        "query_id",
+        "cid",
+        *[
+            _sql2_spark(
+                F.slice(F.col("qe"), (s - 1) * PQ_SUBDIM + 1, PQ_SUBDIM),
+                F.slice(F.col("ce"), (s - 1) * PQ_SUBDIM + 1, PQ_SUBDIM),
+            ).alias(f"td_{s}")
+            for s in range(1, PQ_M + 1)
+        ],
+    )
+    cand = assigned.select(
+        F.col("vec_id").alias("candidate_id"), "label", "cell"
+    ).join(codes.withColumnRenamed("vec_id", "candidate_id"), "candidate_id")
+    joined = probes.select("query_id", "qcell").join(
+        cand,
+        (F.col("cell") == F.col("qcell"))
+        & (F.col("candidate_id") != F.col("query_id")),
+    )
+    for s in range(1, PQ_M + 1):
+        joined = joined.join(
+            F.broadcast(
+                dt.select(
+                    F.col("query_id").alias(f"tq_{s}"),
+                    F.col("cid").alias(f"tc_{s}"),
+                    f"td_{s}",
+                )
+            ),
+            (F.col(f"tq_{s}") == F.col("query_id"))
+            & (F.col(f"tc_{s}") == F.col(f"code_{s}")),
+        )
+    adc = F.col("td_1")
+    for s in range(2, PQ_M + 1):
+        adc = adc + F.col(f"td_{s}")
+    w = Window.partitionBy("query_id").orderBy(F.col("adc"), F.col("candidate_id"))
+    return (
+        joined.select(
+            "query_id", "candidate_id", "label", "cell", adc.alias("adc")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .withColumn("rank", F.col("rank").cast("int"))
     )

@@ -96,6 +96,7 @@ MV_STORE_DAG: list[tuple[str, tuple[str, ...], tuple[str, ...]]] = [
     ("d3_normed",     ("d3_normed",),                     ()),
     ("d19_clusters",  ("d19_clusters",),                  ("d3_normed",)),
     ("d8_assigned",   ("d8_assigned_v2",),                ()),
+    ("d23_codes",     ("d23_pq_codes",),                  ()),
     ("d15_grams",     ("d15_grams",),                     ("layouts",)),
     ("t_tri_grams",   ("t_tri_grams",),                   ("layouts",)),
 ]
@@ -125,6 +126,7 @@ def _mv_warmer(step: str):
         "d19_clusters": dedup.d19_embedding_clusters,
         "d3_normed": dedup._normed_embeddings,
         "d8_assigned": dedup._ivf_assigned,
+        "d23_codes": dedup._pq_codes,
         "d15_grams": dedup._decon_grams,
         "t_tri_grams": textstats.t_ngram_docfreq,
     }[step]

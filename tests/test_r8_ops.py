@@ -114,6 +114,80 @@ def test_epoch_shuffle_rank_window_is_bucketed_not_global(spark):
     assert all(re.match(r"bkt#\d+,", s) for s in specs), specs
 
 
+def test_pq_codes_are_true_subspace_argmins(spark):
+    """d23: every code is a codebook id and IS the argmin of the
+    squared-L2 sub-distance (hand-recomputed in Python for every
+    vector at sf0.001, ties broken by min cid)."""
+    from risk_dashboard_database_spark.plans.dedup import (
+        PQ_M,
+        PQ_SUBDIM,
+        d23_pq_codes,
+    )
+
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+    cb = {vid: e for vid, e in emb.items() if vid % 100 == 0}
+    rows = d23_pq_codes(spark, SF_DIR).collect()
+    assert len(rows) == len(emb)
+    for r in rows:
+        e = emb[r["vec_id"]]
+        for s in range(1, PQ_M + 1):
+            lo = (s - 1) * PQ_SUBDIM
+            want = min(
+                (
+                    sum(
+                        (float(e[i]) - float(ce[i])) ** 2
+                        for i in range(lo, lo + PQ_SUBDIM)
+                    ),
+                    cid,
+                )
+                for cid, ce in cb.items()
+            )[1]
+            assert r[f"code_{s}"] == want, (r["vec_id"], s)
+
+
+def test_ivfpq_adc_is_sum_of_code_subdistances(spark):
+    """d24: every hit stays in the probe's IVF cell and its adc equals
+    the hand-computed sum of probe-to-assigned-centroid sub-distances
+    (the asymmetric-distance definition), summed in subspace order."""
+    from risk_dashboard_database_spark.plans.dedup import (
+        PQ_M,
+        PQ_SUBDIM,
+        _ivf_assigned,
+        d23_pq_codes,
+        d24_ann_ivfpq,
+    )
+
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+    cb = {vid: e for vid, e in emb.items() if vid % 100 == 0}
+    cells = {
+        r["vec_id"]: r["cell"] for r in _ivf_assigned(spark, SF_DIR).collect()
+    }
+    codes = {
+        r["vec_id"]: [r[f"code_{s}"] for s in range(1, PQ_M + 1)]
+        for r in d23_pq_codes(spark, SF_DIR).collect()
+    }
+    rows = d24_ann_ivfpq(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["cell"] == cells[r["query_id"]] == cells[r["candidate_id"]]
+        q = emb[r["query_id"]]
+        adc = 0.0
+        for s in range(1, PQ_M + 1):
+            ce = cb[codes[r["candidate_id"]][s - 1]]
+            lo = (s - 1) * PQ_SUBDIM
+            adc += sum(
+                (float(q[i]) - float(ce[i])) ** 2
+                for i in range(lo, lo + PQ_SUBDIM)
+            )
+        assert abs(adc - r["adc"]) < 1e-9, (r["query_id"], r["candidate_id"])
+
+
 def test_d3_kernel_matches_declarative_fold_bitwise(spark):
     """d3's r8 Arrow kernel vs the pre-r8 declarative zip_with/
     aggregate fold: every row identical INCLUDING the raw cosine
