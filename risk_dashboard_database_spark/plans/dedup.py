@@ -2397,3 +2397,101 @@ def d24_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .withColumn("rank", F.col("rank").cast("int"))
     )
+
+
+# ---------------------------------------------------------------- d25
+@query(
+    "d25_ann_recall",
+    oracle=f"""
+    WITH centroids AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    assigned AS (
+      SELECT e.vec_id, e.label, e.embedding,
+             (SELECT c.cid FROM centroids c
+              ORDER BY {_DOT_SQL.format(a='e.embedding', b='c.ce')}
+                       / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+                          * sqrt({_DOT_SQL.format(a='c.ce', b='c.ce')})) DESC, c.cid
+              LIMIT 1) AS cell
+      FROM embeddings e
+    ),
+    codes AS (
+      SELECT e.vec_id,
+{_PQ_CODES_SQL}
+      FROM embeddings e
+    ),
+    q AS (SELECT vec_id, embedding, cell FROM assigned WHERE vec_id % 50 = 0),
+    dt AS (
+      SELECT q.vec_id AS query_id, c.cid,
+{_DT_COLS_SQL}
+      FROM q, centroids c
+    ),
+    pq_scored AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS candidate_id,
+             {_ADC_SUM_SQL} AS adc
+      FROM q
+      JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.vec_id
+      JOIN codes k ON k.vec_id = a.vec_id
+{_ADC_JOINS_SQL}
+    ),
+    pq_top AS (
+      SELECT query_id, candidate_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc, candidate_id) AS rank
+        FROM pq_scored) WHERE rank <= 3
+    ),
+    exact_scored AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS candidate_id,
+             {_DOT_SQL.format(a='q.embedding', b='a.embedding')}
+               / (sqrt({_DOT_SQL.format(a='q.embedding', b='q.embedding')})
+                  * sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})) AS cosine
+      FROM q JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.vec_id
+    ),
+    exact_top AS (
+      SELECT query_id, candidate_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, candidate_id) AS rank
+        FROM exact_scored) WHERE rank <= 3
+    )
+    SELECT p.query_id,
+           CAST(COUNT(*) AS BIGINT) AS k_returned,
+           CAST(COUNT(e.candidate_id) AS BIGINT) AS hits
+    FROM pq_top p
+    LEFT JOIN exact_top e
+      ON e.query_id = p.query_id AND e.candidate_id = p.candidate_id
+    GROUP BY p.query_id
+    """,
+)
+def d25_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality report (new r8): per-probe recall of d24's
+    IVF-PQ top-3 against the EXACT in-cell cosine top-3 (d8's ground
+    truth — same cell restriction, so the number isolates PQ
+    quantization loss from cell-routing loss, which is d14's knob).
+    This is the 'measure, don't guess' operator for the ANN family: a
+    pipeline tunes PQ_M / nprobe by exactly this query. Output is
+    pure integers (probe, k returned, hits in truth) — the oracle
+    re-derives both rankings independently and must agree row-for-row,
+    which it can only do if every ADC comparison and every cosine
+    comparison matches across engines.
+
+    Plan: both sides reuse the stored MVs (assignment + codes); the
+    intersection is a broadcast-able top-3 join (3 rows per probe each
+    side); one aggregate on probe id."""
+    pq_top = d24_ann_ivfpq(spark, sf_dir).select("query_id", "candidate_id")
+    exact_top = d8_ann_ivf(spark, sf_dir).select(
+        F.col("query_id").alias("true_qid"),
+        F.col("candidate_id").alias("true_id"),
+    )
+    return (
+        pq_top.join(
+            F.broadcast(exact_top),
+            (F.col("query_id") == F.col("true_qid"))
+            & (F.col("candidate_id") == F.col("true_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("k_returned"),
+            F.count("true_id").alias("hits"),
+        )
+    )

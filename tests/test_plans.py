@@ -36,6 +36,7 @@ BNLJ_OK = {
     "d24_ann_ivfpq",    # 8 per-subspace probe x codebook distance-table
                         # fan-outs (each pruned to one td column; the
                         # relation is broadcast-sized by PQ's contract)
+    "d25_ann_recall",   # embeds d24's plan (same 8 fan-outs)
 }
 
 # Intentional statically-planned SortMergeJoins: both sides large at

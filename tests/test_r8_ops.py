@@ -188,6 +188,30 @@ def test_ivfpq_adc_is_sum_of_code_subdistances(spark):
         assert abs(adc - r["adc"]) < 1e-9, (r["query_id"], r["candidate_id"])
 
 
+def test_ann_recall_counts_true_intersections(spark):
+    """d25: hits per probe == |pq top-3 ∩ exact in-cell top-3|,
+    recomputed from the two parent queries directly."""
+    from risk_dashboard_database_spark.plans.dedup import (
+        d8_ann_ivf,
+        d24_ann_ivfpq,
+        d25_ann_recall,
+    )
+
+    pq = {}
+    for r in d24_ann_ivfpq(spark, SF_DIR).collect():
+        pq.setdefault(r["query_id"], set()).add(r["candidate_id"])
+    exact = {}
+    for r in d8_ann_ivf(spark, SF_DIR).collect():
+        exact.setdefault(r["query_id"], set()).add(r["candidate_id"])
+    rows = d25_ann_recall(spark, SF_DIR).collect()
+    assert {r["query_id"] for r in rows} == set(pq)
+    for r in rows:
+        want = len(pq[r["query_id"]] & exact.get(r["query_id"], set()))
+        assert r["hits"] == want
+        assert r["k_returned"] == len(pq[r["query_id"]])
+        assert 0 <= r["hits"] <= r["k_returned"] <= 3
+
+
 def test_d3_kernel_matches_declarative_fold_bitwise(spark):
     """d3's r8 Arrow kernel vs the pre-r8 declarative zip_with/
     aggregate fold: every row identical INCLUDING the raw cosine
