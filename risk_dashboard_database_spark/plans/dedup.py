@@ -490,11 +490,16 @@ def d3_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0 or nq == 0:
                 continue
-            cids = pdf["vec_id"].to_numpy()
-            C = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            cn = pdf["norm"].to_numpy()
-            labels = pdf["label"].to_numpy()
+            # sort the batch by candidate id so a STABLE descending
+            # argsort on cosine alone realizes the (cosine desc, id)
+            # order — the vectorized form of the per-probe lexsort
+            order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+            cids = pdf["vec_id"].to_numpy()[order]
+            C = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+            cn = pdf["norm"].to_numpy()[order]
+            labels = pdf["label"].to_numpy()[order]
             out = []
+            tmp = None
             for lo in range(0, nq, PROBE_BLOCK):
                 Qb, qb_ids, qb_n = (
                     Q[lo : lo + PROBE_BLOCK],
@@ -504,25 +509,40 @@ def d3_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # dimension-at-a-time FMA sweep: elementwise float64
                 # adds in the same order as the left fold -> the
                 # cosines are bit-identical to the declarative form
+                # (in-place out= ops change allocation, not values)
                 acc = np.zeros((len(qb_ids), len(cids)))
+                if tmp is None or tmp.shape != acc.shape:
+                    tmp = np.empty_like(acc)
                 for i in range(Qb.shape[1]):
-                    acc += Qb[:, i][:, None] * C[:, i][None, :]
+                    np.multiply(Qb[:, i][:, None], C[:, i][None, :], out=tmp)
+                    np.add(acc, tmp, out=acc)
                 cos = acc / (qb_n[:, None] * cn[None, :])
-                for j, qid in enumerate(qb_ids):
-                    mask = cids != qid
-                    c, cc, ll = cos[j][mask], cids[mask], labels[mask]
-                    kk = min(K, int(len(cc)))
-                    idx = np.lexsort((cc, -c))[:kk]
-                    out.append(
-                        pd.DataFrame(
-                            {
-                                "query_id": np.full(kk, qid, dtype=np.int64),
-                                "candidate_id": cc[idx].astype(np.int64),
-                                "label": ll[idx],
-                                "cosine": c[idx],
-                            }
-                        )
+                # exclude self-pairs by sinking them below every real
+                # cosine, then select K+1 and drop the sunk entry if it
+                # surfaced (at most one per probe)
+                cos[cids[None, :] == qb_ids[:, None]] = -np.inf
+                kk = min(K + 1, cos.shape[1])
+                top = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+                rows = np.repeat(np.arange(len(qb_ids)), kk)
+                cols = top.ravel()
+                keep = np.isfinite(cos[rows, cols])
+                rows, cols = rows[keep], cols[keep]
+                # trim each probe to K survivors (stable order kept)
+                rank_in_probe = np.concatenate(
+                    [np.arange(c) for c in np.bincount(rows, minlength=len(qb_ids))]
+                ) if len(rows) else np.array([], dtype=np.int64)
+                keep2 = rank_in_probe < K
+                rows, cols = rows[keep2], cols[keep2]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qb_ids[rows].astype(np.int64),
+                            "candidate_id": cids[cols].astype(np.int64),
+                            "label": labels[cols],
+                            "cosine": cos[rows, cols],
+                        }
                     )
+                )
             if out:
                 yield pd.concat(out, ignore_index=True)
 

@@ -49,17 +49,24 @@ DIM_TABLES = {"region", "nation", "customer", "supplier", "part"}
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Fact tables eligible for the ingest re-layout seam (below). Dims and
-# the (2k-row) embeddings corpus never need it.
-FACT_TABLES = {"lineitem", "orders", "events", "documents"}
+# Tables eligible for the ingest re-layout seam (below). Dims never
+# need it. `embeddings` joined in r8: at the default sf it is 2k rows
+# (below every threshold, so nothing changes), but a grown vector
+# corpus in a single row group serializes the ANN kernels onto ONE
+# task — and vector rows carry O(dim) kernel work each, so the
+# rows-per-split knob is ~dim x smaller than for scalar facts.
+FACT_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
 
 # Re-layout only kicks in when a table is big enough to matter AND its
 # files are effectively unsplittable (giant row groups): Spark assigns
 # scan splits at row-group granularity, so a 600k-row single-row-group
 # file is a single task no matter what maxPartitionBytes says.
-_RELAYOUT_MIN_ROWS = 150_000
-_RELAYOUT_MONO_ROWS = 100_000  # rows-per-row-group that counts as unsplittable
-_RELAYOUT_TARGET_ROWS = 50_000  # rows per output split
+_RELAYOUT_MIN_ROWS = {"embeddings": 20_000}
+_RELAYOUT_MIN_ROWS_DEFAULT = 150_000
+_RELAYOUT_MONO_ROWS = {"embeddings": 10_000}
+_RELAYOUT_MONO_ROWS_DEFAULT = 100_000  # rows/row-group that counts as unsplittable
+_RELAYOUT_TARGET_ROWS = {"embeddings": 5_000}
+_RELAYOUT_TARGET_ROWS_DEFAULT = 50_000  # rows per output split
 _RELAYOUT_MAX_PARTS = 64
 
 # Natural clustering column per fact: the re-layout range-partitions and
@@ -73,6 +80,7 @@ _CLUSTER_KEY = {
     "orders": "o_orderdate",
     "events": "ts",
     "documents": "doc_id",
+    "embeddings": "vec_id",
 }
 
 
@@ -112,13 +120,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS LONG))"))
-    n = _relayout_parts(path) if name in FACT_TABLES else 0
+    n = _relayout_parts(path, name) if name in FACT_TABLES else 0
     if n >= 2 and not os.environ.get("SPARK_GRAFT_NO_RELAYOUT"):
         return _relayout(name, sf_dir, df, n)
     return df
 
 
-def _relayout_parts(path: str) -> int:
+def _relayout_parts(path: str, name: str) -> int:
     """How many scan splits this fact table SHOULD have, or 0 if its
     files are already scan-parallel. The reference engine owns its
     storage layout (CSV -> Postgres load); our analog is re-laying-out
@@ -134,9 +142,12 @@ def _relayout_parts(path: str) -> int:
     except Exception:
         return 0
     rows, groups = md.num_rows, max(md.num_row_groups, 1)
-    if rows < _RELAYOUT_MIN_ROWS or rows // groups < _RELAYOUT_MONO_ROWS:
+    min_rows = _RELAYOUT_MIN_ROWS.get(name, _RELAYOUT_MIN_ROWS_DEFAULT)
+    mono = _RELAYOUT_MONO_ROWS.get(name, _RELAYOUT_MONO_ROWS_DEFAULT)
+    target = _RELAYOUT_TARGET_ROWS.get(name, _RELAYOUT_TARGET_ROWS_DEFAULT)
+    if rows < min_rows or rows // groups < mono:
         return 0
-    return min(_RELAYOUT_MAX_PARTS, max(2, rows // _RELAYOUT_TARGET_ROWS))
+    return min(_RELAYOUT_MAX_PARTS, max(2, rows // target))
 
 
 def _relayout(name: str, sf_dir: str, df: DataFrame, n: int) -> DataFrame:
