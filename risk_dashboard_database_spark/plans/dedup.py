@@ -2359,12 +2359,14 @@ def d24_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of dimension, and the float corpus stays cold.
 
     Plan shape: the distance table builds from the broadcast codebook
-    fan-out (probes x centroids); candidates join their codes MV; the
-    PQ_M lookups are PQ_M broadcast equi-joins on (query_id, code_s)
-    — the adc column sums the 8 lookups LEFT-ASSOCIATIVELY, the same
-    IEEE order as the oracle's dt1.td_1 + ... + dt8.td_8, and each
-    table entry is the identical sub-distance fold, so raw doubles
-    hash-match. Top-3 per probe by (adc asc, candidate_id)."""
+    fan-out (probes x centroids), folds into one row per probe — a
+    {centroid -> [td_1..td_8]} map — and broadcasts; candidates join
+    their codes MV and score with PQ_M JVM-side hash lookups in a
+    single equi-join on probe id. The adc column sums the 8 lookups
+    LEFT-ASSOCIATIVELY, the same IEEE order as the oracle's
+    dt1.td_1 + ... + dt8.td_8, and each table entry is the identical
+    sub-distance fold, so raw doubles hash-match. Top-3 per probe by
+    (adc asc, candidate_id)."""
     assigned = _ivf_assigned(spark, sf_dir)
     codes = _pq_codes(spark, sf_dir)
     centroids = _ivf_centroids(spark, sf_dir)
@@ -2393,21 +2395,31 @@ def d24_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cell") == F.col("qcell"))
         & (F.col("candidate_id") != F.col("query_id")),
     )
-    for s in range(1, PQ_M + 1):
-        joined = joined.join(
-            F.broadcast(
-                dt.select(
-                    F.col("query_id").alias(f"tq_{s}"),
-                    F.col("cid").alias(f"tc_{s}"),
-                    f"td_{s}",
+    # fold the distance table into ONE row per probe — a map
+    # {centroid -> [td_1..td_8]} — and broadcast that: every candidate
+    # then scores with PQ_M hash lookups in a single equi-join, which
+    # is literally the PQ execution model (ship the probe's lookup
+    # table, never the floats). Map content is insensitive to
+    # collect_list order (cids are unique per probe), and the adc sum
+    # below is the same left-associative td_1 + ... + td_8 the oracle
+    # computes, so raw doubles still hash-match.
+    dtm = dt.groupBy("query_id").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.col("cid"),
+                    F.array(*[F.col(f"td_{s}") for s in range(1, PQ_M + 1)]),
                 )
-            ),
-            (F.col(f"tq_{s}") == F.col("query_id"))
-            & (F.col(f"tc_{s}") == F.col(f"code_{s}")),
-        )
-    adc = F.col("td_1")
-    for s in range(2, PQ_M + 1):
-        adc = adc + F.col(f"td_{s}")
+            )
+        ).alias("tdm")
+    ).withColumnRenamed("query_id", "tq")
+    joined = joined.join(
+        F.broadcast(dtm), F.col("tq") == F.col("query_id")
+    )
+    adc = None
+    for s in range(1, PQ_M + 1):
+        term = F.element_at(F.col("tdm"), F.col(f"code_{s}"))[s - 1]
+        adc = term if adc is None else adc + term
     w = Window.partitionBy("query_id").orderBy(F.col("adc"), F.col("candidate_id"))
     return (
         joined.select(

@@ -33,10 +33,9 @@ BNLJ_OK = {
     "e12_narrative_tags",  # 1-row anchor-date scalar crossJoin
     "e13_feature_series",  # 1-row anchor-date scalar crossJoin
     "t_keyword_topk",   # 1-row docfreq/weight aggregate crossJoin
-    "d24_ann_ivfpq",    # 8 per-subspace probe x codebook distance-table
-                        # fan-outs (each pruned to one td column; the
-                        # relation is broadcast-sized by PQ's contract)
-    "d25_ann_recall",   # embeds d24's plan (same 8 fan-outs)
+    "d24_ann_ivfpq",    # probe x codebook distance-table fan-out
+                        # (broadcast-sized by PQ's fixed-codebook contract)
+    "d25_ann_recall",   # embeds d24's plan (same fan-out)
 }
 
 # Intentional statically-planned SortMergeJoins: both sides large at
