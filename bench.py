@@ -88,6 +88,7 @@ HEADLINE = [
     "t_keyword_topk",
     "d23_pq_codes",
     "d24_ann_ivfpq",
+    "d26_kmv_distinct",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the

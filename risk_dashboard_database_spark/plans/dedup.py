@@ -2527,3 +2527,105 @@ def d25_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("true_id").alias("hits"),
         )
     )
+
+
+# ---------------------------------------------------------------- d26
+# Deterministic cardinality sketch. HLL (approx_count_distinct) gives
+# engine-specific answers, so it can never pass a cross-engine value
+# gate; KMV (k minimum values; Bar-Yossef et al. 2002) over md5 is
+# deterministic — same data, same k, same estimate, on ANY engine and
+# any partitioning. That reproducibility is worth real money in a
+# pipeline: sketch-based dashboards stop flickering between runs.
+KMV_K = 16
+# 13 hex chars = 52 bits: exactly representable in a double, so the
+# fraction below is the same IEEE value on both engines.
+_KMV_HEX_CHARS = 13
+_KMV_SCALE = 16 ** _KMV_HEX_CHARS
+
+
+@query(
+    "d26_kmv_distinct",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT DISTINCT d.lang, w.w AS word
+      FROM documents d, unnest(string_split(d.text, ' ')) AS w(w)
+    ),
+    hashed AS (
+      SELECT lang,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, {_KMV_HEX_CHARS + 1}),
+                   i -> CAST(instr('0123456789abcdef',
+                                   substr(md5(word), i, 1)) - 1 AS BIGINT))),
+               (acc, v) -> acc * 16 + v) AS hv
+      FROM vocab
+    ),
+    ranked AS (
+      SELECT lang, hv,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv) AS rk
+      FROM hashed
+    ),
+    kept AS (SELECT lang, hv, rk FROM ranked WHERE rk <= {KMV_K}),
+    sketch AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS k_kept,
+             MAX(hv) AS hv_k
+      FROM kept GROUP BY lang
+    ),
+    exact AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS vocab_exact
+              FROM vocab GROUP BY lang)
+    SELECT s.lang, e.vocab_exact, s.k_kept,
+           CASE WHEN s.k_kept < {KMV_K} THEN CAST(s.k_kept AS DOUBLE)
+                ELSE ({KMV_K} - 1) / (CAST(s.hv_k AS DOUBLE) / {_KMV_SCALE}.0)
+           END AS vocab_est
+    FROM sketch s JOIN exact e ON e.lang = s.lang
+    """,
+)
+def d26_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distinct-cardinality sketch (new r8): per-language
+    vocabulary size estimated from the KMV_K smallest md5 values of the
+    distinct tokens — est = (k-1) / frac(h_k), falling back to the
+    exact kept-count when a language has fewer than k distinct tokens
+    (then the sketch IS the set). The exact count rides along so the
+    operator self-reports its error, same stance as d25: the sketch
+    you would actually trust at 100 TB is the one whose error you have
+    measured.
+
+    Scale shape: the only corpus-sized work is the (lang, word)
+    distinct — one shuffle that map-side combines down to vocabulary
+    size. The per-lang rank is WindowGroupLimit-pushed (Spark computes
+    per-partition top-k BEFORE the exchange), so the window moves
+    ~k * partitions rows, not the vocabulary. Estimate arithmetic uses
+    a 52-bit hash prefix (exact in a double) and one division of
+    engine-exact integers — bit-identical to the oracle.
+
+    Determinism is the design point: approx_count_distinct (HLL) is
+    engine-specific and run-stable only per engine; KMV's answer is a
+    pure function of the data, so it cross-checks between Spark and
+    DuckDB to the last bit — the same reproducibility contract as
+    d11's hash-mod sampling."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .distinct()
+    )
+    hashed = vocab.select(
+        "lang",
+        F.conv(F.substring(F.md5(F.col("word")), 1, _KMV_HEX_CHARS), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    )
+    rk = F.row_number().over(Window.partitionBy("lang").orderBy("hv"))
+    kept = hashed.withColumn("rk", rk).where(F.col("rk") <= KMV_K)
+    sketch = kept.groupBy("lang").agg(
+        F.count("*").alias("k_kept"), F.max("hv").alias("hv_k")
+    )
+    exact = vocab.groupBy("lang").agg(F.count("*").alias("vocab_exact"))
+    est = F.when(
+        F.col("k_kept") < KMV_K, F.col("k_kept").cast("double")
+    ).otherwise(
+        F.lit(KMV_K - 1) / (F.col("hv_k").cast("double") / F.lit(float(_KMV_SCALE)))
+    )
+    return (
+        sketch.join(exact, "lang")
+        .select("lang", "vocab_exact", "k_kept", est.alias("vocab_est"))
+    )

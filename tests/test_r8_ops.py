@@ -212,6 +212,46 @@ def test_ann_recall_counts_true_intersections(spark):
         assert 0 <= r["hits"] <= r["k_returned"] <= 3
 
 
+def test_kmv_sketch_partitioning_invariant_and_sane(spark):
+    """d26: the KMV estimate is a pure function of the data — identical
+    to the bit under a different shuffle partitioning (the property
+    HLL/approx_count_distinct does not have), k_kept == min(k, exact),
+    and the estimate lands within a loose error band of exact."""
+    import struct
+
+    from risk_dashboard_database_spark.plans.dedup import (
+        KMV_K,
+        d26_kmv_distinct,
+    )
+
+    def snap():
+        return sorted(
+            (
+                r["lang"],
+                r["vocab_exact"],
+                r["k_kept"],
+                struct.pack("<d", r["vocab_est"]),
+            )
+            for r in d26_kmv_distinct(spark, SF_DIR).collect()
+        )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    a = snap()
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        b = snap()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert a == b, "estimate must not depend on partitioning"
+    for lang, exact, kept, est_bits in a:
+        est = struct.unpack("<d", est_bits)[0]
+        assert kept == min(KMV_K, exact)
+        if kept < KMV_K:
+            assert est == float(exact), "sub-k sketch IS the exact set"
+        else:
+            assert abs(est - exact) / exact < 0.5, (lang, est, exact)
+
+
 def test_d3_kernel_matches_declarative_fold_bitwise(spark):
     """d3's r8 Arrow kernel vs the pre-r8 declarative zip_with/
     aggregate fold: every row identical INCLUDING the raw cosine
