@@ -71,6 +71,11 @@ EXCH_BUDGET = {
                                     # bucket frame (quota/offset windows)
     "d21_token_budget_mix": 5,      # same two-phase shape as d18 with
                                     # token sums instead of row counts
+    "d26_kmv_distinct": 4,          # sketch branch (vocab distinct +
+                                    # WindowGroupLimit rank) + the
+                                    # self-report exact-count branch's
+                                    # second vocab pass (by design: the
+                                    # operator measures its own error)
 }
 
 
