@@ -1,0 +1,81 @@
+"""Streaming deterministic cardinality sketch: batch d26's KMV
+estimator as a stateful streaming operator.
+
+KMV is the sketch you WANT in a stream because it merges exactly: the
+k smallest hashes of a union are the k smallest of the merged minima,
+so folding micro-batches through per-language state converges to
+bit-for-bit the batch answer — no approximation drift, no
+engine-specific merge like HLL registers. State is bounded at k
+longs per language regardless of stream length (the
+`applyInPandasWithState` shape, same as `stateful.py`).
+
+Parity contract (tested): availableNow replay over the real documents
+table emits, for every language, exactly the (k_kept, vocab_est) of
+the DuckDB-oracle-verified batch `d26_kmv_distinct` — including the
+raw double bits of the estimate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..plans.dedup import _KMV_HEX_CHARS, _KMV_SCALE, KMV_K
+
+OUTPUT_SCHEMA = "lang string, k_kept long, vocab_est double"
+STATE_SCHEMA = "hvs array<bigint>"
+
+
+def _update(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (lang,) = key
+    held: list[int] = list(state.get[0]) if state.exists else []
+    seen = set(held)
+    for pdf in batches:
+        for hv in pdf["hv"]:
+            seen.add(int(hv))
+    held = sorted(seen)[:KMV_K]
+    state.update((held,))
+    k_kept = len(held)
+    if k_kept < KMV_K:
+        est = float(k_kept)
+    else:
+        est = (KMV_K - 1) / (float(held[-1]) / float(_KMV_SCALE))
+    yield pd.DataFrame(
+        [{"lang": lang, "k_kept": k_kept, "vocab_est": est}],
+        columns=["lang", "k_kept", "vocab_est"],
+    )
+
+
+def with_token_hashes(docs: DataFrame) -> DataFrame:
+    """(lang, text, ...) -> (lang, hv): the same 52-bit md5-prefix
+    integer batch d26 ranks on, derived JVM-side before the stateful
+    fold (the Python side only merges minima)."""
+    return docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).select(
+        "lang",
+        F.conv(F.substring(F.md5(F.col("word")), 1, _KMV_HEX_CHARS), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    )
+
+
+def stream_kmv_sketch(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """Streaming source over a documents directory -> per-language
+    running KMV sketch (one row per language per micro-batch with the
+    current estimate)."""
+    schema = spark.read.parquet(docs_dir).schema
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+    return with_token_hashes(stream).groupBy("lang").applyInPandasWithState(
+        _update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
