@@ -195,7 +195,8 @@ BUDGET = {
     "e6_sector_baseline": 1.0,  # VERDICT r3 #2: durable MV, no cold plan
     "e3_storylines": 1.3,
     "d1_exact_dedup": 1.0,
-    "d3_ann_topk": 1.0,         # VERDICT r4 #3 value, restored r6
+    "d3_ann_topk": 0.7,         # r8: Arrow kernel rewrite, 0.39-0.47 measured
+                                # (was 1.0 for the declarative fold)
     "a1_pricing_summary": 0.7,  # VERDICT r4 #2 ask, restored r6
     "d15_decontaminate": 1.0,   # r5: gram relation stored via the MV seam
     "d16_rerank": 1.4,          # r5: inherits d8's pipeline (pinned 1.3) + rerank
@@ -208,6 +209,15 @@ BUDGET = {
     "d18_temperature_mix": 1.0,  # r7: rank window + quota broadcast, 0.68 measured
     "d19_embedding_clusters": 0.35,  # r7: stored cluster MV scan, 0.07 measured
     "d20_decontam_spans": 0.95,  # r7: gram MV probe + doc agg, 0.66 measured
+    # r8 queries, pinned at 1.4x the worst measured median this round
+    # (same recipe as BUDGET_GENERATED), rounded up to 0.05, floor 0.35:
+    "d21_token_budget_mix": 0.7,   # 0.49 measured
+    "d22_epoch_shuffle": 0.45,     # 0.32 measured
+    "t_keyword_topk": 0.55,        # 0.38 measured
+    "d23_pq_codes": 0.35,          # 0.16-0.20 measured (stored-MV scan)
+    "d24_ann_ivfpq": 1.85,         # 1.03-1.30 measured; plan-depth (~5
+                                   # broadcast joins) jitter, not data
+    "d26_kmv_distinct": 0.55,      # 0.39 measured
 }
 
 # Full-coverage pins (r6): every remaining headline query, generated as
