@@ -1262,22 +1262,52 @@ def d13_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep the first ceil(n * rate) — the per-language mixture control a
     curation pipeline needs, complementing d11's global hash-mod rate.
 
-    One shuffle on the stratum key; the rank window and the count are
-    the same partitioning, so Catalyst runs them in one exchange."""
+    Scale (r8): the original plain per-lang ``row_number`` sorted the
+    dominant language in ONE task — named as the curation family's
+    last single-task sort in the round-8 Zipf study. Now the same
+    two-phase de-skewed shape as d18/d21: rows pre-bucket on the first
+    two hex chars of the rank md5 (bucket order IS md5-prefix order),
+    rank within (lang, bucket), add broadcast per-bucket prefix-sum
+    offsets — global rk is bit-identical to the single-window rank the
+    oracle computes — and buckets whose offset already exceeds the
+    quota (80% of every language at the 20% rate) are dropped BEFORE
+    the window, so most of the corpus is never sorted at all.
+    Big-table exchanges: one (lang,bkt) count agg + one (lang,bkt)
+    window."""
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-    )
-    ranked = docs.select(
+    h = F.md5(F.col("doc_id").cast("string"))
+    keyed = docs.select(
         "doc_id",
         "lang",
-        F.row_number().over(w).cast("long").alias("rk"),
-        F.count("*").over(Window.partitionBy("lang")).alias("n_lang"),
+        h.alias("h"),
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("bkt"),
     )
-    quota = F.ceil(F.col("n_lang") * STRAT_RATE_PCT / 100.0).cast("long")
+    bucket_counts = keyed.groupBy("lang", "bkt").agg(F.count("*").alias("bn"))
+    off_w = (
+        Window.partitionBy("lang")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    live = (
+        bucket_counts.withColumn(
+            "off", F.coalesce(F.sum("bn").over(off_w), F.lit(0)).cast("long")
+        )
+        .withColumn("n_lang", F.sum("bn").over(Window.partitionBy("lang")))
+        .withColumn(
+            "quota",
+            F.ceil(F.col("n_lang") * STRAT_RATE_PCT / 100.0).cast("long"),
+        )
+        .where(F.col("off") < F.col("quota"))
+        .select("lang", "bkt", "off", "quota")
+    )
+    bucket_rk = F.row_number().over(
+        Window.partitionBy("lang", "bkt").orderBy("h", "doc_id")
+    )
     return (
-        ranked.where(F.col("rk") <= quota)
-        .select("doc_id", "lang", "rk", quota.alias("quota"))
+        keyed.join(F.broadcast(live), ["lang", "bkt"])
+        .withColumn("rk", (F.col("off") + bucket_rk).cast("long"))
+        .where(F.col("rk") <= F.col("quota"))
+        .select("doc_id", "lang", "rk", "quota")
     )
 
 

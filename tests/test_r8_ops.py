@@ -83,6 +83,25 @@ def test_token_budget_mix_plan_is_deskewed(spark):
     assert join and join[0] > win[0], "bucket-prune join must feed the window"
 
 
+def test_stratified_sample_plan_is_deskewed(spark):
+    """d13 (re-planned late r8): same contract as d18/d21 — the rank
+    window partitions by (lang, bkt) and the dead-bucket broadcast
+    join sits below it, so no single-task domain sort remains anywhere
+    in the curation family."""
+    from risk_dashboard_database_spark.plans.dedup import d13_stratified_sample
+
+    plan = _executed_plan(d13_stratified_sample(spark, SF_DIR))
+    lines = plan.splitlines()
+    win = [
+        i
+        for i, ln in enumerate(lines)
+        if re.search(r"windowspecdefinition\(lang#\d+, bkt#\d+,", ln)
+    ]
+    assert win, "de-skewed (lang,bkt) window missing"
+    join = [i for i, ln in enumerate(lines) if "BroadcastHashJoin" in ln]
+    assert join and join[0] > win[0], "bucket-prune join must feed the window"
+
+
 def test_epoch_shuffle_is_a_permutation_with_consistent_shards(spark):
     rows = d22_epoch_shuffle(spark, SF_DIR).collect()
     n = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
