@@ -218,6 +218,13 @@ BUDGET = {
     "d24_ann_ivfpq": 1.85,         # 1.03-1.30 measured; plan-depth (~5
                                    # broadcast joins) jitter, not data
     "d26_kmv_distinct": 0.55,      # 0.39 measured
+    "d13_stratified_sample": 0.6,  # r8 re-pin (was generated 0.35 for the
+                                   # single-window plan): the two-phase
+                                   # de-skewed rank adds two tiny
+                                   # bucket-frame exchanges — ~70 ms at
+                                   # sf0.1 (0.41 measured), bought the
+                                   # removal of the dominant-language
+                                   # single-task sort (zipf 1.75x -> 0.77x)
 }
 
 # Full-coverage pins (r6): every remaining headline query, generated as
