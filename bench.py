@@ -89,6 +89,7 @@ HEADLINE = [
     "d23_pq_codes",
     "d24_ann_ivfpq",
     "d26_kmv_distinct",
+    "d27_incremental_neardup",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
@@ -218,6 +219,7 @@ BUDGET = {
     "d24_ann_ivfpq": 1.85,         # 1.03-1.30 measured; plan-depth (~5
                                    # broadcast joins) jitter, not data
     "d26_kmv_distinct": 0.55,      # 0.39 measured
+    "d27_incremental_neardup": 0.6,  # 0.43 measured (stored-sig MV join)
     "d13_stratified_sample": 0.6,  # r8 re-pin (was generated 0.35 for the
                                    # single-window plan): the two-phase
                                    # de-skewed rank adds two tiny

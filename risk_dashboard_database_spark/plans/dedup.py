@@ -2659,3 +2659,137 @@ def d26_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         sketch.join(exact, "lang")
         .select("lang", "vocab_exact", "k_kept", est.alias("vocab_est"))
     )
+
+
+# ---------------------------------------------------------------- d27
+# Incremental snapshot split: deterministic by doc_id so the oracle
+# sees the same base/incoming partition.
+INC_MOD = 10
+INC_BASE_LT = 8  # doc_id % 10 < 8 -> base corpus; else incoming
+
+
+@query(
+    "d27_incremental_neardup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id, sh, {_MINHASH_SQL} AS mh
+      FROM toks WHERE len(sh) > 0
+    ),
+    bands AS (
+      SELECT doc_id,
+             b AS band,
+             md5(CAST(b AS VARCHAR) || ':' || mh[3*b+1] || mh[3*b+2] || mh[3*b+3]) AS band_key
+      FROM sigs, UNNEST(range(0, {N_BANDS})) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT bi.doc_id AS inc_id, bb.doc_id AS base_id
+      FROM bands bi JOIN bands bb
+        ON bi.band_key = bb.band_key AND bi.band = bb.band
+      WHERE bi.doc_id % {INC_MOD} >= {INC_BASE_LT}
+        AND bb.doc_id % {INC_MOD} < {INC_BASE_LT}
+    ),
+    scored AS (
+      SELECT c.inc_id, c.base_id, {_JACCARD_SQL} AS jaccard
+      FROM cand c
+      JOIN toks a ON a.doc_id = c.inc_id
+      JOIN toks b ON b.doc_id = c.base_id
+      WHERE {_JACCARD_SQL} >= {JACCARD_THRESHOLD}
+    )
+    SELECT inc_id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_base_matches,
+           MIN(base_id) AS first_match,
+           MIN_BY(jaccard, base_id) AS first_match_jaccard
+    FROM scored GROUP BY inc_id
+    """,
+)
+def d27_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup (new r8): the snapshot-over-snapshot
+    question every recurring crawl asks — which INCOMING documents are
+    near-duplicates of the BASE corpus (and so get dropped under
+    first-seen-wins)? Batch-oracle-checkable counterpart of the
+    streaming arrival gate (`streaming/neardup.py`): same MinHash+LSH
+    banding as d2, but the candidate join is base x incoming only —
+    the base-base and incoming-incoming quadrants are never generated,
+    which at a 100 TB base with a daily-crawl-sized increment is the
+    difference between probing an index and re-deduping the world.
+
+    Reuses the stored d2 signature MVs (the persisted index a real
+    incremental pipeline maintains); the band join keys on
+    (band, band_key) with the incoming side filtered BEFORE the join;
+    exact Jaccard re-checks candidates; per incoming doc the output is
+    (match count, lowest-id base match, its jaccard) — min_by keyed on
+    base_id, so the doubles that survive are pair-deterministic."""
+    from .relcache import cached_relation
+
+    toks = cached_relation(
+        "d2_toks",
+        sf_dir,
+        lambda: load_table(spark, sf_dir, "documents").select(
+            "doc_id", _shingles_spark(F.col("text")).alias("sh")
+        ),
+    )
+    sigs = cached_relation(
+        "d2_sigs",
+        sf_dir,
+        lambda: toks.where(F.size("sh") > 0).withColumn(
+            "mh", _minhash_spark(F.col("sh"))
+        ),
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat(
+                            b.cast("string"),
+                            F.lit(":"),
+                            F.element_at(F.col("mh"), b * 3 + 1),
+                            F.element_at(F.col("mh"), b * 3 + 2),
+                            F.element_at(F.col("mh"), b * 3 + 3),
+                        )
+                    ).alias("band_key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+    inc = bands.where(F.col("doc_id") % INC_MOD >= INC_BASE_LT).select(
+        F.col("doc_id").alias("inc_id"), "band", "band_key"
+    )
+    base = bands.where(F.col("doc_id") % INC_MOD < INC_BASE_LT).select(
+        F.col("doc_id").alias("base_id"),
+        F.col("band").alias("band_b"),
+        F.col("band_key").alias("band_key_b"),
+    )
+    cand = (
+        inc.join(
+            base,
+            (F.col("band_key") == F.col("band_key_b"))
+            & (F.col("band") == F.col("band_b")),
+        )
+        .select("inc_id", "base_id")
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("inc_id"), F.col("sh").alias("sh_a"))
+    tb = toks.select(F.col("doc_id").alias("base_id"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union
+    scored = (
+        cand.join(ta, "inc_id")
+        .join(tb, "base_id")
+        .select("inc_id", "base_id", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return scored.groupBy(F.col("inc_id").alias("doc_id")).agg(
+        F.count("*").alias("n_base_matches"),
+        F.min("base_id").alias("first_match"),
+        F.min_by("jaccard", F.col("base_id")).alias("first_match_jaccard"),
+    )

@@ -301,6 +301,34 @@ def test_d3_kernel_matches_declarative_fold_bitwise(spark):
     assert a and a == b
 
 
+def test_incremental_neardup_is_the_cross_split_slice_of_d2(spark):
+    """d27's matches must be exactly d2's near-dup pairs that cross
+    the base/incoming split (same banding, same Jaccard re-check) —
+    the invariant tying the incremental operator to its parent, same
+    stance as d19<->d7 and d20<->d15."""
+    from risk_dashboard_database_spark.plans.dedup import (
+        INC_BASE_LT,
+        INC_MOD,
+        d2_minhash_pairs,
+        d27_incremental_neardup,
+    )
+
+    def is_base(i):
+        return i % INC_MOD < INC_BASE_LT
+
+    cross = {}
+    for r in d2_minhash_pairs(spark, SF_DIR).collect():
+        a, b = r["doc_a"], r["doc_b"]
+        if is_base(a) != is_base(b):
+            inc, base = (b, a) if is_base(a) else (a, b)
+            cross.setdefault(inc, []).append(base)
+    got = {r["doc_id"]: r for r in d27_incremental_neardup(spark, SF_DIR).collect()}
+    assert set(got) == set(cross)
+    for inc, bases in cross.items():
+        assert got[inc]["n_base_matches"] == len(bases)
+        assert got[inc]["first_match"] == min(bases)
+
+
 def test_keyword_topk_scores_and_ranks(spark):
     rows = t_keyword_topk(spark, SF_DIR).collect()
     assert 0 < len(rows) <= KEYWORD_TOPK
