@@ -47,6 +47,9 @@ CURATION = [
     "d13_stratified_sample",
     "d18_temperature_mix",
     "d21_token_budget_mix",
+    "d22_epoch_shuffle",
+    "d26_kmv_distinct",
+    "d27_incremental_neardup",
     "d17_pretrain_build",
 ]
 
