@@ -90,6 +90,8 @@ HEADLINE = [
     "d24_ann_ivfpq",
     "d26_kmv_distinct",
     "d27_incremental_neardup",
+    "d28_chunk_overlap",
+    "d29_split_assign",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
@@ -220,6 +222,8 @@ BUDGET = {
                                    # broadcast joins) jitter, not data
     "d26_kmv_distinct": 0.55,      # 0.39 measured
     "d27_incremental_neardup": 0.6,  # 0.43 measured (stored-sig MV join)
+    "d28_chunk_overlap": 0.7,      # 0.49 measured (shuffle-free generate)
+    "d29_split_assign": 0.65,      # 0.44 measured (broadcast cluster map)
     "d13_stratified_sample": 0.6,  # r8 re-pin (was generated 0.35 for the
                                    # single-window plan): the two-phase
                                    # de-skewed rank adds two tiny

@@ -2793,3 +2793,151 @@ def d27_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("base_id").alias("first_match"),
         F.min_by("jaccard", F.col("base_id")).alias("first_match_jaccard"),
     )
+
+
+# ---------------------------------------------------------------- d28
+# Overlapping token-window chunking — the context-building step a
+# RAG / pretraining pipeline runs between curation and indexing:
+# every document becomes ceil(n_tokens / stride) windows of
+# CHUNK_W whitespace tokens advancing by CHUNK_STRIDE (interior
+# chunks overlap by CHUNK_W - CHUNK_STRIDE tokens so no sentence is
+# ever split without context on at least one side).
+
+CHUNK_W = 64
+CHUNK_STRIDE = 48
+
+
+def _hash_bucket_sql_for(col: str) -> str:
+    """The d11 md5-fold bucket (0-99), parametrized on the hashed
+    column — same arithmetic spelled independently on both engines."""
+    return f"""
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, 9),
+        i -> CAST(instr('0123456789abcdef',
+                        substr(md5(CAST({col} AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
+    (acc, v) -> acc * 16 + v) % 100
+"""
+
+
+@query(
+    "d28_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    )
+    SELECT doc_id,
+           CAST(s // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(s AS BIGINT) AS chunk_start,
+           CAST(len(list_slice(tk, s + 1, s + {CHUNK_W})) AS BIGINT)
+             AS n_chunk_tokens,
+           md5(array_to_string(list_slice(tk, s + 1, s + {CHUNK_W}), ' '))
+             AS chunk_hash
+    FROM toks, UNNEST(range(0, len(tk), {CHUNK_STRIDE})) AS t(s)
+    """,
+)
+def d28_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (RAG / context building).
+
+    Spark shape: one per-row projection — split, generate the stride
+    sequence, posexplode, slice, hash — with NO shuffle anywhere: the
+    plan is scan -> generate -> project, embarrassingly parallel at
+    any corpus size, and the output volume is bounded at
+    ~(W / stride)x the token volume by construction. Everything stays
+    JVM-side (split / sequence / posexplode / slice / array_join /
+    md5 are all codegen'd); chunk identity ships as an md5 of the
+    chunk text so the result is compact and hash-comparable while the
+    text itself never leaves the executor.
+
+    Pipeline role (beyond-reference curation family, SURVEY §6):
+    curation (d10) -> chunking (d28) -> embedding / indexing (d3/d8);
+    the chunk_hash doubles as the exact-dedup key for chunk-level d1.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    piece = F.slice(F.col("tk"), F.col("chunk_start") + 1, F.lit(CHUNK_W))
+    return (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("tk"))
+        .select(
+            "doc_id",
+            "tk",
+            F.posexplode(
+                F.sequence(
+                    F.lit(0), F.size("tk") - 1, F.lit(CHUNK_STRIDE)
+                )
+            ).alias("chunk_idx", "chunk_start"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.size(piece).cast("long").alias("n_chunk_tokens"),
+            F.md5(F.array_join(piece, " ")).alias("chunk_hash"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- d29
+# Leakage-safe train/val/test split: route every document by the md5
+# bucket of its near-dup CLUSTER REPRESENTATIVE (the d9 cluster_id =
+# min doc_id of the component; singletons route by their own id), so
+# an entire duplicate family always lands in ONE split — the
+# assignment a pretraining pipeline must make, because hashing raw
+# doc_ids leaks near-identical text across the train/eval boundary.
+
+SPLIT_TRAIN_LT = 80
+SPLIT_VAL_LT = 90
+
+
+@query(
+    "d29_split_assign",
+    oracle=f"""
+    WITH RECURSIVE {_D9_CTES},
+    rep AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS rep_id
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, rep_id,
+           CASE WHEN bucket < {SPLIT_TRAIN_LT} THEN 'train'
+                WHEN bucket < {SPLIT_VAL_LT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, rep_id,
+             ({_hash_bucket_sql_for('rep_id')}) AS bucket
+      FROM rep
+    )
+    """,
+)
+def d29_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-aware train/val/test split assignment.
+
+    Spark shape: the d9 cluster membership (near-dup members only —
+    tiny relative to the corpus, read from the stored cluster MV) is
+    BROADCAST and left-joined onto the corpus; the split decision is a
+    per-row md5 fold of the representative id (the exact d11 bucket
+    arithmetic, spelled independently on both engines). No data-sized
+    shuffle: corpus-scan -> broadcast-join -> project. At 100 TB the
+    cost is the scan plus a dictionary-sized broadcast, and the
+    assignment is reproducible on any engine/partitioning.
+
+    The leakage guarantee is structural: split = f(rep_id) and every
+    member of a cluster shares rep_id, so no near-dup family can
+    straddle train and eval (pinned by an invariant test against d9).
+    """
+    clusters = d9_dedup_clusters(spark, sf_dir)
+    members = F.broadcast(
+        clusters.select("doc_id", F.col("cluster_id").alias("rep_of"))
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    rep = F.coalesce(F.col("rep_of"), F.col("doc_id"))
+    bucket = _hash_bucket_spark(rep)
+    return (
+        docs.join(members, "doc_id", "left")
+        .select(
+            "doc_id",
+            rep.alias("rep_id"),
+            F.when(bucket < SPLIT_TRAIN_LT, F.lit("train"))
+            .when(bucket < SPLIT_VAL_LT, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+    )

@@ -1,0 +1,96 @@
+"""Round-8 additions: overlapping token-window chunking
+(d28_chunk_overlap) and leakage-safe train/val/test split assignment
+(d29_split_assign). Value exactness vs DuckDB is the oracle gate's
+job (both ship full SQL oracles); these pin the semantic invariants a
+hash can't explain — chunk coverage/overlap arithmetic, the
+no-cluster-straddles-splits guarantee — and the no-shuffle /
+broadcast-only plan shapes the 100 TB story depends on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from risk_dashboard_database_spark.plans.dedup import (
+    CHUNK_STRIDE,
+    CHUNK_W,
+    SPLIT_TRAIN_LT,
+    SPLIT_VAL_LT,
+    d9_dedup_clusters,
+    d28_chunk_overlap,
+    d29_split_assign,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_chunks_tile_every_document(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_tokens = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n")
+        ).collect()
+    }
+    by_doc = {}
+    for r in d28_chunk_overlap(spark, SF_DIR).collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(n_tokens), "every document must chunk"
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        n = n_tokens[doc_id]
+        # chunk_idx is dense from 0; starts advance by exactly STRIDE
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        assert all(c["chunk_start"] == c["chunk_idx"] * CHUNK_STRIDE for c in chunks)
+        # last chunk starts within the doc; one more stride would not
+        assert chunks[-1]["chunk_start"] < n
+        assert chunks[-1]["chunk_start"] + CHUNK_STRIDE >= n
+        # every chunk is clamped to what remains: min(W, n - start) —
+        # interior chunks of long docs are full-width, giving the
+        # W - STRIDE token overlap with their successor
+        for c in chunks:
+            assert c["n_chunk_tokens"] == min(CHUNK_W, n - c["chunk_start"])
+
+
+def test_chunk_plan_has_no_shuffle(spark):
+    plan = _executed_plan(d28_chunk_overlap(spark, SF_DIR))
+    assert "Exchange" not in plan, "chunking must be scan->generate->project"
+    assert "Generate" in plan
+
+
+def test_split_assignment_never_straddles_a_cluster(spark):
+    split_of = {
+        r["doc_id"]: (r["rep_id"], r["split"])
+        for r in d29_split_assign(spark, SF_DIR).collect()
+    }
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert len(split_of) == docs.count(), "every doc gets exactly one split"
+    clusters = {}
+    for r in d9_dedup_clusters(spark, SF_DIR).collect():
+        clusters.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    for cid, members in clusters.items():
+        splits = {split_of[m][1] for m in members}
+        assert len(splits) == 1, f"cluster {cid} straddles splits {splits}"
+        assert all(split_of[m][0] == cid for m in members)
+    # singletons route by their own id
+    clustered = {m for ms in clusters.values() for m in ms}
+    for doc_id, (rep, _) in split_of.items():
+        if doc_id not in clustered:
+            assert rep == doc_id
+    # all three splits exist and train dominates per the 80/10/10 rule
+    from collections import Counter
+
+    n = Counter(s for _, s in split_of.values())
+    assert set(n) == {"train", "val", "test"}
+    total = sum(n.values())
+    assert n["train"] / total > (SPLIT_TRAIN_LT / 100) - 0.15
+    assert n["val"] / total < (SPLIT_VAL_LT - SPLIT_TRAIN_LT) / 100 + 0.15
+
+
+def test_split_plan_broadcasts_the_cluster_map(spark):
+    plan = _executed_plan(d29_split_assign(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "SortMergeJoin" not in plan, "cluster map must broadcast, not SMJ"
