@@ -92,6 +92,7 @@ HEADLINE = [
     "d27_incremental_neardup",
     "d28_chunk_overlap",
     "d29_split_assign",
+    "d30_span_dedup",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
@@ -224,6 +225,10 @@ BUDGET = {
     "d27_incremental_neardup": 0.6,  # 0.43 measured (stored-sig MV join)
     "d28_chunk_overlap": 0.7,      # 0.49 measured (shuffle-free generate)
     "d29_split_assign": 0.65,      # 0.44 measured (broadcast cluster map)
+    "d30_span_dedup": 2.6,         # 1.82 measured; stage-latency-bound at
+                                   # sf0.1 (8 sequential AQE stages over
+                                   # ~250k grams), data-bound 10x at 100x
+                                   # (BENCH_NOTES d30 table)
     "d13_stratified_sample": 0.6,  # r8 re-pin (was generated 0.35 for the
                                    # single-window plan): the two-phase
                                    # de-skewed rank adds two tiny

@@ -2941,3 +2941,144 @@ def d29_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
         )
     )
+
+
+# ---------------------------------------------------------------- d30
+# Verbatim-span duplication coverage — the substring-level dedup
+# metric of Lee et al. 2022 ("Deduplicating Training Data Makes
+# Language Models Better"): for every document, how many of its token
+# positions are covered by a SPAN_L-token span that also appears
+# verbatim in ANOTHER document? This is the measurement that decides
+# substring-level dedup (vs d2's whole-document near-dup): boilerplate
+# headers, license blocks and templated sentences show up here long
+# before whole documents look similar.
+
+SPAN_L = 8
+
+
+@query(
+    "d30_span_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, s AS pos,
+             md5(array_to_string(list_slice(tk, s + 1, s + {SPAN_L}), ' ')) AS g
+      FROM toks, UNNEST(range(0, len(tk) - {SPAN_L} + 1)) AS t(s)
+    ),
+    shared AS (
+      SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    dup AS (
+      SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM shared)
+    ),
+    cov AS (
+      SELECT doc_id,
+             COUNT(*) AS dup_spans,
+             COUNT(DISTINCT q) AS covered_tokens
+      FROM dup, UNNEST(range(pos, pos + {SPAN_L})) AS u(q)
+      GROUP BY doc_id
+    ),
+    spans AS (
+      SELECT doc_id, COUNT(*) AS dup_spans FROM dup GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.tk) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(s.dup_spans, 0) AS BIGINT) AS dup_spans,
+           CAST(COALESCE(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+           ROUND(100.0 * COALESCE(c.covered_tokens, 0) / len(t.tk), 2)
+             AS dup_pct
+    FROM toks t
+    LEFT JOIN spans s USING (doc_id)
+    LEFT JOIN cov c USING (doc_id)
+    """,
+)
+def d30_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-span duplication coverage per document.
+
+    Spark shape (the 100 TB-honest version of the paper's suffix-array
+    pass): per-row gram hashing (split / sequence / slice / md5 — all
+    codegen'd), ONE exchange on gram for the shared-gram docfreq (the
+    same inverted-index shuffle t_ngram_docfreq pays), a join-back of
+    positions to the shared-gram set, then a per-doc fold. The
+    coverage union is NOT computed by exploding positions (the oracle
+    does that — it only has to be right, not fast): Spark sorts each
+    doc's duplicated starts and folds interval lengths JVM-side —
+    integer arithmetic, one pass, no L-fold row blow-up.
+
+    Docs shorter than SPAN_L tokens produce no grams (Spark
+    ``sequence`` DESCENDS when stop < start, so the gram sequence is
+    explicitly guarded) and report zero coverage."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    n = F.size("tk")
+    gram_starts = F.when(
+        n >= SPAN_L,
+        F.sequence(F.lit(0), n - SPAN_L),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = (
+        docs.select("doc_id", tk.alias("tk"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    gram_starts,
+                    lambda s: F.struct(
+                        s.alias("pos"),
+                        F.md5(
+                            F.array_join(F.slice("tk", s + 1, SPAN_L), " ")
+                        ).alias("g"),
+                    ),
+                )
+            ).alias("pg"),
+        )
+        .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+    )
+    # a gram is shared across docs iff its doc_id set is non-degenerate
+    # — min != max, ONE map-side-combinable hash-agg instead of the
+    # two-phase partial-distinct count_distinct would plan
+    shared = (
+        grams.groupBy("g")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .where(F.col("lo") != F.col("hi"))
+        .select("g")
+    )
+    dup = grams.join(shared, "g").select("doc_id", "pos")
+    # interval-union fold over the sorted duplicated starts: each span
+    # adds (pos + L) - max(pos, end_so_far) new covered positions
+    # (non-negative because starts are ascending => end is monotone).
+    zero = F.struct(
+        F.lit(0).cast("long").alias("cov"), F.lit(-1).cast("long").alias("end")
+    )
+    per_doc = dup.groupBy("doc_id").agg(
+        F.count("*").alias("dup_spans"),
+        F.aggregate(
+            F.sort_array(F.collect_list("pos")),
+            zero,
+            lambda acc, s: F.struct(
+                (
+                    acc["cov"]
+                    + (s + SPAN_L - F.greatest(s.cast("long"), acc["end"]))
+                ).alias("cov"),
+                F.greatest(acc["end"], (s + SPAN_L).cast("long")).alias("end"),
+            ),
+            lambda acc: acc["cov"],
+        ).alias("covered_tokens"),
+    )
+    return (
+        docs.select("doc_id", F.size(tk).alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("dup_spans", F.lit(0)).cast("long").alias("dup_spans"),
+            F.coalesce("covered_tokens", F.lit(0))
+            .cast("long")
+            .alias("covered_tokens"),
+            F.round(
+                100.0 * F.coalesce("covered_tokens", F.lit(0)) / F.col("n_tokens"),
+                2,
+            ).alias("dup_pct"),
+        )
+    )

@@ -94,3 +94,41 @@ def test_split_plan_broadcasts_the_cluster_map(spark):
     plan = _executed_plan(d29_split_assign(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
     assert "SortMergeJoin" not in plan, "cluster map must broadcast, not SMJ"
+
+
+def test_span_dedup_coverage_invariants(spark):
+    from risk_dashboard_database_spark.plans.dedup import SPAN_L, d30_span_dedup
+
+    rows = d30_span_dedup(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert len(rows) == docs.count(), "one row per document"
+    hit = 0
+    for r in rows:
+        assert 0 <= r["covered_tokens"] <= r["n_tokens"]
+        assert r["covered_tokens"] <= r["dup_spans"] * SPAN_L
+        if r["dup_spans"] > 0:
+            hit += 1
+            # any duplicated span covers at least its own L tokens
+            assert r["covered_tokens"] >= SPAN_L
+        else:
+            assert r["covered_tokens"] == 0
+        if r["n_tokens"] < SPAN_L:
+            assert r["dup_spans"] == 0, "short docs produce no grams"
+    assert hit > 0, "corpus must contain some verbatim spans"
+    # exact-duplicate documents (identical text) are 100% covered
+    dup_texts = {
+        r["text"]
+        for r in docs.groupBy("text")
+        .count()
+        .where("count >= 2")
+        .select("text")
+        .collect()
+    }
+    if dup_texts:
+        by_id = {r["doc_id"]: r for r in rows}
+        for d in docs.where(docs.text.isin(list(dup_texts))).collect():
+            r = by_id[d["doc_id"]]
+            if r["n_tokens"] >= SPAN_L:
+                assert r["covered_tokens"] == r["n_tokens"], (
+                    f"exact dup doc {d['doc_id']} must be fully covered"
+                )
