@@ -93,6 +93,7 @@ HEADLINE = [
     "d28_chunk_overlap",
     "d29_split_assign",
     "d30_span_dedup",
+    "d31_split_leakage",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
@@ -229,6 +230,8 @@ BUDGET = {
                                    # sf0.1 (8 sequential AQE stages over
                                    # ~250k grams), data-bound 10x at 100x
                                    # (BENCH_NOTES d30 table)
+    "d31_split_leakage": 1.3,      # 0.93 measured (d2 pair MVs + 2
+                                   # assignment joins + 1 agg)
     "d13_stratified_sample": 0.6,  # r8 re-pin (was generated 0.35 for the
                                    # single-window plan): the two-phase
                                    # de-skewed rank adds two tiny

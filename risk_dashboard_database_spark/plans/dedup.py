@@ -3082,3 +3082,102 @@ def d30_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_pct"),
         )
     )
+
+
+# ---------------------------------------------------------------- d31
+# Split-leakage audit — the measurement that justifies d29: for each
+# candidate split policy, how many near-dup pairs (the d2 pair
+# relation) straddle the train/eval boundary? The cluster-rep policy
+# is ZERO BY CONSTRUCTION (both endpoints of any near-dup edge share a
+# connected component, hence a representative, hence a split); the
+# naive per-doc hash policy leaks ~2 * P(train) * P(eval) of all
+# pairs. Companion to d25_ann_recall: a query whose OUTPUT is the
+# design argument, oracle-checked.
+
+
+def _split_case_sql(bucket_expr: str) -> str:
+    return (
+        f"CASE WHEN ({bucket_expr}) < {SPLIT_TRAIN_LT} THEN 'train' "
+        f"WHEN ({bucket_expr}) < {SPLIT_VAL_LT} THEN 'val' "
+        f"ELSE 'test' END"
+    )
+
+
+@query(
+    "d31_split_leakage",
+    oracle=f"""
+    WITH RECURSIVE {_D9_CTES},
+    rep AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS rep_id
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    asg AS (
+      SELECT doc_id,
+             {_split_case_sql(_hash_bucket_sql_for('rep_id'))} AS split_rep,
+             {_split_case_sql(_hash_bucket_sql_for('doc_id'))} AS split_hash
+      FROM rep
+    ),
+    j AS (
+      SELECT a.split_rep AS ra, b.split_rep AS rb,
+             a.split_hash AS ha, b.split_hash AS hb
+      FROM pairs p
+      JOIN asg a ON a.doc_id = p.doc_a
+      JOIN asg b ON b.doc_id = p.doc_b
+    ),
+    agg AS (
+      SELECT COUNT(*) AS np,
+             COUNT(*) FILTER (WHERE ra != rb) AS lr,
+             COUNT(*) FILTER (WHERE ha != hb) AS lh
+      FROM j
+    )
+    SELECT 'cluster_rep' AS policy,
+           CAST(np AS BIGINT) AS n_pairs,
+           CAST(lr AS BIGINT) AS leaked_pairs
+    FROM agg
+    UNION ALL
+    SELECT 'doc_hash', CAST(np AS BIGINT), CAST(lh AS BIGINT) FROM agg
+    """,
+)
+def d31_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair leakage across splits, per assignment policy.
+
+    Spark shape: the d2 pair relation (stored signature MVs, banded
+    join — never all-pairs) joins the per-doc assignment table twice
+    on doc id, then ONE hash-agg computes all three counters and a
+    ``stack`` unpivots the row per policy. The assignment table is the
+    d29 output extended with the naive per-doc-hash split, computed in
+    the same projection — no second corpus pass."""
+    asg = d29_split_assign(spark, sf_dir)
+    hash_bucket = _hash_bucket_spark(F.col("doc_id"))
+    asg = asg.select(
+        "doc_id",
+        F.col("split").alias("split_rep"),
+        F.when(hash_bucket < SPLIT_TRAIN_LT, F.lit("train"))
+        .when(hash_bucket < SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split_hash"),
+    )
+    pairs = d2_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    a = asg.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("split_rep").alias("ra"),
+        F.col("split_hash").alias("ha"),
+    )
+    b = asg.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("split_rep").alias("rb"),
+        F.col("split_hash").alias("hb"),
+    )
+    agg = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .agg(
+            F.count("*").alias("np"),
+            F.count_if(F.col("ra") != F.col("rb")).alias("lr"),
+            F.count_if(F.col("ha") != F.col("hb")).alias("lh"),
+        )
+    )
+    return agg.selectExpr(
+        "stack(2, 'cluster_rep', np, lr, 'doc_hash', np, lh)"
+        " AS (policy, n_pairs, leaked_pairs)"
+    )

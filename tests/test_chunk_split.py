@@ -132,3 +132,23 @@ def test_span_dedup_coverage_invariants(spark):
                 assert r["covered_tokens"] == r["n_tokens"], (
                     f"exact dup doc {d['doc_id']} must be fully covered"
                 )
+
+
+def test_split_leakage_audit_proves_the_policy(spark):
+    from risk_dashboard_database_spark.plans.dedup import (
+        d2_minhash_pairs,
+        d31_split_leakage,
+    )
+
+    rows = {r["policy"]: r for r in d31_split_leakage(spark, SF_DIR).collect()}
+    assert set(rows) == {"cluster_rep", "doc_hash"}
+    n_pairs = d2_minhash_pairs(spark, SF_DIR).count()
+    assert rows["cluster_rep"]["n_pairs"] == n_pairs
+    assert rows["doc_hash"]["n_pairs"] == n_pairs
+    # the structural guarantee: rep-routed splits cannot leak a pair
+    assert rows["cluster_rep"]["leaked_pairs"] == 0
+    # the naive policy leaks ~2 * P(train) * P(eval) of pairs; at any
+    # non-trivial pair count some leak (md5 routing is effectively
+    # independent across the two endpoints)
+    if n_pairs >= 10:
+        assert rows["doc_hash"]["leaked_pairs"] > 0
