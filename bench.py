@@ -94,6 +94,8 @@ HEADLINE = [
     "d29_split_assign",
     "d30_span_dedup",
     "d31_split_leakage",
+    "d32_rag_context",
+    "d33_dataset_card",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
@@ -232,6 +234,10 @@ BUDGET = {
                                    # (BENCH_NOTES d30 table)
     "d31_split_leakage": 1.3,      # 0.93 measured (d2 pair MVs + 2
                                    # assignment joins + 1 agg)
+    "d32_rag_context": 0.9,        # 0.64 measured (shuffle-free chunk
+                                   # scoring + TakeOrdered top-5)
+    "d33_dataset_card": 0.8,       # 0.56 measured (one scan, two
+                                   # broadcasts, one (split,lang) agg)
     "d13_stratified_sample": 0.6,  # r8 re-pin (was generated 0.35 for the
                                    # single-window plan): the two-phase
                                    # de-skewed rank adds two tiny

@@ -3181,3 +3181,261 @@ def d31_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(2, 'cluster_rep', np, lr, 'doc_hash', np, lh)"
         " AS (policy, n_pairs, leaked_pairs)"
     )
+
+
+# ---------------------------------------------------------------- d33
+# Dataset card — the artifact a pretraining run actually publishes:
+# per (split, language), how many documents / whitespace tokens /
+# chars survive curation (near-dup drop + quality gate), with the
+# drop accounting. Composes three verified operators without
+# re-deriving any of them: d29's leakage-safe split routing, d9's
+# canonical-member drop list, d10's quality score.
+
+
+def _d33_oracle() -> str:
+    from .textstats import _stop_count_sql
+
+    return f"""
+    WITH RECURSIVE {_D9_CTES},
+    rep AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS rep_id
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    asg AS (
+      SELECT doc_id,
+             {_split_case_sql(_hash_bucket_sql_for('rep_id'))} AS split
+      FROM rep
+    ),
+    drops AS (SELECT doc_id FROM sized WHERE rn <> 1),
+    scored AS (
+      SELECT a.split, d.lang, d.n_chars,
+             len(string_split(d.text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(d.text, ' '))) AS n_unique,
+             {_stop_count_sql('en').replace('text', 'd.text')} AS stop_hits,
+             dr.doc_id IS NOT NULL AS is_dup
+      FROM documents d
+      JOIN asg a USING (doc_id)
+      LEFT JOIN drops dr ON dr.doc_id = d.doc_id
+    ),
+    q AS (
+      SELECT *,
+             CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1 ELSE 0 END
+           + CASE WHEN CAST(n_unique AS DOUBLE) / n_tokens >= 0.5 THEN 1 ELSE 0 END
+           + CASE WHEN CAST(stop_hits AS DOUBLE) / n_tokens BETWEEN 0.01 AND 0.6
+                  THEN 1 ELSE 0 END AS score
+      FROM scored
+    )
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS docs_in,
+           CAST(COUNT(*) FILTER (WHERE is_dup) AS BIGINT) AS dropped_near_dup,
+           CAST(COUNT(*) FILTER (WHERE NOT is_dup AND score < 2) AS BIGINT)
+             AS dropped_low_quality,
+           CAST(COUNT(*) FILTER (WHERE NOT is_dup AND score >= 2) AS BIGINT)
+             AS kept_docs,
+           CAST(COALESCE(SUM(n_tokens) FILTER (WHERE NOT is_dup AND score >= 2), 0)
+             AS BIGINT) AS kept_ws_tokens,
+           CAST(COALESCE(SUM(n_chars) FILTER (WHERE NOT is_dup AND score >= 2), 0)
+             AS BIGINT) AS kept_chars
+    FROM q
+    GROUP BY split, lang
+    """
+
+
+@query("d33_dataset_card", oracle=_d33_oracle())
+def d33_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(split, lang) curation accounting — the dataset card.
+
+    Spark shape: one corpus scan; the d9 drop list and the d29
+    assignment both derive from the same cluster MV (drop list
+    broadcasts; the split is a per-row md5 fold of the joined rep);
+    the quality score is a per-row JVM projection; ONE hash-agg on
+    (split, lang) — 30 output rows at any corpus size. The card's
+    grain is fixed, so at 100 TB this costs the scan plus two
+    dictionary-sized broadcasts, nothing else."""
+    from .textstats import _stop_count, _tokens
+
+    clusters = d9_dedup_clusters(spark, sf_dir)
+    drops = F.broadcast(
+        clusters.where(~F.col("is_canonical")).select(
+            "doc_id", F.lit(True).alias("is_dup")
+        )
+    )
+    members = F.broadcast(
+        clusters.select("doc_id", F.col("cluster_id").alias("rep_of"))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    rep = F.coalesce(F.col("rep_of"), F.col("doc_id"))
+    bucket = _hash_bucket_spark(rep)
+    split = (
+        F.when(bucket < SPLIT_TRAIN_LT, F.lit("train"))
+        .when(bucket < SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    tk = _tokens(F.col("text"))
+    n_tokens = F.size(tk)
+    n_unique = F.size(F.array_distinct(tk))
+    stop_hits = _stop_count(tk, "en")
+    score = (
+        F.when(n_tokens.between(20, 80), 1).otherwise(0)
+        + F.when(n_unique.cast("double") / n_tokens >= 0.5, 1).otherwise(0)
+        + F.when(
+            (stop_hits.cast("double") / n_tokens).between(0.01, 0.6), 1
+        ).otherwise(0)
+    )
+    flagged = (
+        docs.join(members, "doc_id", "left")
+        .join(drops, "doc_id", "left")
+        .select(
+            split.alias("split"),
+            "lang",
+            "n_chars",
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+            n_tokens.alias("n_tokens"),
+            score.alias("score"),
+        )
+    )
+    keep = (~F.col("is_dup")) & (F.col("score") >= 2)
+    return flagged.groupBy("split", "lang").agg(
+        F.count("*").alias("docs_in"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+        .cast("long")
+        .alias("dropped_near_dup"),
+        F.sum(F.when((~F.col("is_dup")) & (F.col("score") < 2), 1).otherwise(0))
+        .cast("long")
+        .alias("dropped_low_quality"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("kept_docs"),
+        F.coalesce(F.sum(F.when(keep, F.col("n_tokens"))), F.lit(0))
+        .cast("long")
+        .alias("kept_ws_tokens"),
+        F.coalesce(F.sum(F.when(keep, F.col("n_chars"))), F.lit(0))
+        .cast("long")
+        .alias("kept_chars"),
+    )
+
+
+# ---------------------------------------------------------------- d32
+# Retrieval with context assembly — the serving leg of a RAG pipeline
+# over the d28 chunk table: score every chunk by keyword hits, take
+# the global top-k, and hand back each hit WITH its neighboring
+# chunks (the context window an LLM actually receives; returning the
+# bare chunk loses the sentence that started two chunks ago).
+
+RAG_TOPK = 5
+
+
+def _d32_oracle() -> str:
+    from .textstats import KEYWORD_TERMS
+
+    terms = ", ".join(f"'{t}'" for t in KEYWORD_TERMS)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(s // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+             md5(array_to_string(list_slice(tk, s + 1, s + {CHUNK_W}), ' '))
+               AS chunk_hash,
+             CAST(len(list_filter(list_slice(tk, s + 1, s + {CHUNK_W}),
+                                  t -> t IN ({terms}))) AS BIGINT) AS kw_hits
+      FROM toks, UNNEST(range(0, len(tk), {CHUNK_STRIDE})) AS t(s)
+    ),
+    ctx AS (
+      SELECT *,
+             LAG(chunk_hash) OVER w AS prev_hash,
+             LEAD(chunk_hash) OVER w AS next_hash
+      FROM chunks
+      WINDOW w AS (PARTITION BY doc_id ORDER BY chunk_idx)
+    ),
+    top AS (
+      SELECT doc_id, chunk_idx, kw_hits, chunk_hash,
+             md5(COALESCE(prev_hash, '') || chunk_hash
+                 || COALESCE(next_hash, '')) AS context_hash
+      FROM ctx WHERE kw_hits > 0
+      ORDER BY kw_hits DESC, doc_id, chunk_idx
+      LIMIT {RAG_TOPK}
+    )
+    SELECT CAST(ROW_NUMBER()
+                OVER (ORDER BY kw_hits DESC, doc_id, chunk_idx) AS BIGINT)
+             AS rank,
+           doc_id, chunk_idx, kw_hits, chunk_hash, context_hash
+    FROM top
+    """
+
+
+@query("d32_rag_context", oracle=_d32_oracle())
+def d32_rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword top-k over chunks, returned with assembled context.
+
+    Spark shape: ZERO data shuffles before the final top-k — the chunk
+    hashes, keyword hits, and neighbor context are all built inside
+    ONE per-document projection (arrays indexed by chunk position:
+    prev/next are `element_at(hashes, i)` / `element_at(hashes, i+2)`
+    on the same in-row array, so "window over (doc, chunk_idx)" costs
+    nothing), then exploded, filtered on hits, and fed to
+    TakeOrderedAndProject. The rank window runs on the post-LIMIT
+    {RAG_TOPK}-row relation — bounded, single partition by design."""
+    from .textstats import KEYWORD_TERMS
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    n = F.size("tk")
+    starts = F.sequence(F.lit(0), n - 1, F.lit(CHUNK_STRIDE))
+    with_arrays = docs.select("doc_id", tk.alias("tk")).select(
+        "doc_id",
+        F.transform(
+            starts,
+            lambda s: F.md5(F.array_join(F.slice("tk", s + 1, CHUNK_W), " ")),
+        ).alias("hashes"),
+        F.transform(
+            starts,
+            lambda s: F.size(
+                F.filter(
+                    F.slice("tk", s + 1, CHUNK_W),
+                    lambda t: t.isin(*KEYWORD_TERMS),
+                )
+            ),
+        ).alias("hits"),
+    )
+    packed = F.transform(
+        F.sequence(F.lit(0), F.size("hashes") - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            F.element_at(F.col("hashes"), i + 1).alias("chunk_hash"),
+            F.element_at(F.col("hits"), i + 1).cast("long").alias("kw_hits"),
+            F.md5(
+                F.concat(
+                    F.when(i > 0, F.element_at(F.col("hashes"), i)).otherwise(
+                        F.lit("")
+                    ),
+                    F.element_at(F.col("hashes"), i + 1),
+                    F.when(
+                        i < F.size("hashes") - 1,
+                        F.element_at(F.col("hashes"), i + 2),
+                    ).otherwise(F.lit("")),
+                )
+            ).alias("context_hash"),
+        ),
+    )
+    top = (
+        with_arrays.select("doc_id", F.explode(packed).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.kw_hits").alias("kw_hits"),
+            F.col("c.chunk_hash").alias("chunk_hash"),
+            F.col("c.context_hash").alias("context_hash"),
+        )
+        .where(F.col("kw_hits") > 0)
+        .orderBy(F.col("kw_hits").desc(), "doc_id", "chunk_idx")
+        .limit(RAG_TOPK)
+    )
+    w = Window.orderBy(F.col("kw_hits").desc(), "doc_id", "chunk_idx")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        "chunk_idx",
+        "kw_hits",
+        "chunk_hash",
+        "context_hash",
+    )

@@ -152,3 +152,61 @@ def test_split_leakage_audit_proves_the_policy(spark):
     # independent across the two endpoints)
     if n_pairs >= 10:
         assert rows["doc_hash"]["leaked_pairs"] > 0
+
+
+def test_dataset_card_sums_to_d10_accounting(spark):
+    from risk_dashboard_database_spark.plans.dedup import (
+        d10_corpus_curation,
+        d33_dataset_card,
+    )
+
+    card = d33_dataset_card(spark, SF_DIR).collect()
+    assert {r["split"] for r in card} == {"train", "val", "test"}
+    summed = {}
+    for r in card:
+        acc = summed.setdefault(r["lang"], [0] * 5)
+        acc[0] += r["docs_in"]
+        acc[1] += r["dropped_near_dup"]
+        acc[2] += r["dropped_low_quality"]
+        acc[3] += r["kept_docs"]
+        acc[4] += r["kept_ws_tokens"]
+    d10 = {
+        r["lang"]: [
+            r["docs_in"],
+            r["dropped_near_dup"],
+            r["dropped_low_quality"],
+            r["kept_docs"],
+            r["kept_ws_tokens"],
+        ]
+        for r in d10_corpus_curation(spark, SF_DIR).collect()
+    }
+    assert summed == d10, "card must re-partition d10's accounting, not re-derive it"
+
+
+def test_rag_context_matches_the_chunk_table(spark):
+    import hashlib
+
+    from risk_dashboard_database_spark.plans.dedup import (
+        RAG_TOPK,
+        d28_chunk_overlap,
+        d32_rag_context,
+    )
+
+    chunks = {}
+    for r in d28_chunk_overlap(spark, SF_DIR).collect():
+        chunks[(r["doc_id"], r["chunk_idx"])] = r["chunk_hash"]
+    top = d32_rag_context(spark, SF_DIR).collect()
+    assert 0 < len(top) <= RAG_TOPK
+    assert [r["rank"] for r in top] == list(range(1, len(top) + 1))
+    scores = [r["kw_hits"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+    for r in top:
+        key = (r["doc_id"], r["chunk_idx"])
+        assert chunks[key] == r["chunk_hash"], "hit must be a real d28 chunk"
+        prev = chunks.get((r["doc_id"], r["chunk_idx"] - 1), "")
+        nxt = chunks.get((r["doc_id"], r["chunk_idx"] + 1), "")
+        want = hashlib.md5(
+            (prev + r["chunk_hash"] + nxt).encode()
+        ).hexdigest()
+        assert r["context_hash"] == want, "context must be prev||cur||next"
+        assert r["kw_hits"] > 0

@@ -50,6 +50,10 @@ CURATION = [
     "d22_epoch_shuffle",
     "d26_kmv_distinct",
     "d27_incremental_neardup",
+    "d28_chunk_overlap",
+    "d29_split_assign",
+    "d30_span_dedup",
+    "d31_split_leakage",
     "d17_pretrain_build",
 ]
 
