@@ -96,6 +96,9 @@ HEADLINE = [
     "d31_split_leakage",
     "d32_rag_context",
     "d33_dataset_card",
+    "d34_bpe_merges",
+    "d35_oov_rate",
+    "d36_hard_negatives",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the

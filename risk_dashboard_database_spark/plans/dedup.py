@@ -3439,3 +3439,283 @@ def d32_rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_hash",
         "context_hash",
     )
+
+
+# ---------------------------------------------------------------- d34
+# Tokenizer induction — the BPE statistic. A byte-pair-encoding
+# trainer's inner loop is "count adjacent symbol pairs weighted by
+# word frequency, merge the most frequent" (Sennrich et al. 2016).
+# d34 is that induction step as a query: the top-K adjacent
+# character-pair merge candidates over the corpus vocabulary. The
+# full iterative trainer lives in functions/bpe.py (learn_bpe) — the
+# corpus-sized work (word counting) runs distributed ONCE; the merge
+# loop then operates on the vocabulary-sized count table, which is
+# how production tokenizer trainers work too (they train on word
+# counts, not on the raw corpus).
+
+BPE_TOPK = 20
+
+
+@query(
+    "d34_bpe_merges",
+    oracle=f"""
+    WITH w AS (
+      SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+      GROUP BY t
+      HAVING length(t) >= 2
+    ),
+    p AS (
+      SELECT pr AS pair, CAST(SUM(n) AS BIGINT) AS pair_count
+      FROM w, UNNEST(list_transform(range(1, length(word)),
+                                    i -> substr(word, i, 2))) AS v(pr)
+      GROUP BY pr
+    ),
+    top AS (
+      SELECT * FROM p ORDER BY pair_count DESC, pair LIMIT {BPE_TOPK}
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS BIGINT)
+             AS merge_rank,
+           pair, pair_count
+    FROM top
+    """,
+)
+def d34_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K BPE merge candidates: adjacent char pairs weighted by
+    corpus word frequency.
+
+    Spark shape: ONE corpus-sized exchange (the word-count hash-agg,
+    map-side combined from token grain down to vocabulary grain);
+    everything after is vocabulary-sized — the per-word pair explode
+    is a higher-order transform over positions (no join), the pair
+    agg reduces a vocab-sized relation, and the top-K is
+    TakeOrderedAndProject. The rank window runs on the post-LIMIT
+    K-row relation. At 100 TB the only term that grows is the first
+    agg, and it is exactly the word-count any tokenizer trainer must
+    pay once."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("n"))
+        .where(F.length("word") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "n",
+    )
+    top = (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").cast("long").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "pair")
+        .limit(BPE_TOPK)
+    )
+    w = Window.orderBy(F.col("pair_count").desc(), "pair")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("merge_rank"),
+        "pair",
+        "pair_count",
+    )
+
+
+# ---------------------------------------------------------------- d35
+# Vocabulary-coverage audit — the OOV (out-of-vocabulary) rate a
+# tokenizer/vocab choice leaves on the corpus, per language. Pairs
+# with d34: d34 induces the vocabulary, d35 measures what a fixed
+# top-V word vocabulary fails to cover (the statistic that decides V).
+
+OOV_VOCAB_K = 64
+
+
+@query(
+    "d35_oov_rate",
+    oracle=f"""
+    WITH w AS (
+      SELECT t AS word, COUNT(*) AS n
+      FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+      GROUP BY t
+    ),
+    v AS (
+      SELECT list(word ORDER BY word) AS vocab
+      FROM (SELECT word FROM w ORDER BY n DESC, word LIMIT {OOV_VOCAB_K})
+    ),
+    per_doc AS (
+      SELECT d.lang,
+             len(string_split(d.text, ' ')) AS n_tok,
+             len(list_filter(string_split(d.text, ' '),
+                             t -> list_contains(v.vocab, t))) AS in_v
+      FROM documents d, v
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_tok - in_v) AS BIGINT) AS oov_tokens,
+           CAST((SUM(n_tok - in_v) * 1000000) // SUM(n_tok) AS BIGINT)
+             AS oov_ppm,
+           CAST(COUNT(*) FILTER (WHERE (n_tok - in_v) * 2 > n_tok) AS BIGINT)
+             AS high_oov_docs
+    FROM per_doc
+    GROUP BY lang
+    """,
+)
+def d35_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language OOV rate against the corpus top-V word vocabulary.
+
+    Spark shape: the vocabulary reduces to ONE row (top-V words via
+    TakeOrderedAndProject, folded into a sorted array) that crossJoins
+    back — the t_keyword_topk 1-row-anchor pattern, a broadcast
+    nested-loop over a single row by design. Per-document OOV counting
+    is then a PER-ROW higher-order filter against the in-row 64-word
+    array (no token-level explode, no token-level exchange); the only
+    corpus-sized exchanges are the word-count agg and the final
+    5-row language agg, both map-side combined. The ppm rate is
+    integer `div` — no float division to drift between engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    vocab = (
+        words.orderBy(F.col("n").desc(), "word")
+        .limit(OOV_VOCAB_K)
+        .agg(F.array_sort(F.collect_list("word")).alias("vocab"))
+    )
+    toks = F.split(F.col("text"), " ")
+    per_doc = docs.join(F.broadcast(vocab)).select(
+        "lang",
+        F.size(toks).alias("n_tok"),
+        F.size(
+            F.filter(toks, lambda t: F.array_contains(F.col("vocab"), t))
+        ).alias("in_v"),
+    )
+    oov = F.col("n_tok") - F.col("in_v")
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.sum(oov).cast("long").alias("oov_tokens"),
+            F.sum((oov * 2 > F.col("n_tok")).cast("long"))
+            .cast("long")
+            .alias("high_oov_docs"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            "oov_tokens",
+            F.expr("(oov_tokens * 1000000) div total_tokens").alias("oov_ppm"),
+            "high_oov_docs",
+        )
+    )
+
+
+# ---------------------------------------------------------------- d36
+# Contrastive hard-negative mining — for each probe embedding, the
+# most-similar vectors with a DIFFERENT label, plus the margin to the
+# probe's best same-label match. This is the pair-mining step of
+# contrastive/metric training (triplet loss wants exactly these:
+# negatives the model currently confuses with positives).
+
+HARDNEG_TOPK = 3
+
+
+@query(
+    "d36_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             e.vec_id AS candidate_id, e.label AS cand_label,
+             {_DOT_SQL.format(a='q.embedding', b='e.embedding')}
+               / (sqrt({_DOT_SQL.format(a='q.embedding', b='q.embedding')})
+                  * sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})) AS cosine
+      FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+    ),
+    pos AS (
+      SELECT query_id, MAX(cosine) AS best_pos
+      FROM scored WHERE cand_label = query_label GROUP BY query_id
+    ),
+    negs AS (
+      SELECT s.query_id, s.candidate_id, s.cand_label, s.cosine,
+             ROW_NUMBER() OVER (PARTITION BY s.query_id
+                                ORDER BY s.cosine DESC, s.candidate_id) AS rank
+      FROM scored s WHERE s.cand_label <> s.query_label
+    )
+    SELECT n.query_id, n.candidate_id,
+           n.cand_label AS neg_label, n.cosine,
+           p.best_pos - n.cosine AS margin,
+           CAST(n.rank AS INTEGER) AS rank
+    FROM negs n LEFT JOIN pos p USING (query_id)
+    WHERE n.rank <= {HARDNEG_TOPK}
+    """,
+)
+def d36_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k cross-label neighbors per probe, with the positive margin.
+
+    Spark shape: the probe set broadcasts against the stored normed
+    MV (one fold per pair — d3's layout); from the ONE scored
+    relation, two bounded reductions: the best same-label cosine is a
+    probe-grain hash-agg (map-side combined — probe-count rows, which
+    then re-broadcasts onto the negatives), and the negative top-k is
+    a per-probe rank. The margin is a difference of two fold-derived
+    doubles — the identical IEEE expression tree on both engines, so
+    raw doubles hash-match. At scale the rank-side pruning is d3's
+    vectorized local-top-k kernel seam; the per-probe window here is
+    the declarative statement of the same plan."""
+    normed = _normed_embeddings(spark, sf_dir)
+    probes = F.broadcast(
+        normed.where(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("query_label"),
+            F.col("embedding").alias("qe"),
+            F.col("norm").alias("qnorm"),
+        )
+    )
+    cand = normed.select(
+        F.col("vec_id").alias("candidate_id"),
+        F.col("label").alias("cand_label"),
+        F.col("embedding").alias("ce"),
+        F.col("norm").alias("cnorm"),
+    )
+    scored = probes.join(
+        cand, F.col("candidate_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "query_label",
+        "candidate_id",
+        "cand_label",
+        (
+            _dot_spark(F.col("qe"), F.col("ce"))
+            / (F.col("qnorm") * F.col("cnorm"))
+        ).alias("cosine"),
+    )
+    best_pos = (
+        scored.where(F.col("cand_label") == F.col("query_label"))
+        .groupBy("query_id")
+        .agg(F.max("cosine").alias("best_pos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("candidate_id")
+    )
+    negs = (
+        scored.where(F.col("cand_label") != F.col("query_label"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= HARDNEG_TOPK)
+    )
+    return negs.join(F.broadcast(best_pos), "query_id", "left").select(
+        "query_id",
+        "candidate_id",
+        F.col("cand_label").alias("neg_label"),
+        "cosine",
+        (F.col("best_pos") - F.col("cosine")).alias("margin"),
+        F.col("rank").cast("int").alias("rank"),
+    )

@@ -33,6 +33,8 @@ BNLJ_OK = {
     "e12_narrative_tags",  # 1-row anchor-date scalar crossJoin
     "e13_feature_series",  # 1-row anchor-date scalar crossJoin
     "t_keyword_topk",   # 1-row docfreq/weight aggregate crossJoin
+    "d35_oov_rate",     # 1-row vocab-array crossJoin (same anchor pattern)
+    "d36_hard_negatives",  # broadcast probe set w/ <> residual (d3's layout)
     "d24_ann_ivfpq",    # probe x codebook distance-table fan-out
                         # (broadcast-sized by PQ's fixed-codebook contract)
     "d25_ann_recall",   # embeds d24's plan (same fan-out)
