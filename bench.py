@@ -99,6 +99,8 @@ HEADLINE = [
     "d34_bpe_merges",
     "d35_oov_rate",
     "d36_hard_negatives",
+    "d37_minhash_calibration",
+    "d38_quantile_sketch",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
@@ -241,6 +243,15 @@ BUDGET = {
                                    # scoring + TakeOrdered top-5)
     "d33_dataset_card": 0.8,       # 0.56 measured (one scan, two
                                    # broadcasts, one (split,lang) agg)
+    "d34_bpe_merges": 0.35,        # 0.23 measured (bounded char-pair domain)
+    "d35_oov_rate": 0.7,           # 0.50 measured (2 corpus scans, per-row
+                                   # probe vs broadcast 64-word vocab)
+    "d36_hard_negatives": 0.9,     # 0.61 measured (broadcast probes x
+                                   # stored-norm MV, d3's layout)
+    "d37_minhash_calibration": 1.3,  # 0.91 measured (d2's banded candidate
+                                   # join off the stored sig MVs + 11-row agg)
+    "d38_quantile_sketch": 0.55,   # 0.38 measured (value-domain agg + one
+                                   # dictionary-sized lang exchange)
     "d13_stratified_sample": 0.6,  # r8 re-pin (was generated 0.35 for the
                                    # single-window plan): the two-phase
                                    # de-skewed rank adds two tiny

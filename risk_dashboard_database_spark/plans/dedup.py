@@ -3719,3 +3719,276 @@ def d36_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("best_pos") - F.col("cosine")).alias("margin"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------- d37
+# MinHash index calibration — does the signature agree with the truth
+# it stands in for? Per LSH candidate pair, the Jaccard ESTIMATE the
+# 12-component signature implies (fraction of equal components, the
+# textbook unbiased MinHash estimator) vs the exact shingle Jaccard,
+# aggregated into a calibration table by exact-Jaccard decile. This
+# is d25's role for the d2 leg: the measurement that tunes N_MINHASH
+# / N_BANDS / JACCARD_THRESHOLD instead of guessing them. All rates
+# are integer ppm (div), so the table hash-matches across engines.
+
+
+@query(
+    "d37_minhash_calibration",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id, sh, {_MINHASH_SQL} AS mh FROM toks WHERE len(sh) > 0
+    ),
+    bands AS (
+      SELECT doc_id, b AS band,
+             md5(CAST(b AS VARCHAR) || ':' || mh[3*b+1] || mh[3*b+2] || mh[3*b+3]) AS band_key
+      FROM sigs, UNNEST(range(0, {N_BANDS})) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+      FROM bands b1 JOIN bands b2
+        ON b1.band_key = b2.band_key AND b1.band = b2.band
+       AND b1.doc_id < b2.doc_id
+    ),
+    pairs AS (
+      SELECT len(list_filter(range(1, {N_MINHASH} + 1),
+                             i -> a.mh[i] = b.mh[i])) AS eq,
+             len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+             len(a.sh) + len(b.sh)
+               - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS un
+      FROM cand c JOIN sigs a ON a.doc_id = c.doc_a
+                  JOIN sigs b ON b.doc_id = c.doc_b
+    ),
+    ppm AS (
+      SELECT (inter * 1000000) // un AS exact_ppm,
+             (eq * 1000000) // {N_MINHASH} AS est_ppm
+      FROM pairs
+    )
+    SELECT CAST(exact_ppm // 100000 AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(est_ppm) // COUNT(*) AS BIGINT) AS mean_est_ppm,
+           CAST(SUM(exact_ppm) // COUNT(*) AS BIGINT) AS mean_exact_ppm,
+           CAST(SUM(abs(est_ppm - exact_ppm)) // COUNT(*) AS BIGINT)
+             AS mean_abs_err_ppm
+    FROM ppm GROUP BY 1
+    """,
+)
+def d37_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-vs-truth calibration of the d2 MinHash index, by
+    exact-Jaccard decile.
+
+    Spark shape: reuses d2's stored shingle/signature MVs and its
+    banded candidate join — the pair relation is the LSH candidate
+    set, never all-pairs, so the calibration costs what one d2 run
+    costs plus an 11-row hash-agg. The component-agreement count is a
+    per-row ``zip_with`` fold over the two in-row signatures (no
+    explode); every rate is integer ppm via ``div``; the final agg is
+    decile-grain (≤11 rows) and map-side combined. At 100 TB this
+    inherits d2's scale posture wholesale — the added terms are
+    per-candidate-row expressions and a fixed-grain reduce."""
+    from .relcache import cached_relation
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = cached_relation(
+        "d2_toks",
+        sf_dir,
+        lambda: docs.select("doc_id", _shingles_spark(F.col("text")).alias("sh")),
+    )
+    sigs = cached_relation(
+        "d2_sigs",
+        sf_dir,
+        lambda: toks.where(F.size("sh") > 0).withColumn(
+            "mh", _minhash_spark(F.col("sh"))
+        ),
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat(
+                            b.cast("string"),
+                            F.lit(":"),
+                            F.element_at(F.col("mh"), b * 3 + 1),
+                            F.element_at(F.col("mh"), b * 3 + 2),
+                            F.element_at(F.col("mh"), b * 3 + 3),
+                        )
+                    ).alias("band_key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+    cand = (
+        bands.alias("b1")
+        .join(
+            bands.alias("b2"),
+            (F.col("b1.band_key") == F.col("b2.band_key"))
+            & (F.col("b1.band") == F.col("b2.band"))
+            & (F.col("b1.doc_id") < F.col("b2.doc_id")),
+        )
+        .select(F.col("b1.doc_id").alias("doc_a"), F.col("b2.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("mh").alias("mh_a"),
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("mh").alias("mh_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    eq = F.size(
+        F.filter(
+            F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda m: m
+        )
+    )
+    ppm = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            eq.cast("long").alias("eq"),
+            inter.cast("long").alias("inter"),
+            union.cast("long").alias("un"),
+        )
+        .select(
+            F.expr("(inter * 1000000) div un").alias("exact_ppm"),
+            F.expr(f"(eq * 1000000) div {N_MINHASH}").alias("est_ppm"),
+        )
+    )
+    return (
+        ppm.groupBy(F.expr("exact_ppm div 100000").alias("decile"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("est_ppm").alias("s_est"),
+            F.sum("exact_ppm").alias("s_exact"),
+            F.sum(F.abs(F.col("est_ppm") - F.col("exact_ppm"))).alias("s_err"),
+        )
+        .select(
+            "decile",
+            "n_pairs",
+            F.expr("s_est div n_pairs").alias("mean_est_ppm"),
+            F.expr("s_exact div n_pairs").alias("mean_exact_ppm"),
+            F.expr("s_err div n_pairs").alias("mean_abs_err_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- d38
+# Distributed order statistics without a global row sort — the
+# fixed-bin histogram quantile sketch, with its error self-reported
+# beside the exact order statistic, both computed the scale-safe way
+# (value-domain cumulative counts: count by value, walk the CDF).
+# percentile_approx-class operators are merge-order-dependent; this
+# is deterministic by construction (integer counts are associative),
+# so the same data gives the same answer on any engine and any
+# partitioning. The histogram estimate needs no second pass: because
+# the CDF is monotone, the first BIN whose end-count crosses k is
+# exactly the bin containing the first VALUE whose count crosses k,
+# so both the exact order statistic and its bin-upper-bound estimate
+# fall out of one min-over-threshold on the same relation.
+
+QSK_BIN_W = 50  # histogram bin width (chars)
+QSK_PS = (50, 90, 99)  # reported percentiles
+
+
+@query(
+    "d38_quantile_sketch",
+    oracle=f"""
+    WITH by_len AS (
+      SELECT lang, n_chars, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT lang, n_chars, c,
+             SUM(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+             SUM(c) OVER (PARTITION BY lang) AS n_docs
+      FROM by_len
+    )
+    SELECT lang, CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+           {", ".join(
+               f"CAST(MIN(CASE WHEN cum >= ({p} * n_docs + 99) // 100 "
+               f"THEN n_chars END) AS BIGINT) AS p{p}_exact, "
+               f"CAST(MIN(CASE WHEN cum >= ({p} * n_docs + 99) // 100 "
+               f"THEN (n_chars // {QSK_BIN_W} + 1) * {QSK_BIN_W} - 1 END) "
+               f"AS BIGINT) AS p{p}_est"
+               for p in QSK_PS)}
+    FROM cum GROUP BY lang
+    """,
+)
+def d38_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length percentiles (p50/p90/p99): exact order
+    statistic beside its fixed-bin histogram estimate, one pass.
+
+    Spark shape: ONE corpus-sized exchange — the (lang, n_chars)
+    value-domain hash-agg, keyed on the FULL value domain for
+    parallelism (never on lang alone, which would funnel a dominant
+    language into one task) and map-side combined (each task emits at
+    most |value domain| rows, not |input| rows). Then ONE
+    dictionary-sized exchange brings the distinct-length relation
+    (5 langs x length domain — bounded by the data's value range, not
+    the corpus) to lang partitioning for the CDF window, and the
+    final agg reuses that partitioning (subset-key clustering), so
+    the whole tail is two WindowExecs + one no-exchange hash-agg: no
+    global row sort, no percentile UDAF, no join. k is integer ceil
+    (``(p*n + 99) div 100``) on both engines; the estimate's error is
+    structural (< bin width above the exact value), asserted in
+    tests. The same CDF walk yields the estimate for free: the first
+    row with cum >= k is in the first bin whose end-count >= k, so
+    min-over-threshold of the bin upper bound IS the histogram
+    answer."""
+    docs = load_table(spark, sf_dir, "documents")
+    by_len = docs.groupBy("lang", "n_chars").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wl = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = by_len.select(
+        "lang",
+        "n_chars",
+        F.sum("c").over(wl).alias("cum"),
+        F.sum("c").over(Window.partitionBy("lang")).alias("n_docs"),
+    )
+    aggs = [F.max("n_docs").cast("long").alias("n_docs")]
+    for p in QSK_PS:
+        k = F.expr(f"({p} * n_docs + 99) div 100")
+        aggs.append(
+            F.min(F.when(F.col("cum") >= k, F.col("n_chars")))
+            .cast("long")
+            .alias(f"p{p}_exact")
+        )
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cum") >= k,
+                    F.expr(
+                        f"(n_chars div {QSK_BIN_W} + 1) * {QSK_BIN_W} - 1"
+                    ),
+                )
+            )
+            .cast("long")
+            .alias(f"p{p}_est")
+        )
+    out = cum.groupBy("lang").agg(*aggs)
+    return out.select(
+        "lang",
+        "n_docs",
+        *[
+            c
+            for p in QSK_PS
+            for c in (F.col(f"p{p}_exact"), F.col(f"p{p}_est"))
+        ],
+    )
