@@ -101,6 +101,7 @@ HEADLINE = [
     "d36_hard_negatives",
     "d37_minhash_calibration",
     "d38_quantile_sketch",
+    "d39_split_gram_overlap",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
@@ -252,6 +253,10 @@ BUDGET = {
                                    # join off the stored sig MVs + 11-row agg)
     "d38_quantile_sketch": 0.55,   # 0.38 measured (value-domain agg + one
                                    # dictionary-sized lang exchange)
+    "d39_split_gram_overlap": 1.95,  # 1.38 measured; d30's class: the
+                                   # gram-grain agg over ~250k grams is
+                                   # stage-latency-bound at sf0.1,
+                                   # gram-volume-linear (~8-9x) at 100x
     "d13_stratified_sample": 0.6,  # r8 re-pin (was generated 0.35 for the
                                    # single-window plan): the two-phase
                                    # de-skewed rank adds two tiny

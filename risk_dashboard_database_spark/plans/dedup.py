@@ -3992,3 +3992,157 @@ def d38_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in (F.col(f"p{p}_exact"), F.col(f"p{p}_est"))
         ],
     )
+
+
+# ---------------------------------------------------------------- d39
+# Cross-split verbatim contamination — the train->eval overlap table a
+# model card reports (the GPT-3 appendix's "dirty" eval accounting):
+# for each eval split, how many documents share at least one
+# SPAN_L-token gram with ANY train document, under the d29
+# leakage-safe routing. d31 audits the boundary at the NEAR-DUP pair
+# level; d39 audits it at the verbatim-gram level — the two leak
+# channels are different (boilerplate spans cross splits long before
+# whole documents look similar, exactly the d30 observation applied
+# to the split boundary).
+
+
+@query(
+    "d39_split_gram_overlap",
+    oracle=f"""
+    WITH RECURSIVE {_D9_CTES},
+    rep AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS rep_id
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN bucket < {SPLIT_TRAIN_LT} THEN 'train'
+                  WHEN bucket < {SPLIT_VAL_LT} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id, ({_hash_bucket_sql_for('rep_id')}) AS bucket
+        FROM rep
+      )
+    ),
+    gr AS (
+      SELECT d.doc_id, sp.split, g
+      FROM documents d JOIN sp USING (doc_id),
+           UNNEST(list_distinct(list_transform(
+             range(0, len(string_split(d.text, ' ')) - {SPAN_L} + 1),
+             s -> md5(array_to_string(
+                    list_slice(string_split(d.text, ' '), s + 1, s + {SPAN_L}),
+                    ' '))))) AS t(g)
+    ),
+    flag AS (
+      SELECT g FROM gr GROUP BY g
+      HAVING MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) = 1
+         AND MAX(CASE WHEN split <> 'train' THEN 1 ELSE 0 END) = 1
+    ),
+    hit AS (
+      SELECT gr.split, gr.doc_id, COUNT(*) AS shared_grams
+      FROM gr JOIN flag USING (g)
+      WHERE gr.split <> 'train'
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT split, COUNT(*) AS n_docs FROM sp
+      WHERE split <> 'train' GROUP BY 1
+    )
+    SELECT t.split, CAST(t.n_docs AS BIGINT) AS n_docs,
+           CAST(COUNT(h.doc_id) AS BIGINT) AS contaminated_docs,
+           CAST(COALESCE(SUM(h.shared_grams), 0) AS BIGINT)
+             AS shared_gram_hits,
+           CAST((COUNT(h.doc_id) * 1000000) // t.n_docs AS BIGINT)
+             AS contaminated_ppm
+    FROM tot t LEFT JOIN hit h USING (split)
+    GROUP BY t.split, t.n_docs
+    """,
+)
+def d39_split_gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-split verbatim gram contamination vs the train split.
+
+    Spark shape: split assignment is d29's per-row arithmetic (stored
+    cluster MV broadcast + md5 fold — no corpus-sized join); grams are
+    the d30 per-row expression, DISTINCT within each doc so counts are
+    deterministic. ONE gram-keyed exchange computes the cross-split
+    flag as a map-side-combinable max/max agg (d30's min!=max trick,
+    per side of the boundary); the qualifying gram set — a SUBSET of
+    d30's shared-gram set, the same broadcast-back pattern that plan
+    documents — broadcasts onto the eval gram stream, so eval
+    occurrences never shuffle on gram. Then a per-(split, doc) agg
+    and a 2-row split rollup with integer-ppm rates. The split totals
+    are a corpus scan with a 2-row agg, broadcast-joined at the end."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = d9_dedup_clusters(spark, sf_dir)
+    members = F.broadcast(
+        clusters.select("doc_id", F.col("cluster_id").alias("rep_of"))
+    )
+    rep = F.coalesce(F.col("rep_of"), F.col("doc_id"))
+    bucket = _hash_bucket_spark(rep)
+    split = (
+        F.when(bucket < SPLIT_TRAIN_LT, F.lit("train"))
+        .when(bucket < SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    with_split = docs.join(members, "doc_id", "left").select(
+        "doc_id", split.alias("split"), F.split("text", " ").alias("tk")
+    )
+    n = F.size("tk")
+    gram_starts = F.when(
+        n >= SPAN_L, F.sequence(F.lit(0), n - SPAN_L)
+    ).otherwise(F.array().cast("array<int>"))
+    gr = with_split.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    gram_starts,
+                    lambda s: F.md5(
+                        F.array_join(F.slice("tk", s + 1, SPAN_L), " ")
+                    ),
+                )
+            )
+        ).alias("g"),
+    )
+    is_train = (F.col("split") == "train").cast("int")
+    flag = (
+        gr.groupBy("g")
+        .agg(
+            F.max(is_train).alias("ht"),
+            F.max(1 - is_train).alias("he"),
+        )
+        .where((F.col("ht") == 1) & (F.col("he") == 1))
+        .select("g")
+    )
+    hits = (
+        gr.where(F.col("split") != "train")
+        .join(F.broadcast(flag), "g")
+        .groupBy("split", "doc_id")
+        .agg(F.count("*").alias("shared_grams"))
+    )
+    tot = (
+        with_split.where(F.col("split") != "train")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    per_split = hits.groupBy("split").agg(
+        F.count("*").cast("long").alias("contaminated_docs"),
+        F.sum("shared_grams").cast("long").alias("shared_gram_hits"),
+    )
+    return (
+        tot.join(F.broadcast(per_split), "split", "left")
+        .select(
+            "split",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.coalesce("contaminated_docs", F.lit(0)).cast("long").alias(
+                "contaminated_docs"
+            ),
+            F.coalesce("shared_gram_hits", F.lit(0)).cast("long").alias(
+                "shared_gram_hits"
+            ),
+            F.expr(
+                "(coalesce(contaminated_docs, 0) * 1000000) div n_docs"
+            ).alias("contaminated_ppm"),
+        )
+    )

@@ -78,6 +78,12 @@ EXCH_BUDGET = {
                                     # self-report exact-count branch's
                                     # second vocab pass (by design: the
                                     # operator measures its own error)
+    "d39_split_gram_overlap": 4,    # gram-flag agg (map-side min/max),
+                                    # per-(split,doc) hit agg, 2-row
+                                    # split rollup, 2-row totals agg —
+                                    # only the first is corpus-keyed;
+                                    # eval grams never shuffle (flag
+                                    # set broadcasts back, d30 pattern)
 }
 
 
