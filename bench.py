@@ -102,6 +102,8 @@ HEADLINE = [
     "d37_minhash_calibration",
     "d38_quantile_sketch",
     "d39_split_gram_overlap",
+    "d40_vocab_growth",
+    "d41_cross_source_dups",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
@@ -257,6 +259,10 @@ BUDGET = {
                                    # gram-grain agg over ~250k grams is
                                    # stage-latency-bound at sf0.1,
                                    # gram-volume-linear (~8-9x) at 100x
+    "d40_vocab_growth": 1.15,      # 0.81 measured (word-grain min-wave
+                                   # agg + 10-row tail)
+    "d41_cross_source_dups": 0.9,  # 0.64 measured (broadcast cluster MV
+                                   # + members-sized pair matrix)
     "d13_stratified_sample": 0.6,  # r8 re-pin (was generated 0.35 for the
                                    # single-window plan): the two-phase
                                    # de-skewed rank adds two tiny

@@ -4146,3 +4146,155 @@ def d39_split_gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contaminated_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------- d40
+# Vocabulary growth curve (Heaps' law, measured) — how fast does the
+# distinct-word vocabulary grow as the corpus streams in? The curve
+# that sizes tokenizer vocabularies (d34/d35's V) and predicts
+# dictionary-table growth for every word-keyed operator. Checkpoint
+# order is the d11 md5 bucket of doc_id (a deterministic RANDOM
+# order — the statistically right estimator for Heaps' law, and
+# reproducible on any engine), coarsened to 10 arrival waves.
+
+VG_WAVES = 10
+
+
+@query(
+    "d40_vocab_growth",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             (({_HASH_BUCKET_SQL})) // 10 AS w,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    waves AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM d GROUP BY w
+    ),
+    firsts AS (
+      SELECT t AS word, MIN(w) AS fw
+      FROM d, UNNEST(string_split(text, ' ')) AS u(t)
+      GROUP BY t
+    ),
+    hist AS (
+      SELECT fw AS w, CAST(COUNT(*) AS BIGINT) AS new_words
+      FROM firsts GROUP BY fw
+    )
+    SELECT waves.w AS checkpoint,
+           CAST(SUM(waves.n_docs) OVER (ORDER BY waves.w) AS BIGINT)
+             AS docs_cum,
+           CAST(SUM(waves.n_tokens) OVER (ORDER BY waves.w) AS BIGINT)
+             AS tokens_cum,
+           CAST(COALESCE(hist.new_words, 0) AS BIGINT) AS new_words,
+           CAST(SUM(COALESCE(hist.new_words, 0)) OVER (ORDER BY waves.w)
+                AS BIGINT) AS vocab_cum
+    FROM waves LEFT JOIN hist ON hist.w = waves.w
+    """,
+)
+def d40_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative vocabulary size at 10 deterministic arrival waves.
+
+    Spark shape: the per-doc wave is a per-row md5 fold (d11's bucket
+    arithmetic, div 10); the corpus-sized work is ONE word-grain
+    hash-agg (min wave per word — map-side combined, the same
+    token->vocab exchange d34/d35 pay) plus the 10-row per-wave
+    doc/token stats agg; everything after is a 10-row relation — the
+    cumulative window runs on 10 rows (the documented
+    fixed-tiny-relation exception to the no-global-window rule, same
+    as d18's quota table). New-word attribution by min(wave) is
+    order-free and engine-free: no stateful scan of the corpus in
+    arrival order is ever needed, which is what makes a Heaps curve
+    computable at 100 TB in one pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    wave = (_hash_bucket_spark(F.col("doc_id")) / 10).cast("long")
+    d = docs.select(
+        "doc_id",
+        wave.alias("w"),
+        F.split("text", " ").alias("tk"),
+    )
+    waves = d.groupBy("w").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size("tk")).cast("long").alias("n_tokens"),
+    )
+    firsts = (
+        d.select("w", F.explode("tk").alias("word"))
+        .groupBy("word")
+        .agg(F.min("w").alias("fw"))
+    )
+    hist = firsts.groupBy(F.col("fw").alias("w")).agg(
+        F.count("*").cast("long").alias("new_words")
+    )
+    joined = waves.join(F.broadcast(hist), "w", "left").select(
+        "w",
+        "n_docs",
+        "n_tokens",
+        F.coalesce("new_words", F.lit(0)).cast("long").alias("new_words"),
+    )
+    # 10-row relation: the unpartitioned window is the documented
+    # fixed-tiny-relation exception (see d18's quota table)
+    cw = Window.orderBy("w").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        F.col("w").alias("checkpoint"),
+        F.sum("n_docs").over(cw).cast("long").alias("docs_cum"),
+        F.sum("n_tokens").over(cw).cast("long").alias("tokens_cum"),
+        "new_words",
+        F.sum("new_words").over(cw).cast("long").alias("vocab_cum"),
+    )
+
+
+# ---------------------------------------------------------------- d41
+# Cross-source duplication matrix — which SOURCE PAIRS share near-dup
+# content? The provenance-level reading of the d9 cluster table:
+# syndicated/boilerplate text shows up as clusters spanning two
+# sources, and the pair counts tell a curation pipeline which feeds
+# to dedup against each other (and which are independent). Output is
+# bounded by |sources|^2 regardless of corpus size.
+
+
+@query(
+    "d41_cross_source_dups",
+    oracle=f"""
+    WITH RECURSIVE {_D9_CTES},
+    mem AS (
+      SELECT c.cluster_id, d.source
+      FROM comp c JOIN documents d USING (doc_id)
+      GROUP BY 1, 2
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_clusters
+    FROM mem a JOIN mem b
+      ON a.cluster_id = b.cluster_id AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def d41_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters shared per unordered source pair.
+
+    Spark shape: the stored d9 cluster MV (near-dup members only —
+    tiny relative to the corpus) broadcasts onto the documents scan to
+    pick up each member's source; from there everything is
+    cluster-membership-sized: a (cluster, source) distinct agg, a
+    cluster-keyed self-join of that deduped relation (bounded by
+    members, never corpus), and a |sources|^2-bounded pair count. At
+    100 TB the corpus-sized term is the one provenance-lookup scan,
+    and the matrix answers which feeds need cross-dedup without ever
+    comparing documents pairwise."""
+    clusters = d9_dedup_clusters(spark, sf_dir)
+    members = F.broadcast(clusters.select("doc_id", "cluster_id"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    mem = (
+        docs.join(members, "doc_id")
+        .select("cluster_id", "source")
+        .distinct()
+    )
+    a = mem.select("cluster_id", F.col("source").alias("src_a"))
+    b = mem.select("cluster_id", F.col("source").alias("src_b"))
+    return (
+        a.join(b, "cluster_id")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("shared_clusters"))
+    )

@@ -78,6 +78,12 @@ EXCH_BUDGET = {
                                     # self-report exact-count branch's
                                     # second vocab pass (by design: the
                                     # operator measures its own error)
+    "d40_vocab_growth": 4,          # word-grain min-wave agg + vocab-sized
+                                    # first-wave histogram + 10-row wave
+                                    # stats agg + the 10-row cum window's
+                                    # singleton exchange — only the first
+                                    # two touch corpus/vocab-scale data,
+                                    # both map-side combined
     "d39_split_gram_overlap": 4,    # gram-flag agg (map-side min/max),
                                     # per-(split,doc) hit agg, 2-row
                                     # split rollup, 2-row totals agg —

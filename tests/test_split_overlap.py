@@ -55,3 +55,32 @@ def test_split_gram_overlap_matches_brute_force(spark):
     for s, w in want.items():
         for k, v in w.items():
             assert got[s][k] == v, (s, k, got[s][k], v)
+
+
+def test_cross_source_dups_matches_brute_force(spark):
+    from itertools import combinations
+
+    from risk_dashboard_database_spark.plans.dedup import (
+        d9_dedup_clusters,
+        d41_cross_source_dups,
+    )
+    from risk_dashboard_database_spark.tables import load_table
+
+    src_of = {
+        r["doc_id"]: r["source"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    by_cluster: dict[int, set] = {}
+    for r in d9_dedup_clusters(spark, SF_DIR).collect():
+        by_cluster.setdefault(r["cluster_id"], set()).add(src_of[r["doc_id"]])
+    want: dict[tuple, int] = {}
+    for srcs in by_cluster.values():
+        for a, b in combinations(sorted(srcs), 2):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    got = {
+        (r["src_a"], r["src_b"]): r["shared_clusters"]
+        for r in d41_cross_source_dups(spark, SF_DIR).collect()
+    }
+    assert got == want

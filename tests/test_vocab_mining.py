@@ -86,3 +86,41 @@ def test_hard_negatives_agree_with_brute_force(spark):
         if same and rows[0]["margin"] is not None:
             best_pos = rows[0]["margin"] + rows[0]["cosine"]
             assert best_pos >= max(same) - 1e-12
+
+
+def test_vocab_growth_totals_and_monotonicity(spark):
+    from pyspark.sql import functions as F
+
+    from risk_dashboard_database_spark.plans.dedup import (
+        VG_WAVES,
+        d40_vocab_growth,
+    )
+    from risk_dashboard_database_spark.tables import load_table
+
+    rows = sorted(
+        d40_vocab_growth(spark, SF_DIR).collect(), key=lambda r: r["checkpoint"]
+    )
+    assert 1 <= len(rows) <= VG_WAVES
+    docs = load_table(spark, SF_DIR, "documents")
+    totals = docs.select(
+        F.count("*").alias("nd"),
+        F.sum(F.size(F.split("text", " "))).alias("nt"),
+    ).collect()[0]
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .select("w")
+        .distinct()
+        .count()
+    )
+    last = rows[-1]
+    assert last["docs_cum"] == totals["nd"]
+    assert last["tokens_cum"] == totals["nt"]
+    assert last["vocab_cum"] == vocab
+    prev = None
+    for r in rows:
+        assert r["new_words"] >= 0
+        assert r["vocab_cum"] == (prev["vocab_cum"] if prev else 0) + r["new_words"]
+        if prev:
+            assert r["docs_cum"] > prev["docs_cum"] or r["new_words"] == 0
+            assert r["tokens_cum"] >= prev["tokens_cum"]
+        prev = r
