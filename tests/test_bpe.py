@@ -89,3 +89,76 @@ def test_encode_word_applies_merges_in_priority_order():
     assert encode_word("abcde", merges) == ["abc", "de"]
     assert encode_word("xyz", merges) == ["x", "y", "z"]
     assert encode_word("", merges) == []
+
+
+# ---------------------------------------------------------------- props
+# Hypothesis properties over random mini-corpora: the trainer must be
+# pure plain-Python-equivalent and the encoder must be lossless.
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_word = st.text(alphabet="abcd", min_size=1, max_size=6)
+_corpus = st.lists(_word, min_size=1, max_size=30)
+
+
+def _learn_plain(words: list[str], n_merges: int) -> list[tuple[str, str]]:
+    vocab: dict[tuple[str, ...], int] = {}
+    for w in words:
+        vocab[tuple(w)] = vocab.get(tuple(w), 0) + 1
+    merges = []
+    for _ in range(n_merges):
+        pc: Counter = Counter()
+        for symbols, n in vocab.items():
+            for a, b in zip(symbols, symbols[1:]):
+                pc[(a, b)] += n
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        out: dict[tuple[str, ...], int] = {}
+        for symbols, n in vocab.items():
+            new, i = [], 0
+            while i < len(symbols):
+                if i + 1 < len(symbols) and symbols[i] == a and symbols[i + 1] == b:
+                    new.append(a + b)
+                    i += 2
+                else:
+                    new.append(symbols[i])
+                    i += 1
+            out[tuple(new)] = out.get(tuple(new), 0) + n
+        vocab = out
+    return merges
+
+
+@settings(max_examples=40, deadline=None)
+@given(_corpus, st.integers(min_value=0, max_value=8))
+def test_learn_bpe_property_matches_plain_python(words, n_merges):
+    """learn_bpe over a word-count table == the same loop over raw
+    words, for arbitrary corpora (module-level purity: the Spark
+    word_counts step only changes WHERE counting happens)."""
+    import pandas as pd
+
+    class _FakeCounts:
+        def __init__(self, words):
+            c = Counter(words)
+            self._rows = [{"word": w, "n": n} for w, n in c.items()]
+
+        def select(self, *cols):
+            return self
+
+        def collect(self):
+            return self._rows
+
+    got = learn_bpe(_FakeCounts(words), n_merges)
+    assert got == _learn_plain(words, n_merges)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_word, st.lists(st.tuples(_word, _word), max_size=6))
+def test_encode_word_is_lossless(word, merges):
+    """Applying any merge list never changes the concatenation."""
+    segs = encode_word(word, merges)
+    assert "".join(segs) == word
+    assert all(segs)
