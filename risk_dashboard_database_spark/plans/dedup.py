@@ -4298,3 +4298,112 @@ def d41_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src_a", "src_b")
         .agg(F.count("*").cast("long").alias("shared_clusters"))
     )
+
+
+# ---------------------------------------------------------------- d42
+# Embedding-LSH recall report — the measurement for the d7 leg,
+# completing the audit symmetry: every approximate index in the repo
+# ships with the query that measures it (d2 -> d37, d24 -> d25,
+# d7 -> d42). Exact ground truth is the all-pairs cosine >= tau
+# relation (quadratic BY DESIGN — d4's class: the oracle-grade
+# baseline you run on a sample, not the corpus); found = d7's
+# bucket-join pairs. d7 computes exact cosine on its candidates, so
+# found is a SUBSET of exact and recall is the only loss — reported
+# per 0.05-cosine band, because sign-LSH recall degrades toward the
+# threshold (near-orthogonal near-misses flip sign bits).
+
+D42_TAU = 0.40  # d7's threshold
+
+
+@query(
+    "d42_embed_recall",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             {_BUCKET_SQL.format(e='embedding')} AS bucket,
+             sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings
+    ),
+    exact AS (
+      SELECT CAST(floor(({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                         / (a.nrm * b.nrm)) * 20) AS BIGINT) AS band,
+             (a.bucket = b.bucket) AS same_bucket
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+              / (a.nrm * b.nrm) >= {D42_TAU}
+    )
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS exact_pairs,
+           CAST(COUNT(*) FILTER (WHERE same_bucket) AS BIGINT) AS found_pairs,
+           CAST(COUNT(*) FILTER (WHERE NOT same_bucket) AS BIGINT)
+             AS missed_pairs,
+           CAST((COUNT(*) FILTER (WHERE same_bucket) * 1000000) // COUNT(*)
+                AS BIGINT) AS recall_ppm
+    FROM exact GROUP BY band
+    """,
+)
+def d42_embed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of d7's sign-LSH bucket join vs exact all-pairs cosine,
+    per 0.05-cosine band.
+
+    Spark shape: the exact side is the deliberate quadratic audit
+    (vec_a < vec_b nested-loop over the stored-norm MV — d4's
+    documented class, run on samples at corpus scale); membership in
+    d7's candidate set is decided INLINE (bucket equality on the two
+    in-row sign buckets) so no join against the d7 output is needed
+    at all — one pair stream, one band-grain map-side-combined agg.
+    The cosine, bucket, and band expressions are the identical IEEE
+    trees on both engines, so the integer band/count/ppm columns
+    hash-match exactly."""
+    emb = _normed_embeddings(spark, sf_dir)
+    bucket = F.array_join(
+        F.transform(
+            F.slice(F.col("embedding"), 1, 8),
+            lambda x: F.when(x >= 0, "1").otherwise("0"),
+        ),
+        "",
+    )
+    b = emb.select("vec_id", "embedding", "norm", bucket.alias("bucket"))
+    a_side = b.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("norm").alias("na"),
+        F.col("bucket").alias("bka"),
+    )
+    b_side = b.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("norm").alias("nb"),
+        F.col("bucket").alias("bkb"),
+    )
+    cosine = _dot_spark(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    pairs = (
+        a_side.join(b_side, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            F.floor(cosine * 20).cast("long").alias("band"),
+            (F.col("bka") == F.col("bkb")).alias("same_bucket"),
+            cosine.alias("cosine"),
+        )
+        .where(F.col("cosine") >= D42_TAU)
+    )
+    return (
+        pairs.groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("exact_pairs"),
+            F.sum(F.col("same_bucket").cast("long"))
+            .cast("long")
+            .alias("found_pairs"),
+            F.sum((~F.col("same_bucket")).cast("long"))
+            .cast("long")
+            .alias("missed_pairs"),
+        )
+        .select(
+            "band",
+            "exact_pairs",
+            "found_pairs",
+            "missed_pairs",
+            F.expr("(found_pairs * 1000000) div exact_pairs").alias(
+                "recall_ppm"
+            ),
+        )
+    )

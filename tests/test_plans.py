@@ -35,6 +35,8 @@ BNLJ_OK = {
     "t_keyword_topk",   # 1-row docfreq/weight aggregate crossJoin
     "d35_oov_rate",     # 1-row vocab-array crossJoin (same anchor pattern)
     "d36_hard_negatives",  # broadcast probe set w/ <> residual (d3's layout)
+    "d42_embed_recall",  # deliberate quadratic exact-audit pair join
+                         # (d4's class: sample-scale ground truth)
     "d24_ann_ivfpq",    # probe x codebook distance-table fan-out
                         # (broadcast-sized by PQ's fixed-codebook contract)
     "d25_ann_recall",   # embeds d24's plan (same fan-out)

@@ -99,3 +99,27 @@ def test_quantile_sketch_exact_matches_sorted_list(spark):
         for p in QSK_PS:
             k = (p * n + 99) // 100
             assert rows[lang][f"p{p}_exact"] == lens[k - 1]
+
+
+def test_embed_recall_ties_to_d7(spark):
+    from risk_dashboard_database_spark.plans.dedup import (
+        D42_TAU,
+        d7_embedding_dedup,
+        d42_embed_recall,
+    )
+
+    rows = d42_embed_recall(spark, SF_DIR).collect()
+    assert rows, "threshold band table must be non-empty at sf0.001"
+    for r in rows:
+        # bands start at the threshold band
+        assert r["band"] >= int(D42_TAU * 20)
+        assert r["exact_pairs"] == r["found_pairs"] + r["missed_pairs"]
+        assert 0 <= r["recall_ppm"] <= 1_000_000
+        assert (
+            r["recall_ppm"] == r["found_pairs"] * 1_000_000 // r["exact_pairs"]
+        )
+    # found is exactly d7's pair set (d7 computes exact cosine on its
+    # bucket candidates, so per-band found sums to the d7 row count)
+    assert sum(r["found_pairs"] for r in rows) == d7_embedding_dedup(
+        spark, SF_DIR
+    ).count()
