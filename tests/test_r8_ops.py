@@ -355,3 +355,39 @@ def test_keyword_topk_scores_and_ranks(spark):
     toks = docs[top["doc_id"]].split(" ")
     want = sum(toks.count(t) * (n_docs // df[t]) for t in KEYWORD_TERMS)
     assert top["score"] == want
+
+
+def test_d43_bucket_invariants(spark):
+    from risk_dashboard_database_spark.plans.dedup import (
+        d43_lm_quality_buckets,
+    )
+
+    rows = d43_lm_quality_buckets(spark, SF_DIR).collect()
+    by_lang: dict[str, dict[str, dict]] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_scored = docs.where(F.size(F.split("text", " ")) >= 2).count()
+    scored_total = 0
+    for lang, buckets in by_lang.items():
+        # head/middle/tail are non-overlapping, strictly ordered score
+        # ranges (ties land in one bucket, so boundaries never touch)
+        for lo_b, hi_b in (("tail", "middle"), ("middle", "head")):
+            if lo_b in buckets and hi_b in buckets:
+                assert buckets[lo_b]["hi_score"] < buckets[hi_b]["lo_score"]
+        for name, r in buckets.items():
+            if name == "short":
+                assert r["lo_score"] is None and r["total_bigrams"] == 0
+                continue
+            scored_total += r["n_docs"]
+            assert 0 <= r["lo_score"] <= r["hi_score"] <= 1_000_000
+            # integer mean of >=1 ppm probabilities is >= 0
+            assert r["n_docs"] >= 1 and r["total_bigrams"] >= r["n_docs"]
+    assert scored_total == n_scored
+    # the tertile split is balanced up to ties: no scored bucket may
+    # hold more than 2/3 of its language unless ties force it
+    for lang, buckets in by_lang.items():
+        n = sum(r["n_docs"] for b, r in buckets.items() if b != "short")
+        if n >= 9 and len([b for b in buckets if b != "short"]) == 3:
+            assert buckets["tail"]["n_docs"] >= 1
+            assert buckets["head"]["n_docs"] >= 1
