@@ -4617,3 +4617,112 @@ def d43_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return main.unionByName(short)
+
+
+# ---------------------------------------------------------------- d44
+# SemDeDup (Abbas et al. 2023): semantic deduplication by pruning
+# within clusters of an embedding-space partition — exact duplicates
+# are caught by d1, near-verbatim by d2/d7; SemDeDup's contribution is
+# dropping SEMANTIC redundancy (paraphrases, boilerplate variants)
+# that shares no surface form. The partition here is the stored IVF
+# cell assignment (the same k-means-style codebook d8/d14/d24 search
+# against); within each cell, a vector is pruned when some LOWER-id
+# vector in the cell sits at cosine >= SEM_TAU (first-seen-wins, the
+# d1 convention — deterministic, no iterative re-centering). Pairwise
+# work is CELL-LOCAL by construction: the same bounded-candidate
+# contract as d8's search join, never corpus-quadratic.
+
+SEM_TAU = 0.40  # same semantic-duplicate threshold as d7
+
+
+@query(
+    "d44_semantic_prune",
+    oracle=f"""
+    WITH centroids AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    assigned AS (
+      SELECT e.vec_id, e.embedding,
+             (SELECT c.cid FROM centroids c
+              ORDER BY {_DOT_SQL.format(a='e.embedding', b='c.ce')}
+                       / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+                          * sqrt({_DOT_SQL.format(a='c.ce', b='c.ce')})) DESC, c.cid
+              LIMIT 1) AS cell
+      FROM embeddings e
+    ),
+    pruned AS (
+      SELECT DISTINCT a.cell, a.vec_id
+      FROM assigned a JOIN assigned b
+        ON b.cell = a.cell AND b.vec_id < a.vec_id
+      WHERE {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+              / (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
+                 * sqrt({_DOT_SQL.format(a='b.embedding', b='b.embedding')}))
+            >= {SEM_TAU}
+    ),
+    per_cell AS (
+      SELECT cell, COUNT(*) AS n_pruned FROM pruned GROUP BY cell
+    )
+    SELECT a.cell,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COALESCE(MAX(p.n_pruned), 0) AS BIGINT) AS n_pruned,
+           CAST(COUNT(*) - COALESCE(MAX(p.n_pruned), 0) AS BIGINT) AS n_kept,
+           CAST(((COUNT(*) - COALESCE(MAX(p.n_pruned), 0)) * 1000000)
+                // COUNT(*) AS BIGINT) AS kept_ppm
+    FROM assigned a LEFT JOIN per_cell p ON p.cell = a.cell
+    GROUP BY a.cell
+    """,
+)
+def d44_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup per-cell pruning report: how much of each IVF cell is
+    semantically redundant at cosine >= SEM_TAU.
+
+    Spark shape: the stored assignment MV (shared with d8/d14/d24)
+    supplies (vec_id, embedding, cell, norm); the self-join keys on
+    cell, so candidate pairs are cell-local — the cell-size bound,
+    not the corpus, caps the quadratic term (at 100 TB the codebook
+    grows with the corpus precisely to keep cells bounded). The
+    dominated-flag dedup and both per-cell aggs reuse the join's cell
+    partitioning (subset-key clustering, no further corpus exchange);
+    the cell-grain prune-count table is broadcast back onto the
+    cell-grain census. Cosines fold the STORED norms (d3's one-dot
+    trick) with the identical IEEE tree the oracle writes inline, so
+    the integer report hash-matches without rounding."""
+    assigned = _ivf_assigned(spark, sf_dir)
+    a = assigned.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("norm").alias("na"),
+        "cell",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("norm").alias("nb"),
+        "cell",
+    )
+    cos = _dot_spark(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    pruned = (
+        a.join(b, "cell")
+        .where((F.col("vb") < F.col("va")) & (cos >= SEM_TAU))
+        .select("cell", "va")
+        .distinct()
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_pruned"))
+    )
+    census = assigned.groupBy("cell").agg(F.count("*").alias("n_vecs"))
+    return (
+        census.join(F.broadcast(pruned), "cell", "left")
+        .select(
+            "cell",
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.coalesce(F.col("n_pruned"), F.lit(0)).cast("long").alias("n_pruned"),
+            (F.col("n_vecs") - F.coalesce(F.col("n_pruned"), F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+            F.expr(
+                "((n_vecs - coalesce(n_pruned, 0)) * 1000000) div n_vecs"
+            )
+            .cast("long")
+            .alias("kept_ppm"),
+        )
+    )

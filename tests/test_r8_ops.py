@@ -391,3 +391,19 @@ def test_d43_bucket_invariants(spark):
         if n >= 9 and len([b for b in buckets if b != "short"]) == 3:
             assert buckets["tail"]["n_docs"] >= 1
             assert buckets["head"]["n_docs"] >= 1
+
+
+def test_d44_semantic_prune_invariants(spark):
+    from risk_dashboard_database_spark.plans.dedup import d44_semantic_prune
+
+    rows = d44_semantic_prune(spark, SF_DIR).collect()
+    assert rows
+    total = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert sum(r["n_vecs"] for r in rows) == total
+    for r in rows:
+        assert r["n_kept"] + r["n_pruned"] == r["n_vecs"]
+        # the lowest-id vector of a cell has no lower-id dominator,
+        # so every cell keeps at least one representative
+        assert r["n_kept"] >= 1
+        assert 0 <= r["kept_ppm"] <= 1_000_000
+        assert r["kept_ppm"] == r["n_kept"] * 1_000_000 // r["n_vecs"]
