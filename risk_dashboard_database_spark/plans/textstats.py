@@ -731,3 +731,87 @@ def t_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select(
         "doc_id", "lang", "score", "n_terms", rank.cast("long").alias("rank")
     )
+
+
+# ------------------------------------------------------- t_readability
+# Flesch reading-ease as a corpus-curation signal (readability gating
+# is a standard pre-training quality heuristic beside t_quality_score's
+# length/punct/stopword ratios). The classical formula
+# 206.835 - 1.015*(words/sentences) - 84.6*(syllables/word) is made
+# integer-exact: every term is scaled to milli-points and evaluated
+# with integer division in the SAME order on both engines, and the
+# syllable count is the deterministic vowel-group proxy (runs of
+# [aeiouyAEIOUY]) every fast readability scorer uses — no dictionary,
+# no float, per-row codegen only.
+
+READ_EASY_MILLI = 60_000     # >= 60.000 points: plain English
+READ_STANDARD_MILLI = 30_000  # >= 30.000: standard; below: hard
+
+
+@query(
+    "t_readability",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS words,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS sentences,
+             len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS syllables
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(words AS BIGINT) AS words,
+           CAST(sentences AS BIGINT) AS sentences,
+           CAST(syllables AS BIGINT) AS syllables,
+           CAST(206835 - (1015 * words) // sentences
+                       - (84600 * syllables) // words AS BIGINT)
+             AS score_milli,
+           CASE WHEN 206835 - (1015 * words) // sentences
+                       - (84600 * syllables) // words >= {READ_EASY_MILLI}
+                THEN 'easy'
+                WHEN 206835 - (1015 * words) // sentences
+                       - (84600 * syllables) // words >= {READ_STANDARD_MILLI}
+                THEN 'standard'
+                ELSE 'hard' END AS band
+    FROM m
+    """,
+)
+def t_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Flesch reading-ease (milli-points, integer-exact)
+    with easy/standard/hard banding.
+
+    Spark shape: pure per-row codegen'd expressions (split /
+    regexp_extract_all / integer arithmetic) — no shuffle, no UDF;
+    filters and projection push to the parquet scan. Sentences floor
+    at 1 (unpunctuated docs), words >= 1 by split semantics (empty
+    text -> ['']), so no division guard is needed beyond greatest().
+    At 100 TB this is scan-rate work, the same class as
+    t_quality_score."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.size(F.split(F.col("text"), " "))
+    sentences = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    )
+    syllables = F.size(F.expr("regexp_extract_all(text, '[aeiouyAEIOUY]+', 0)"))
+    m = docs.select(
+        "doc_id",
+        "lang",
+        words.cast("long").alias("words"),
+        sentences.cast("long").alias("sentences"),
+        syllables.cast("long").alias("syllables"),
+    )
+    score = F.expr(
+        "206835 - (1015 * words) div sentences - (84600 * syllables) div words"
+    )
+    return m.select(
+        "doc_id",
+        "lang",
+        "words",
+        "sentences",
+        "syllables",
+        score.cast("long").alias("score_milli"),
+        F.when(score >= READ_EASY_MILLI, "easy")
+        .when(score >= READ_STANDARD_MILLI, "standard")
+        .otherwise("hard")
+        .alias("band"),
+    )

@@ -61,7 +61,9 @@ def _oracle(sql: str, docs_dir: str):
     return con.sql(sql).df()
 
 
-@pytest.mark.parametrize("name", ["t_repetition", "t_ngram_docfreq"])
+@pytest.mark.parametrize(
+    "name", ["t_repetition", "t_ngram_docfreq", "t_readability"]
+)
 def test_edge_corpus_matches_oracle(spark, docs_dir, name):
     got = plans.QUERIES[name](spark, docs_dir).toPandas()
     want = _oracle(plans.ORACLES[name], docs_dir)
@@ -108,3 +110,50 @@ def test_edge_values_pinned(spark, docs_dir):
     assert df[6]["common_share"] == 0.5
     # doc 4: 'spam spam spam' x4 dedupes to ONE distinct gram, df=1
     assert df[4]["n_grams"] == 1 and df[4]["n_common"] == 0
+
+
+def test_readability_edge_values_pinned(spark, docs_dir):
+    """Hand-computed Flesch milli-scores on the edge corpus."""
+    rd = {
+        r["doc_id"]: r
+        for r in plans.QUERIES["t_readability"](spark, docs_dir)
+        .toPandas()
+        .to_dict("records")
+    }
+    # empty text: split -> [''] = 1 word, 0 sentences -> floor 1,
+    # 0 vowel groups: 206835 - 1015//1 - 0 = 205820
+    assert rd[1]["words"] == 1 and rd[1]["sentences"] == 1
+    assert rd[1]["syllables"] == 0 and rd[1]["score_milli"] == 205820
+    assert rd[1]["band"] == "easy"
+    # 'word': 1 word, 1 vowel group -> 206835 - 1015 - 84600 = 121220
+    assert rd[2]["syllables"] == 1 and rd[2]["score_milli"] == 121220
+    # doc 5: 9 words, no [.!?] -> 1 sentence; vowel groups:
+    # the(1) quick(2: u,i) brown(1: o... 'brown' -> o w n: [o] one) ...
+    assert rd[5]["words"] == 9 and rd[5]["sentences"] == 1
+    # band thresholds are exclusive integer comparisons
+    for r in rd.values():
+        assert (
+            (r["band"] == "easy") == (r["score_milli"] >= 60000)
+            or (r["band"] == "standard")
+            == (30000 <= r["score_milli"] < 60000)
+            or (r["band"] == "hard") == (r["score_milli"] < 30000)
+        )
+
+
+def test_d43_edge_short_bucket(spark, docs_dir):
+    """Docs 1-2 (< 2 tokens) land in the scan-only 'short' branch; the
+    oracle and Spark agree on the whole bucket table for the edge
+    corpus (exercises the branch the driver testdata never hits)."""
+    got = plans.QUERIES["d43_lm_quality_buckets"](spark, docs_dir).toPandas()
+    want = _oracle(plans.ORACLES["d43_lm_quality_buckets"], docs_dir)
+    key = ["lang", "bucket"]
+    got = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+    want = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
+    assert len(got) == len(want)
+    for c in got.columns:
+        assert (
+            got[c].fillna(-1).astype(object).tolist()
+            == want[c].fillna(-1).astype(object).tolist()
+        ), c
+    short = got[got.bucket == "short"]
+    assert len(short) == 1 and int(short.iloc[0]["n_docs"]) == 2
