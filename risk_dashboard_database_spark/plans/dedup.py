@@ -4726,3 +4726,85 @@ def d44_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------- d45
+# Duplication-weighted sampling: instead of HARD-dropping every
+# non-canonical near-dup (d10's gate), keep each member of a
+# duplication cluster with probability 1/cluster_size — the softer
+# policy (cf. the "keep one copy in expectation" discussion in Lee et
+# al. 2022) that preserves the corpus distribution while neutralizing
+# duplication bias. The coin is the d11 md5 hash at ppm granularity,
+# so the sample is deterministic, engine-reproducible, and stable as
+# the corpus grows; the keep threshold is LM_PPM div cluster_size
+# (integer), so singletons (threshold 1e6) always survive.
+
+_HASH_PPM_SQL = """
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, 9),
+        i -> CAST(instr('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
+    (acc, v) -> acc * 16 + v) % 1000000
+"""
+
+
+def _hash_ppm_spark(doc_id: F.Column) -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(doc_id.cast("string")), 1, 8), 16, 10).cast("long")
+        % 1_000_000
+    )
+
+
+def _d45_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_D9_CTES},
+    sz AS (SELECT doc_id, cluster_size FROM sized),
+    coin AS (
+      SELECT d.lang, COALESCE(s.cluster_size, 1) AS csize,
+             ({_HASH_PPM_SQL}) AS h
+      FROM documents d LEFT JOIN sz s USING (doc_id)
+    )
+    SELECT lang, CAST(csize AS BIGINT) AS csize,
+           CAST({LM_PPM} // csize AS BIGINT) AS keep_ppm_target,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE h < {LM_PPM} // csize) AS BIGINT)
+             AS n_kept
+    FROM coin GROUP BY lang, csize
+    """
+
+
+@query("d45_dup_weighted_sample", oracle=_d45_oracle())
+def d45_dup_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-1/cluster_size duplication-weighted sampling audit, at
+    (lang, cluster_size) grain: target keep rate vs the deterministic
+    md5-coin outcome.
+
+    Spark shape: the d9 cluster table is the stored MV (its CC
+    iteration is build cost, shared with d10/d41); only its
+    (doc_id, cluster_size) projection — |near-dup members| << |corpus|
+    — broadcasts onto the corpus scan (d10's drop-list layout, never a
+    corpus-wide shuffle join). The coin and threshold are per-row
+    codegen'd integer exprs, and the audit rollup is ONE map-side-
+    combined hash-agg on (lang, csize). At 100 TB: scan-rate work plus
+    a dictionary-sized exchange."""
+    clusters = d9_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_size")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    csize = F.coalesce(F.col("cluster_size"), F.lit(1)).alias("csize")
+    target = F.expr(f"{LM_PPM} div csize")
+    return (
+        docs.join(F.broadcast(clusters), "doc_id", "left")
+        .select("lang", csize, _hash_ppm_spark(F.col("doc_id")).alias("h"))
+        .groupBy("lang", "csize")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum((F.col("h") < target).cast("long")).cast("long").alias("n_kept"),
+        )
+        .select(
+            "lang",
+            F.col("csize").cast("long").alias("csize"),
+            target.cast("long").alias("keep_ppm_target"),
+            "n_docs",
+            "n_kept",
+        )
+    )

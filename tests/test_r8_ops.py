@@ -407,3 +407,20 @@ def test_d44_semantic_prune_invariants(spark):
         assert r["n_kept"] >= 1
         assert 0 <= r["kept_ppm"] <= 1_000_000
         assert r["kept_ppm"] == r["n_kept"] * 1_000_000 // r["n_vecs"]
+
+
+def test_d45_dup_weighted_sample_invariants(spark):
+    from risk_dashboard_database_spark.plans.dedup import (
+        d45_dup_weighted_sample,
+    )
+
+    rows = d45_dup_weighted_sample(spark, SF_DIR).collect()
+    assert rows
+    total = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == total
+    for r in rows:
+        assert r["keep_ppm_target"] == 1_000_000 // r["csize"]
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        # singletons always survive: threshold 1e6 > any md5 ppm coin
+        if r["csize"] == 1:
+            assert r["n_kept"] == r["n_docs"]
