@@ -104,6 +104,10 @@ HEADLINE = [
     "d39_split_gram_overlap",
     "d40_vocab_growth",
     "d41_cross_source_dups",
+    "d43_lm_quality_buckets",
+    "d44_semantic_prune",
+    "t_readability",
+    "d45_dup_weighted_sample",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the

@@ -99,6 +99,7 @@ MV_STORE_DAG: list[tuple[str, tuple[str, ...], tuple[str, ...]]] = [
     ("d23_codes",     ("d23_pq_codes",),                  ()),
     ("d15_grams",     ("d15_grams",),                     ("layouts",)),
     ("t_tri_grams",   ("t_tri_grams",),                   ("layouts",)),
+    ("d43_lm_score",  ("d43_doc_lm_score",),              ("layouts",)),
 ]
 
 
@@ -129,6 +130,7 @@ def _mv_warmer(step: str):
         "d23_codes": dedup._pq_codes,
         "d15_grams": dedup._decon_grams,
         "t_tri_grams": textstats.t_ngram_docfreq,
+        "d43_lm_score": dedup._d43_doc_scores,
     }[step]
 
 
