@@ -108,6 +108,7 @@ HEADLINE = [
     "d44_semantic_prune",
     "t_readability",
     "d45_dup_weighted_sample",
+    "d46_sentence_dedup",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
@@ -267,6 +268,15 @@ BUDGET = {
                                    # agg + 10-row tail)
     "d41_cross_source_dups": 0.9,  # 0.64 measured (broadcast cluster MV
                                    # + members-sized pair matrix)
+    "d43_lm_quality_buckets": 1.0,  # 0.31-0.71 measured (stored score MV
+                                   # + value-domain CDF)
+    "d44_semantic_prune": 1.7,     # 0.91-1.21 measured (cell-local
+                                   # pairwise on the stored IVF assignment)
+    "t_readability": 0.35,         # 0.17-0.24 measured (per-row exprs)
+    "d45_dup_weighted_sample": 0.35,  # 0.19-0.25 measured (broadcast
+                                   # cluster sizes + one agg)
+    "d46_sentence_dedup": 1.35,    # 0.96 measured (one sentence-keyed
+                                   # exchange + doc agg; 3.6x at 100x)
     "d13_stratified_sample": 0.6,  # r8 re-pin (was generated 0.35 for the
                                    # single-window plan): the two-phase
                                    # de-skewed rank adds two tiny

@@ -4808,3 +4808,116 @@ def d45_dup_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_kept",
         )
     )
+
+
+# ---------------------------------------------------------------- d46
+# Sentence-level exact dedup — C4's other dedup axis (Raffel et al.
+# 2020 discard repeated three-sentence spans; CCNet hashes normalized
+# paragraphs): beyond document-grain (d1/d9) and token-window-grain
+# (d30), web corpora repeat whole SENTENCES across documents
+# (boilerplate, quotes, syndication). Policy: first-instance-wins —
+# an instance survives iff it is the lexicographically-first
+# (doc_id, position) occurrence of its normalized sentence corpus-wide
+# (the same deterministic convention as d1's first-seen canonical).
+
+D46_POS_SCALE = 1_000_000  # composite key doc_id*SCALE + pos; safe
+#                            while docs hold < 1e6 sentences
+
+
+@query(
+    "d46_sentence_dedup",
+    oracle=f"""
+    WITH s0 AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(regexp_split_to_array(text, '[.!?]+'),
+                              x -> trim(lower(x))),
+               x -> len(x) > 0) AS ss
+      FROM documents
+    ),
+    inst AS (
+      SELECT doc_id,
+             unnest(ss) AS sent,
+             unnest(generate_series(1, len(ss))) AS pos
+      FROM s0 WHERE len(ss) > 0
+    ),
+    firsts AS (
+      SELECT sent,
+             MIN(doc_id * {D46_POS_SCALE} + pos) AS first_k
+      FROM inst GROUP BY sent
+    ),
+    flagged AS (
+      SELECT i.doc_id,
+             CASE WHEN i.doc_id * {D46_POS_SCALE} + i.pos <> f.first_k
+                  THEN 1 ELSE 0 END AS is_dup
+      FROM inst i JOIN firsts f USING (sent)
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_sentences,
+             CAST(SUM(is_dup) AS BIGINT) AS n_dup_instances,
+             CAST((SUM(is_dup) * 1000000) // COUNT(*) AS BIGINT)
+               AS dup_share_ppm
+      FROM flagged GROUP BY doc_id
+    )
+    SELECT * FROM per_doc
+    UNION ALL
+    SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    FROM s0 WHERE len(ss) = 0
+    """,
+)
+def d46_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document sentence-duplication profile under the corpus-wide
+    first-instance-wins policy.
+
+    Spark shape — the t_ngram_docfreq inverted-index profile at
+    sentence grain: per-row codegen'd split/trim/lower/posexplode (no
+    shuffle), ONE sentence-keyed exchange computes each sentence's
+    first-instance composite key (min over doc_id*SCALE+pos, map-side
+    combined), the join-back reuses the SAME sentence partitioning,
+    then one doc_id agg. Sentence-less docs (empty/unpunctuated-empty
+    text) enter via a scan-only UNION branch. At 100 TB the shuffled
+    relation carries (sentence, first_k) pairs — the distinct-sentence
+    dictionary, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "filter(transform(split(text, '[.!?]+'),"
+            " x -> trim(lower(x))), x -> length(x) > 0)"
+        ).alias("ss"),
+    )
+    inst = (
+        docs.where(F.size("ss") > 0)
+        .select("doc_id", F.posexplode("ss").alias("pos0", "sent"))
+        # posexplode is 0-based; the oracle's generate_series is 1-based
+        .select(
+            "doc_id",
+            "sent",
+            (F.col("doc_id") * D46_POS_SCALE + F.col("pos0") + 1).alias("k"),
+        )
+    )
+    firsts = inst.groupBy("sent").agg(F.min("k").alias("first_k"))
+    per_doc = (
+        inst.join(firsts, "sent")
+        .select(
+            "doc_id", (F.col("k") != F.col("first_k")).cast("long").alias("is_dup")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sentences"),
+            F.sum("is_dup").cast("long").alias("n_dup_instances"),
+            F.expr("(sum(is_dup) * 1000000) div count(*)")
+            .cast("long")
+            .alias("dup_share_ppm"),
+        )
+    )
+    empty = (
+        docs.where(F.size("ss") == 0)
+        .select(
+            "doc_id",
+            F.lit(0).cast("long").alias("n_sentences"),
+            F.lit(0).cast("long").alias("n_dup_instances"),
+            F.lit(0).cast("long").alias("dup_share_ppm"),
+        )
+    )
+    return per_doc.unionByName(empty)

@@ -424,3 +424,81 @@ def test_d45_dup_weighted_sample_invariants(spark):
         # singletons always survive: threshold 1e6 > any md5 ppm coin
         if r["csize"] == 1:
             assert r["n_kept"] == r["n_docs"]
+
+
+def test_d46_sentence_dedup_matches_brute_force(spark):
+    from risk_dashboard_database_spark.plans.dedup import (
+        D46_POS_SCALE,
+        d46_sentence_dedup,
+    )
+
+    got = {
+        r["doc_id"]: (r["n_sentences"], r["n_dup_instances"], r["dup_share_ppm"])
+        for r in d46_sentence_dedup(spark, SF_DIR).collect()
+    }
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    # plain-Python recomputation of the corpus-wide first-instance-wins
+    # policy: an instance is a dup iff a lexicographically-earlier
+    # (doc_id, pos) instance of the same normalized sentence exists
+    insts = []
+    for r in docs:
+        ss = [s.strip().lower() for s in re.split(r"[.!?]+", r["text"] or "")]
+        ss = [s for s in ss if s]
+        for pos, s in enumerate(ss, start=1):
+            insts.append((r["doc_id"], pos, s))
+    first = {}
+    for doc_id, pos, s in insts:
+        k = doc_id * D46_POS_SCALE + pos
+        if s not in first or k < first[s]:
+            first[s] = k
+    want = {r["doc_id"]: [0, 0, 0] for r in docs}
+    for doc_id, pos, s in insts:
+        want[doc_id][0] += 1
+        if doc_id * D46_POS_SCALE + pos != first[s]:
+            want[doc_id][1] += 1
+    for doc_id, w in want.items():
+        w[2] = w[1] * 1_000_000 // w[0] if w[0] else 0
+    assert got == {d: tuple(w) for d, w in want.items()}
+
+
+def test_d46_sentence_dedup_planted_duplicates(spark, tmp_path):
+    # sf0.001's synthetic corpus has no repeated sentences, so the dup
+    # branch needs a planted corpus with hand-computed expectations
+    from risk_dashboard_database_spark.plans.dedup import d46_sentence_dedup
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "text": [
+                    "Alpha beta. Gamma delta! Alpha beta?",
+                    "alpha BETA. unique one here.",
+                    "Gamma delta.",
+                    "",
+                    "..!?",
+                ],
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    got = {
+        r["doc_id"]: (r["n_sentences"], r["n_dup_instances"], r["dup_share_ppm"])
+        for r in d46_sentence_dedup(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        # doc 1: "alpha beta" first at (1,1), dup at (1,3); "gamma
+        # delta" first at (1,2) -> 1 dup of 3
+        1: (3, 1, 333_333),
+        # doc 2: "alpha beta" already seen (case-folded) -> 1 dup of 2
+        2: (2, 1, 500_000),
+        # doc 3: "gamma delta" seen at (1,2) -> all dup
+        3: (1, 1, 1_000_000),
+        # empty / punctuation-only docs take the zero branch
+        4: (0, 0, 0),
+        5: (0, 0, 0),
+    }
