@@ -275,8 +275,9 @@ BUDGET = {
     "t_readability": 0.35,         # 0.17-0.24 measured (per-row exprs)
     "d45_dup_weighted_sample": 0.35,  # 0.19-0.25 measured (broadcast
                                    # cluster sizes + one agg)
-    "d46_sentence_dedup": 1.35,    # 0.96 measured (one sentence-keyed
-                                   # exchange + doc agg; 3.6x at 100x)
+    "d46_sentence_dedup": 1.35,    # 0.47-0.96 measured (one sentence-keyed
+                                   # exchange + doc agg; 4.65x at 100x,
+                                   # 4.40x on the zipf replica)
     "d13_stratified_sample": 0.6,  # r8 re-pin (was generated 0.35 for the
                                    # single-window plan): the two-phase
                                    # de-skewed rank adds two tiny
