@@ -109,6 +109,8 @@ HEADLINE = [
     "t_readability",
     "d45_dup_weighted_sample",
     "d46_sentence_dedup",
+    "d47_semantic_decontam",
+    "d48_retention_curve",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
@@ -278,6 +280,13 @@ BUDGET = {
     "d46_sentence_dedup": 1.35,    # 0.47-0.96 measured (one sentence-keyed
                                    # exchange + doc agg; 4.65x at 100x,
                                    # 4.40x on the zipf replica)
+    "d47_semantic_decontam": 1.2,  # 0.65-0.85 measured (broadcast eval set
+                                   # over the stored IVF assignment; flat
+                                   # at 100x — embeddings replicate 1:1)
+    "d48_retention_curve": 1.6,    # 0.92-1.15 measured (one combinable agg
+                                   # over the d2 pair relation; 2.54x on the
+                                   # salted control, 63.7x adversarial =
+                                   # the pair relation itself)
     "d13_stratified_sample": 0.6,  # r8 re-pin (was generated 0.35 for the
                                    # single-window plan): the two-phase
                                    # de-skewed rank adds two tiny

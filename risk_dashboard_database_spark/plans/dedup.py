@@ -4921,3 +4921,223 @@ def d46_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_doc.unionByName(empty)
+
+
+# ---------------------------------------------------------------- d47
+# Embedding-space benchmark decontamination — the semantic twin of
+# d15's n-gram gate (reference analog: the dedup-by-canonical-hash
+# family, sql/schema.sql:163-173, generalized to eval-set leakage):
+# n-gram decontamination misses paraphrases; modern curation pipelines
+# additionally drop training items whose EMBEDDING sits too close to
+# any benchmark item. Contract: cell-local probe (nprobe=1 on the
+# stored IVF assignment, the d8/d14 index) — each eval vector audits
+# only its own cell, the deliberate recall/cost dial every deployed
+# semantic-decontam pass makes (the exact audit of what that dial
+# misses is d25's recall-report pattern).
+
+D47_EVAL_MOD = 40     # eval/benchmark set = every 40th vector
+D47_COS_MIN = 0.35    # leak threshold, calibrated to this synthetic
+#                       corpus (random cosines top out ~0.51; real
+#                       text embeddings would use ~0.9+)
+
+
+@query(
+    "d47_semantic_decontam",
+    oracle=f"""
+    WITH centroids AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    assigned AS (
+      SELECT e.vec_id, e.embedding,
+             (SELECT c.cid FROM centroids c
+              ORDER BY {_DOT_SQL.format(a='e.embedding', b='c.ce')}
+                       / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+                          * sqrt({_DOT_SQL.format(a='c.ce', b='c.ce')})) DESC, c.cid
+              LIMIT 1) AS cell
+      FROM embeddings e
+    ),
+    ev AS (SELECT * FROM assigned WHERE vec_id % {D47_EVAL_MOD} = 0),
+    tr AS (SELECT * FROM assigned WHERE vec_id % {D47_EVAL_MOD} <> 0),
+    scored AS (
+      SELECT tr.vec_id AS train_id, ev.vec_id AS eval_id, tr.cell,
+             {_DOT_SQL.format(a='tr.embedding', b='ev.embedding')}
+               / (sqrt({_DOT_SQL.format(a='tr.embedding', b='tr.embedding')})
+                  * sqrt({_DOT_SQL.format(a='ev.embedding', b='ev.embedding')})) AS cosine
+      FROM tr JOIN ev ON ev.cell = tr.cell
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY train_id
+                                   ORDER BY cosine DESC, eval_id) AS rn
+      FROM scored WHERE cosine >= {D47_COS_MIN}
+    )
+    SELECT train_id, eval_id AS matched_eval, cosine AS max_cosine, cell
+    FROM ranked WHERE rn = 1
+    """,
+)
+def d47_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training vectors flagged as semantic benchmark leaks: cosine >=
+    D47_COS_MIN to any eval vector in their own IVF cell, reported
+    with the closest eval item (tie-break min eval_id).
+
+    Spark shape — d15's broadcast-probe layout in embedding space:
+    both sides read the stored d8 assignment MV (cell + norm
+    precomputed, built once per dataset), the eval side is
+    benchmark-sized and broadcasts, the equi-join key is the cell id,
+    and the argmax is a map-side-combinable max_by aggregate (the
+    _ivf_assigned trick: never a corpus-wide window sort). At 100 TB
+    the corpus never self-joins — each training row meets only the
+    broadcast eval rows of its cell."""
+    assigned = _ivf_assigned(spark, sf_dir)
+    ev = F.broadcast(
+        assigned.where(F.col("vec_id") % D47_EVAL_MOD == 0).select(
+            F.col("vec_id").alias("eval_id"),
+            F.col("embedding").alias("ee"),
+            F.col("cell").alias("ecell"),
+            F.col("norm").alias("enorm"),
+        )
+    )
+    tr = assigned.where(F.col("vec_id") % D47_EVAL_MOD != 0).select(
+        F.col("vec_id").alias("train_id"),
+        F.col("embedding").alias("te"),
+        "cell",
+        F.col("norm").alias("tnorm"),
+    )
+    scored = tr.join(ev, F.col("ecell") == F.col("cell")).select(
+        "train_id",
+        "eval_id",
+        "cell",
+        (
+            _dot_spark(F.col("te"), F.col("ee"))
+            / (F.col("tnorm") * F.col("enorm"))
+        ).alias("cosine"),
+    )
+    pick = F.struct(F.col("cosine").alias("c"), (-F.col("eval_id")).alias("nid"))
+    return (
+        scored.where(F.col("cosine") >= D47_COS_MIN)
+        .groupBy("train_id")
+        .agg(
+            F.max_by(F.col("eval_id"), pick).alias("matched_eval"),
+            F.max_by(F.col("cosine"), pick).alias("max_cosine"),
+            F.any_value("cell").alias("cell"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- d48
+# Dedup retention curve — the tuning report every near-dup deployment
+# runs before committing to a threshold: for each candidate Jaccard
+# cutoff, how many candidate pairs fire and how many documents are
+# touched. Built ON the d2 pair relation (LSH-banded candidates with
+# exact Jaccard), so the curve audits exactly what the production
+# dedup would do at each setting — no separate all-pairs pass.
+
+D48_THRESHOLDS_PPM = [500000, 600000, 700000, 800000, 900000]
+
+
+@query(
+    "d48_retention_curve",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id, sh, {_MINHASH_SQL} AS mh
+      FROM toks WHERE len(sh) > 0
+    ),
+    bands AS (
+      SELECT doc_id,
+             b AS band,
+             md5(CAST(b AS VARCHAR) || ':' || mh[3*b+1] || mh[3*b+2] || mh[3*b+3]) AS band_key
+      FROM sigs, UNNEST(range(0, {N_BANDS})) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+      FROM bands b1 JOIN bands b2
+        ON b1.band_key = b2.band_key AND b1.band = b2.band
+       AND b1.doc_id < b2.doc_id
+    ),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b, {_JACCARD_SQL} AS jaccard
+      FROM cand c
+      JOIN toks a ON a.doc_id = c.doc_a
+      JOIN toks b ON b.doc_id = c.doc_b
+      WHERE {_JACCARD_SQL} >= {JACCARD_THRESHOLD}
+    ),
+    hits AS (
+      SELECT t.t_ppm, p.doc_a, p.doc_b
+      FROM pairs p
+      JOIN (SELECT unnest({D48_THRESHOLDS_PPM}) AS t_ppm) t
+        ON p.jaccard >= CAST(t.t_ppm AS DOUBLE) / 1000000.0
+    ),
+    docs AS (
+      SELECT t_ppm, unnest([doc_a, doc_b]) AS doc FROM hits
+    )
+    SELECT CAST(t_ppm AS BIGINT) AS threshold_ppm,
+           CAST(COUNT(*) // 2 AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs
+    FROM docs GROUP BY t_ppm
+    """,
+)
+def d48_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair counts and touched-document counts per candidate
+    Jaccard threshold (the dedup tuning curve).
+
+    Spark shape — ONE pass over d2's pair relation, no threshold
+    fan-out (the first cut exploded pairs x thresholds x docs ahead of
+    a countDistinct and measured 79x on the adversarial-duplication
+    100x replica; a second cut fixed the fan-out but read the pair
+    relation twice, one branch per output column — this shape computes
+    it once). The thresholds are ascending, so each pair reduces to
+    ONE scalar: nb = how many thresholds its Jaccard clears. Each pair
+    fans to its 2 docs; a doc-keyed agg (map-side combined to
+    distinct-doc size — the only corpus-scale exchange) computes per
+    doc cnt_ge_i = instances clearing threshold i. Then one tiny
+    global agg: n_pairs(t_i) = sum(cnt_ge_i) div 2 (each pair counted
+    at both ends, integer-exact) and n_docs(t_i) = count(cnt_ge_i >
+    0), unpivoted to 5 rows by a literal explode. At 100 TB the added
+    cost over d2 is one combinable agg over the pair relation (itself
+    780x sub-linear in corpus size, BENCH_NOTES r7 d2 row)."""
+    pairs = d2_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    thr = F.array(*[F.lit(v) for v in D48_THRESHOLDS_PPM])
+    # nb in 1..5: base threshold == JACCARD_THRESHOLD, every pair clears it
+    nb = F.size(
+        F.filter(thr, lambda t: F.col("jaccard") >= t.cast("double") / 1000000.0)
+    )
+    idx = range(1, len(D48_THRESHOLDS_PPM) + 1)
+    per_doc = (
+        pairs.select(
+            F.explode(F.array(F.col("doc_a"), F.col("doc_b"))).alias("doc"),
+            nb.alias("nb"),
+        )
+        .groupBy("doc")
+        .agg(
+            *[
+                F.sum((F.col("nb") >= i).cast("long")).alias(f"ge{i}")
+                for i in idx
+            ]
+        )
+    )
+    totals = per_doc.agg(
+        *[F.sum(f"ge{i}").alias(f"s{i}") for i in idx],
+        *[
+            F.sum((F.col(f"ge{i}") > 0).cast("long")).alias(f"d{i}")
+            for i in idx
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(D48_THRESHOLDS_PPM[i - 1]).cast("long").alias("threshold_ppm"),
+                F.expr(f"s{i} div 2").cast("long").alias("n_pairs"),
+                F.col(f"d{i}").cast("long").alias("n_docs"),
+            )
+            for i in idx
+        ]
+    )
+    return (
+        totals.select(F.explode(rows).alias("r"))
+        .select("r.threshold_ppm", "r.n_pairs", "r.n_docs")
+        # absent-on-both-sides convention: the oracle emits no row for
+        # a threshold no pair clears
+        .where(F.col("n_pairs") > 0)
+    )

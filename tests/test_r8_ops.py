@@ -502,3 +502,93 @@ def test_d46_sentence_dedup_planted_duplicates(spark, tmp_path):
         4: (0, 0, 0),
         5: (0, 0, 0),
     }
+
+
+def test_d47_semantic_decontam_matches_brute_force_within_cell(spark):
+    from risk_dashboard_database_spark.plans.dedup import (
+        D47_COS_MIN,
+        D47_EVAL_MOD,
+        _ivf_assigned,
+        d47_semantic_decontam,
+    )
+
+    got = {
+        r["train_id"]: (r["matched_eval"], r["max_cosine"], r["cell"])
+        for r in d47_semantic_decontam(spark, SF_DIR).collect()
+    }
+    # plain-Python recomputation of the cell-local contract over the
+    # stored assignment (500 vectors at this SF)
+    asg = _ivf_assigned(spark, SF_DIR).select(
+        "vec_id", "embedding", "cell"
+    ).collect()
+
+    def cos(a, b):
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = sum(float(x) * float(x) for x in a) ** 0.5
+        nb = sum(float(y) * float(y) for y in b) ** 0.5
+        return dot / (na * nb)
+
+    evs = [r for r in asg if r["vec_id"] % D47_EVAL_MOD == 0]
+    want = {}
+    for t in asg:
+        if t["vec_id"] % D47_EVAL_MOD == 0:
+            continue
+        best = None
+        for e in evs:
+            if e["cell"] != t["cell"]:
+                continue
+            c = cos(t["embedding"], e["embedding"])
+            if c < D47_COS_MIN:
+                continue
+            # tie-break: cosine desc, eval_id asc
+            if best is None or c > best[1] or (c == best[1] and e["vec_id"] < best[0]):
+                best = (e["vec_id"], c)
+        if best is not None:
+            want[t["vec_id"]] = best
+    assert set(got) == set(want)
+    for tid, (eid, c) in want.items():
+        geid, gc, gcell = got[tid]
+        assert geid == eid
+        assert abs(gc - c) < 1e-9  # python fsum-free fold vs Spark fold
+    # every flagged row clears the threshold and eval/train sides are
+    # disjoint by construction
+    for tid, (eid, c, _cell) in got.items():
+        assert tid % D47_EVAL_MOD != 0
+        assert eid % D47_EVAL_MOD == 0
+        assert c >= D47_COS_MIN
+
+
+def test_d48_retention_curve_is_monotone_and_ties_to_d2(spark):
+    from risk_dashboard_database_spark.plans.dedup import (
+        D48_THRESHOLDS_PPM,
+        JACCARD_THRESHOLD,
+        d2_minhash_pairs,
+        d48_retention_curve,
+    )
+
+    curve = {
+        r["threshold_ppm"]: (r["n_pairs"], r["n_docs"])
+        for r in d48_retention_curve(spark, SF_DIR).collect()
+    }
+    pairs = d2_minhash_pairs(spark, SF_DIR).select(
+        "doc_a", "doc_b", "jaccard"
+    ).collect()
+    # the base threshold row IS the d2 relation: the curve audits what
+    # production dedup would do, not a separate candidate pass
+    base = min(D48_THRESHOLDS_PPM)
+    assert base == int(JACCARD_THRESHOLD * 1_000_000)
+    if pairs:
+        docs = {r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs}
+        assert curve[base] == (len(pairs), len(docs))
+    # monotone non-increasing in the threshold (absent rows = zero)
+    prev = None
+    for t in sorted(curve):
+        np_, nd = curve[t]
+        if prev is not None:
+            assert np_ <= prev[0] and nd <= prev[1]
+        prev = (np_, nd)
+    # each threshold row recomputable from the pair relation directly
+    for t_ppm, (np_, nd) in curve.items():
+        sel = [r for r in pairs if r["jaccard"] >= t_ppm / 1_000_000.0]
+        assert np_ == len(sel)
+        assert nd == len({r["doc_a"] for r in sel} | {r["doc_b"] for r in sel})
