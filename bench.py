@@ -111,6 +111,7 @@ HEADLINE = [
     "d46_sentence_dedup",
     "d47_semantic_decontam",
     "d48_retention_curve",
+    "d49_kmeans_codebook",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
@@ -287,6 +288,9 @@ BUDGET = {
                                    # over the d2 pair relation; 2.54x on the
                                    # salted control, 63.7x adversarial =
                                    # the pair relation itself)
+    "d49_kmeans_codebook": 3.5,    # 2.44-2.53 measured (training pass, runs
+                                   # once per dataset: 8-exchange unrolled
+                                   # 2-round Lloyd, flat at 100x)
     "d13_stratified_sample": 0.6,  # r8 re-pin (was generated 0.35 for the
                                    # single-window plan): the two-phase
                                    # de-skewed rank adds two tiny

@@ -5141,3 +5141,138 @@ def d48_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a threshold no pair clears
         .where(F.col("n_pairs") > 0)
     )
+
+
+# ---------------------------------------------------------------- d49
+# Distributed k-means codebook training — the loop the IVF family
+# deliberately stubs: d8/d14/d23/d24 take "every 100th vector" as
+# their codebook and note a real system would TRAIN it. d49 is that
+# training step as a deterministic distributed Lloyd iteration:
+# seed with the stub codebook, assign every vector to its max-cosine
+# centroid, recompute centroids from the members, reassign. Two
+# determinism tricks make an inherently-float algorithm hash-exact
+# across engines: (1) coordinates are floor(x*1e9) INTEGERS, so the
+# per-dimension member sums are exact bigint math in any partition
+# order; (2) centroids are kept as the raw SUM vectors — cosine is
+# scale-invariant, so dividing by the member count (whose floor/
+# truncation semantics differ between engines) is never needed.
+
+D49_PPB = 1_000_000_000  # fixed-point scale for embedding coords
+
+
+@query(
+    "d49_kmeans_codebook",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {D49_PPB}.0) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    gen0 AS (SELECT vec_id AS cid, v AS c FROM vecs WHERE vec_id % 100 = 0),
+    a1 AS (
+      SELECT s.vec_id, s.v,
+             (SELECT g.cid FROM gen0 g
+              ORDER BY {_DOT_SQL.format(a='s.v', b='g.c')}
+                       / (sqrt({_DOT_SQL.format(a='s.v', b='s.v')})
+                          * sqrt({_DOT_SQL.format(a='g.c', b='g.c')})) DESC, g.cid
+              LIMIT 1) AS cell
+      FROM vecs s
+    ),
+    sums AS (
+      SELECT cell, i AS dim, CAST(SUM(v[i]) AS BIGINT) AS s
+      FROM a1, UNNEST(generate_series(1, len(v))) AS t(i)
+      GROUP BY cell, i
+    ),
+    gen1 AS (
+      SELECT cell AS cid, list(s ORDER BY dim) AS c FROM sums GROUP BY cell
+    ),
+    a2 AS (
+      SELECT s.vec_id,
+             (SELECT g.cid FROM gen1 g
+              ORDER BY {_DOT_SQL.format(a='s.v', b='g.c')}
+                       / (sqrt({_DOT_SQL.format(a='s.v', b='s.v')})
+                          * sqrt({_DOT_SQL.format(a='g.c', b='g.c')})) DESC, g.cid
+              LIMIT 1) AS cell
+      FROM vecs s
+    )
+    SELECT a2.cell AS cid,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(list_reduce(any_value(g.c), (a, b) -> a + b) AS BIGINT)
+             AS coord_sum
+    FROM a2 JOIN gen1 g ON g.cid = a2.cell
+    GROUP BY a2.cell
+    """,
+)
+def d49_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd update of the IVF codebook (assign -> recompute
+    -> reassign), reported as final member counts per surviving
+    centroid plus an integer digest of the trained centroid vector.
+
+    Spark shape: both assignment passes are the _ivf_assigned layout —
+    broadcast codebook (k rows), map-side-combinable max_by argmax,
+    never a window over the n*k score relation. The centroid update
+    shuffles (cell, dim)-keyed partial sums — d x the assignment
+    volume, map-side combined, the dense-partial-sum layout every
+    distributed k-means (including Spark MLlib's) uses; at 100 TB
+    further rounds iterate exactly like this behind the MV seam with a
+    lineage checkpoint per round (the d9 connected-components
+    discipline). Rounds here: fixed at one update + reassignment — the
+    oracle unrolls the same two rounds."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    to_ppb = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(float(D49_PPB))),
+    )
+    vecs = emb.select("vec_id", to_ppb.alias("v"))
+    gen0 = F.broadcast(
+        vecs.where(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("cid"), F.col("v").alias("c")
+        )
+    )
+
+    def assign(codebook: DataFrame) -> DataFrame:
+        cos = _dot_spark(F.col("v"), F.col("c")) / (
+            F.sqrt(_dot_spark(F.col("v"), F.col("v")))
+            * F.sqrt(_dot_spark(F.col("c"), F.col("c")))
+        )
+        return (
+            vecs.join(codebook)
+            .select("vec_id", "v", "cid", cos.alias("__cos"))
+            .groupBy("vec_id")
+            .agg(
+                F.any_value("v").alias("v"),
+                F.max_by(
+                    F.col("cid"),
+                    F.struct(F.col("__cos").alias("c"), (-F.col("cid")).alias("nc")),
+                ).alias("cell"),
+            )
+        )
+
+    a1 = assign(gen0)
+    gen1 = (
+        a1.select("cell", F.posexplode("v").alias("dim0", "val"))
+        .groupBy("cell", (F.col("dim0") + 1).alias("dim"))
+        .agg(F.sum("val").alias("s"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "s"))),
+                lambda st: st.getField("s"),
+            ).alias("c")
+        )
+        .select(F.col("cell").alias("cid"), "c")
+    )
+    a2 = assign(F.broadcast(gen1))
+    digest = gen1.select(
+        "cid",
+        F.aggregate(F.col("c"), F.lit(0).cast("long"), lambda acc, x: acc + x)
+        .cast("long")
+        .alias("coord_sum"),
+    )
+    return (
+        a2.groupBy("cell")
+        .agg(F.count("*").cast("long").alias("n_members"))
+        .join(F.broadcast(digest), F.col("cid") == F.col("cell"))
+        .select("cid", "n_members", "coord_sum")
+    )

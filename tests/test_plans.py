@@ -40,6 +40,8 @@ BNLJ_OK = {
     "d24_ann_ivfpq",    # probe x codebook distance-table fan-out
                         # (broadcast-sized by PQ's fixed-codebook contract)
     "d25_ann_recall",   # embeds d24's plan (same fan-out)
+    "d49_kmeans_codebook",  # two Lloyd assignment passes = two broadcast
+                            # codebook fan-outs (d8's layout, k rows each)
 }
 
 # Intentional statically-planned SortMergeJoins: both sides large at
@@ -98,6 +100,13 @@ EXCH_BUDGET = {
                                     # only the first is corpus-keyed;
                                     # eval grams never shuffle (flag
                                     # set broadcasts back, d30 pattern)
+    "d49_kmeans_codebook": 8,       # unrolled 2-round Lloyd: THREE
+                                    # corpus-scale exchanges (two argmax
+                                    # assignment aggs + the (cell,dim)
+                                    # partial-sum agg, all map-side
+                                    # combined); the other five move
+                                    # k- or (k x d)-row codebook frames
+                                    # (collect/digest/count joins)
 }
 
 

@@ -592,3 +592,55 @@ def test_d48_retention_curve_is_monotone_and_ties_to_d2(spark):
         sel = [r for r in pairs if r["jaccard"] >= t_ppm / 1_000_000.0]
         assert np_ == len(sel)
         assert nd == len({r["doc_a"] for r in sel} | {r["doc_b"] for r in sel})
+
+
+def test_d49_kmeans_codebook_matches_python_lloyd(spark):
+    import math
+
+    from risk_dashboard_database_spark.plans.dedup import (
+        D49_PPB,
+        d49_kmeans_codebook,
+    )
+
+    got = {
+        r["cid"]: (r["n_members"], r["coord_sum"])
+        for r in d49_kmeans_codebook(spark, SF_DIR).collect()
+    }
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).collect()
+    vecs = {
+        r["vec_id"]: [math.floor(float(x) * D49_PPB) for x in r["embedding"]]
+        for r in emb
+    }
+
+    def cos(a, b):
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        return dot / (
+            math.sqrt(sum(float(x) * float(x) for x in a))
+            * math.sqrt(sum(float(y) * float(y) for y in b))
+        )
+
+    def assign(codebook):
+        out = {}
+        for vid, v in vecs.items():
+            best = max(codebook.items(), key=lambda kv: (cos(v, kv[1]), -kv[0]))
+            out[vid] = best[0]
+        return out
+
+    gen0 = {vid: v for vid, v in vecs.items() if vid % 100 == 0}
+    a1 = assign(gen0)
+    gen1 = {}
+    for vid, cell in a1.items():
+        acc = gen1.setdefault(cell, [0] * len(vecs[vid]))
+        for i, x in enumerate(vecs[vid]):
+            acc[i] += x
+    a2 = assign(gen1)
+    want = {}
+    for cell, c in gen1.items():
+        n = sum(1 for v in a2.values() if v == cell)
+        if n:
+            want[cell] = (n, sum(c))
+    assert got == want
+    # the assignment is a partition of the corpus
+    assert sum(n for n, _ in got.values()) == len(vecs)
