@@ -112,6 +112,7 @@ HEADLINE = [
     "d47_semantic_decontam",
     "d48_retention_curve",
     "d49_kmeans_codebook",
+    "t_ttr",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
@@ -291,6 +292,8 @@ BUDGET = {
     "d49_kmeans_codebook": 3.5,    # 2.44-2.53 measured (training pass, runs
                                    # once per dataset: 8-exchange unrolled
                                    # 2-round Lloyd, flat at 100x)
+    "t_ttr": 1.2,                  # 0.84 measured (scan-rate per-row array
+                                   # exprs; 6.79x at 100x = sub-linear)
     "d13_stratified_sample": 0.6,  # r8 re-pin (was generated 0.35 for the
                                    # single-window plan): the two-phase
                                    # de-skewed rank adds two tiny

@@ -815,3 +815,75 @@ def t_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("hard")
         .alias("band"),
     )
+
+
+@query(
+    "t_ttr",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, lang,
+             CAST(len(ts) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(ts)) AS BIGINT) AS n_types,
+             CAST(len(list_filter(list_distinct(ts),
+                    t -> len(list_filter(ts, x -> x = t)) = 1)) AS BIGINT)
+               AS n_hapax
+      FROM tk
+    )
+    SELECT doc_id, lang, n_tokens, n_types, n_hapax,
+           CAST((n_types * 1000000) // greatest(n_tokens, 1) AS BIGINT)
+             AS ttr_ppm,
+           CAST((n_hapax * 1000000) // greatest(n_tokens, 1) AS BIGINT)
+             AS hapax_ppm
+    FROM m
+    """,
+)
+def t_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per document: type-token ratio and hapax
+    (once-only word) share, the standard repetitiveness-vs-vocabulary
+    counters a curation pipeline reads next to the Gopher rules
+    (t_repetition flags engineered repetition; a LOW ttr with no
+    repeated n-grams flags templated text the Gopher rules miss).
+
+    Scan-rate per-row work, zero shuffle: distinct and hapax counts
+    are higher-order array expressions evaluated doc-locally inside
+    the scan stage (the within-doc hapax probe is quadratic in DOC
+    length — bounded by the document, not the corpus, so at 100 TB it
+    parallelizes like every other per-row expression)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ts = F.filter(F.split(F.col("text"), " "), lambda x: F.length(x) > 0)
+    m = docs.select(
+        "doc_id",
+        "lang",
+        ts.alias("ts"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.size("ts").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("ts")).cast("long").alias("n_types"),
+        F.size(
+            F.filter(
+                F.array_distinct("ts"),
+                lambda t: F.size(F.filter(F.col("ts"), lambda x: x == t)) == 1,
+            )
+        )
+        .cast("long")
+        .alias("n_hapax"),
+    )
+    return m.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.expr("(n_types * 1000000) div greatest(n_tokens, 1)")
+        .cast("long")
+        .alias("ttr_ppm"),
+        F.expr("(n_hapax * 1000000) div greatest(n_tokens, 1)")
+        .cast("long")
+        .alias("hapax_ppm"),
+    )

@@ -644,3 +644,29 @@ def test_d49_kmeans_codebook_matches_python_lloyd(spark):
     assert got == want
     # the assignment is a partition of the corpus
     assert sum(n for n, _ in got.values()) == len(vecs)
+
+
+def test_t_ttr_matches_python_counts(spark):
+    from collections import Counter
+
+    from risk_dashboard_database_spark.plans.textstats import t_ttr
+
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_types"], r["n_hapax"],
+            r["ttr_ppm"], r["hapax_ppm"],
+        )
+        for r in t_ttr(spark, SF_DIR).collect()
+    }
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    for r in docs:
+        ts = [t for t in (r["text"] or "").split(" ") if t]
+        c = Counter(ts)
+        n, ty, hp = len(ts), len(c), sum(1 for v in c.values() if v == 1)
+        assert got[r["doc_id"]] == (
+            n, ty, hp,
+            ty * 1_000_000 // max(n, 1),
+            hp * 1_000_000 // max(n, 1),
+        )
