@@ -113,6 +113,7 @@ HEADLINE = [
     "d48_retention_curve",
     "d49_kmeans_codebook",
     "t_ttr",
+    "t_tfidf",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
@@ -294,6 +295,9 @@ BUDGET = {
                                    # 2-round Lloyd, flat at 100x)
     "t_ttr": 1.2,                  # 0.84 measured (scan-rate per-row array
                                    # exprs; 6.79x at 100x = sub-linear)
+    "t_tfidf": 1.2,                # 0.80 measured (stored t_word_tf MV +
+                                   # vocab-sized docfreq agg + rank-limited
+                                   # window; 3.32x at 100x)
     "d13_stratified_sample": 0.6,  # r8 re-pin (was generated 0.35 for the
                                    # single-window plan): the two-phase
                                    # de-skewed rank adds two tiny

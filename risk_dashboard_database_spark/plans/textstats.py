@@ -887,3 +887,103 @@ def t_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hapax_ppm"),
     )
+
+
+def _word_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The word-grain term-frequency relation (doc_id, term, tf),
+    through the MV seam: tokenize-at-ingest work shared by every
+    word-grain consumer (t_tfidf today; the same artifact a search
+    index or d35-style OOV audit reads)."""
+    from .relcache import cached_relation
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _build() -> DataFrame:
+        return (
+            docs.select(
+                "doc_id",
+                F.explode(
+                    F.filter(
+                        F.split(F.col("text"), " "), lambda x: F.length(x) > 0
+                    )
+                ).alias("term"),
+            )
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").cast("long").alias("tf"))
+        )
+
+    return cached_relation("t_word_tf", sf_dir, _build)
+
+
+@query(
+    "t_tfidf",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> len(x) > 0))
+               AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tk GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS docfreq FROM tf GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.term, t.tf, f.docfreq,
+             t.tf * (n.n_docs - f.docfreq) AS score
+      FROM tf t JOIN df f USING (term), n
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, tf, docfreq, CAST(score AS BIGINT) AS score,
+           CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def t_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by an integer TF-IDF
+    (keyword extraction, the per-doc summary signal next to corpus-wide
+    t_keyword_topk retrieval). The IDF is the rank-equivalent integer
+    surrogate (n_docs - docfreq) — monotone in log(N/df), so the
+    ranking matches a float TF-IDF while staying hash-exact across
+    engines (no log, no division; the t_readability determinism note).
+
+    Spark shape: the t_ngram_docfreq inverted-index topology at word
+    grain. The (doc, term, tf) relation is tokenize-at-ingest work and
+    lives in the durable MV store (`t_word_tf`, the t_tri_grams
+    pattern); the query is then one term-keyed docfreq agg over the MV
+    (map-side combined to vocabulary size), the join-back, and the
+    per-doc top-3 window (rank-limit pushed: WindowGroupLimit keeps
+    per-partition heaps of 3, never a full sort of the scored
+    relation). The 1-row corpus-count crossJoin is the t_keyword_topk
+    anchor pattern."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = _word_tf(spark, sf_dir)
+    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("docfreq"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "docfreq",
+            (F.col("tf") * (F.col("n_docs") - F.col("docfreq")))
+            .cast("long")
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )

@@ -42,6 +42,8 @@ BNLJ_OK = {
     "d25_ann_recall",   # embeds d24's plan (same fan-out)
     "d49_kmeans_codebook",  # two Lloyd assignment passes = two broadcast
                             # codebook fan-outs (d8's layout, k rows each)
+    "t_tfidf",          # 1-row corpus-count scalar crossJoin (the
+                        # t_keyword_topk anchor pattern)
 }
 
 # Intentional statically-planned SortMergeJoins: both sides large at

@@ -670,3 +670,34 @@ def test_t_ttr_matches_python_counts(spark):
             ty * 1_000_000 // max(n, 1),
             hp * 1_000_000 // max(n, 1),
         )
+
+
+def test_t_tfidf_matches_python_recomputation(spark):
+    from collections import Counter
+
+    from risk_dashboard_database_spark.plans.textstats import t_tfidf
+
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["docfreq"], r["score"])
+        for r in t_tfidf(spark, SF_DIR).collect()
+    }
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    tf = {
+        r["doc_id"]: Counter(t for t in (r["text"] or "").split(" ") if t)
+        for r in docs
+    }
+    df = Counter()
+    for c in tf.values():
+        df.update(c.keys())
+    n_docs = len(docs)
+    want = {}
+    for doc_id, c in tf.items():
+        scored = sorted(
+            ((t, f, df[t], f * (n_docs - df[t])) for t, f in c.items()),
+            key=lambda x: (-x[3], x[0]),
+        )
+        for rank, (t, f, d, s) in enumerate(scored[:3], start=1):
+            want[(doc_id, rank)] = (t, f, d, s)
+    assert got == want
