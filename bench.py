@@ -114,6 +114,8 @@ HEADLINE = [
     "d49_kmeans_codebook",
     "t_ttr",
     "t_tfidf",
+    "m4_payload_dedup",
+    "d50_dup_centrality",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
@@ -298,6 +300,12 @@ BUDGET = {
     "t_tfidf": 1.2,                # 0.80 measured (stored t_word_tf MV +
                                    # vocab-sized docfreq agg + rank-limited
                                    # window; 3.32x at 100x)
+    "m4_payload_dedup": 0.7,       # 0.42-0.55 measured (one hash-agg over
+                                   # a narrow projection; 1.31x at 100x)
+    "d50_dup_centrality": 2.2,     # 1.33-1.60 measured (checkpointed edge
+                                   # table + 2 PR rounds; 2.64x on the
+                                   # salted control, 91x adversarial =
+                                   # the dup graph itself)
     "d13_stratified_sample": 0.6,  # r8 re-pin (was generated 0.35 for the
                                    # single-window plan): the two-phase
                                    # de-skewed rank adds two tiny

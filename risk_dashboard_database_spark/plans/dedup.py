@@ -5276,3 +5276,136 @@ def d49_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(digest), F.col("cid") == F.col("cell"))
         .select("cid", "n_members", "coord_sum")
     )
+
+
+# ---------------------------------------------------------------- d50
+# Duplicate-graph centrality — canonical-doc selection by structure:
+# d9 picks each cluster's canonical document by a scalar convention
+# (first-seen); production dedup pipelines often prefer the MOST
+# CENTRAL member of a dup cluster (the hub the others are copies of).
+# d50 scores every document in the d2 near-dup graph with a
+# deterministic integer PageRank: rank in ppm, two unrolled power
+# iterations, damping 0.85 — all arithmetic on non-negative bigints
+# (ppm shares via `div`, where truncation == floor, so Spark and
+# DuckDB agree bit-for-bit; the no-log/no-division discipline of
+# d49/t_readability applied to an iterative graph algorithm).
+
+D50_DAMP_PPM = 850_000
+D50_BASE_PPM = 150_000
+D50_R0_PPM = 1_000_000
+
+
+@query(
+    "d50_dup_centrality",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id, sh, {_MINHASH_SQL} AS mh
+      FROM toks WHERE len(sh) > 0
+    ),
+    bands AS (
+      SELECT doc_id,
+             b AS band,
+             md5(CAST(b AS VARCHAR) || ':' || mh[3*b+1] || mh[3*b+2] || mh[3*b+3]) AS band_key
+      FROM sigs, UNNEST(range(0, {N_BANDS})) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+      FROM bands b1 JOIN bands b2
+        ON b1.band_key = b2.band_key AND b1.band = b2.band
+       AND b1.doc_id < b2.doc_id
+    ),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN toks a ON a.doc_id = c.doc_a
+      JOIN toks b ON b.doc_id = c.doc_b
+      WHERE {_JACCARD_SQL} >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+    in1 AS (
+      SELECT e.dst, CAST(SUM({D50_R0_PPM} // g.d) AS BIGINT) AS m
+      FROM edges e JOIN deg g ON g.src = e.src GROUP BY e.dst
+    ),
+    r1 AS (
+      SELECT g.src AS doc_id, g.d,
+             CAST({D50_BASE_PPM} + ({D50_DAMP_PPM} * COALESCE(i.m, 0))
+                  // {D50_R0_PPM} AS BIGINT) AS r
+      FROM deg g LEFT JOIN in1 i ON i.dst = g.src
+    ),
+    in2 AS (
+      SELECT e.dst, CAST(SUM(r.r // r.d) AS BIGINT) AS m
+      FROM edges e JOIN r1 r ON r.doc_id = e.src GROUP BY e.dst
+    )
+    SELECT r1.doc_id, r1.d AS degree,
+           CAST({D50_BASE_PPM} + ({D50_DAMP_PPM} * COALESCE(i.m, 0))
+                // {D50_R0_PPM} AS BIGINT) AS rank_ppm
+    FROM r1 LEFT JOIN in2 i ON i.dst = r1.doc_id
+    """,
+)
+def d50_dup_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank (2 unrolled rounds) over the near-dup graph:
+    per document in >=1 d2 pair, its degree and ppm centrality.
+
+    Spark shape: vertices and edges come from the d2 pair relation
+    (LSH-banded, never all-pairs), materialized ONCE with a
+    localCheckpoint — the d9 connected-components discipline: without
+    it the unrolled rounds re-derive the pair relation per reference
+    (first cut measured exch=17/bhj=30 and re-ran the adversarial
+    replica's 54M-candidate join ~5x). Each round is then the
+    canonical distributed PageRank step over the checkpointed edge
+    table — a src-keyed share join + a dst-keyed map-side-combinable
+    sum, two bounded shuffles per round, rank lineage truncated
+    round-over-round. Rounds are a config knob; the audited plan is
+    the post-checkpoint tail, exactly like d9."""
+    pairs = d2_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+
+    def pr_round(rank: DataFrame) -> DataFrame:
+        # rank: (src, d, r). share = r div d is exact (non-negative,
+        # so div truncation == floor on both engines).
+        incoming = (
+            edges.join(rank, "src")
+            .select("dst", F.expr("r div d").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").cast("long").alias("m"))
+        )
+        return (
+            rank.select("src", "d")
+            .join(incoming, rank["src"] == incoming["dst"], "left")
+            .select(
+                "src",
+                "d",
+                (
+                    F.lit(D50_BASE_PPM)
+                    + F.expr(
+                        f"({D50_DAMP_PPM} * coalesce(m, 0)) div {D50_R0_PPM}"
+                    )
+                )
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint()
+        )
+
+    r0 = deg.select("src", "d", F.lit(D50_R0_PPM).cast("long").alias("r"))
+    r2 = pr_round(pr_round(r0))
+    return r2.select(
+        F.col("src").alias("doc_id"),
+        F.col("d").alias("degree"),
+        F.col("r").alias("rank_ppm"),
+    )

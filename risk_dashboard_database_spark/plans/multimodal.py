@@ -196,3 +196,49 @@ def m3_frame_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         schema="doc_id long, frame_idx int, source_frame int, out_w int, out_h int",
     )
+
+
+@query(
+    "m4_payload_dedup",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             sha256(text) AS content_sha256,
+             CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+      FROM documents
+    )
+    SELECT content_sha256,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc,
+           CAST(any_value(byte_len) AS BIGINT) AS payload_bytes,
+           CAST((COUNT(*) - 1) * any_value(byte_len) AS BIGINT)
+             AS bytes_saved
+    FROM p GROUP BY content_sha256
+    """,
+)
+def m4_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed payload dedup (m4): the storage-side exact
+    dedup every media lake runs before the near-dup passes — group
+    binary payloads by sha256, keep the first-seen copy (min doc_id,
+    d1's deterministic canonical convention), report the bytes a
+    content-addressed store saves.
+
+    One hash-agg over a narrow (hash, byte_len) projection — d1's
+    shape on binary columns; at 100 TB the shuffle carries ~32 bytes x
+    distinct payloads. byte_len rides any_value because copies of one
+    sha256 are byte-identical by definition."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    p = docs.select(
+        "doc_id",
+        F.sha2(payload, 256).alias("content_sha256"),
+        F.octet_length(payload).cast("long").alias("byte_len"),
+    )
+    return p.groupBy("content_sha256").agg(
+        F.count("*").cast("long").alias("n_copies"),
+        F.min("doc_id").cast("long").alias("canonical_doc"),
+        F.any_value("byte_len").cast("long").alias("payload_bytes"),
+        ((F.count("*") - 1) * F.any_value("byte_len"))
+        .cast("long")
+        .alias("bytes_saved"),
+    )

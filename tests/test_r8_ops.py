@@ -701,3 +701,55 @@ def test_t_tfidf_matches_python_recomputation(spark):
         for rank, (t, f, d, s) in enumerate(scored[:3], start=1):
             want[(doc_id, rank)] = (t, f, d, s)
     assert got == want
+
+
+def test_d50_dup_centrality_matches_python_pagerank(spark):
+    from risk_dashboard_database_spark.plans.dedup import (
+        D50_BASE_PPM,
+        D50_DAMP_PPM,
+        D50_R0_PPM,
+        d2_minhash_pairs,
+        d50_dup_centrality,
+    )
+
+    got = {
+        r["doc_id"]: (r["degree"], r["rank_ppm"])
+        for r in d50_dup_centrality(spark, SF_DIR).collect()
+    }
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in d2_minhash_pairs(spark, SF_DIR).select("doc_a", "doc_b").collect()
+    ]
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    rank = {v: D50_R0_PPM for v in adj}
+    for _ in range(2):
+        incoming = {v: 0 for v in adj}
+        for v, ns in adj.items():
+            share = rank[v] // len(ns)
+            for u in ns:
+                incoming[u] += share
+        rank = {
+            v: D50_BASE_PPM + (D50_DAMP_PPM * incoming[v]) // D50_R0_PPM
+            for v in adj
+        }
+    want = {v: (len(ns), rank[v]) for v, ns in adj.items()}
+    assert got == want
+    # rank mass is conserved up to integer-truncation loss: each round
+    # can only LOSE ppm to div, never create it
+    assert all(
+        D50_BASE_PPM <= r <= D50_R0_PPM for _, r in want.values()
+    )
+
+
+def test_m4_payload_dedup_invariants(spark):
+    from risk_dashboard_database_spark.plans.multimodal import m4_payload_dedup
+
+    rows = m4_payload_dedup(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    # payload groups partition the corpus; savings follow the formula
+    assert sum(r["n_copies"] for r in rows) == docs
+    for r in rows:
+        assert r["bytes_saved"] == (r["n_copies"] - 1) * r["payload_bytes"]
