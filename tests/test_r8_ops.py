@@ -753,3 +753,27 @@ def test_m4_payload_dedup_invariants(spark):
     assert sum(r["n_copies"] for r in rows) == docs
     for r in rows:
         assert r["bytes_saved"] == (r["n_copies"] - 1) * r["payload_bytes"]
+
+
+def test_d50_vertex_set_is_exactly_the_d2_pair_universe(spark):
+    # the d19<->d7 / d20<->d15 discipline: a derived graph operator is
+    # pinned to its parent relation — d50 scores every doc that appears
+    # in >=1 near-dup pair and nothing else, and its degree column IS
+    # the pair-incidence count
+    from collections import Counter
+
+    from risk_dashboard_database_spark.plans.dedup import (
+        d2_minhash_pairs,
+        d50_dup_centrality,
+    )
+
+    got = {
+        r["doc_id"]: r["degree"]
+        for r in d50_dup_centrality(spark, SF_DIR).collect()
+    }
+    pairs = d2_minhash_pairs(spark, SF_DIR).select("doc_a", "doc_b").collect()
+    deg = Counter()
+    for r in pairs:
+        deg[r["doc_a"]] += 1
+        deg[r["doc_b"]] += 1
+    assert got == dict(deg)
