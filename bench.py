@@ -116,6 +116,7 @@ HEADLINE = [
     "t_tfidf",
     "m4_payload_dedup",
     "d50_dup_centrality",
+    "d51_curation_funnel",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
@@ -306,6 +307,9 @@ BUDGET = {
                                    # table + 2 PR rounds; 2.64x on the
                                    # salted control, 91x adversarial =
                                    # the dup graph itself)
+    "d51_curation_funnel": 1.8,    # 1.22 measured (one scan + 4-stage
+                                   # conditional agg over d17's exprs;
+                                   # 3.24x MV-warm at 100x)
     "d13_stratified_sample": 0.6,  # r8 re-pin (was generated 0.35 for the
                                    # single-window plan): the two-phase
                                    # de-skewed rank adds two tiny

@@ -5409,3 +5409,166 @@ def d50_dup_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("degree"),
         F.col("r").alias("rank_ppm"),
     )
+
+
+# ---------------------------------------------------------------- d51
+# Curation funnel — the observability report a 100 TB build publishes
+# next to its shards: how many documents and tokens survive each gate
+# of the d17 pipeline (corpus -> near-dup drop -> quality -> decontam).
+# Every stage predicate is the SAME expression d17 applies — the
+# funnel audits the production build, it does not re-derive a variant.
+
+
+def _d51_oracle() -> str:
+    from .textstats import _stop_count_sql
+
+    return f"""
+    WITH RECURSIVE {_D9_CTES},
+    nd_drops AS (SELECT doc_id FROM sized WHERE rn <> 1),
+    dw AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    dc_bg AS (
+      SELECT DISTINCT
+        unnest(list_transform(range(1, greatest(len(w) - 2, 1)),
+               i -> array_to_string(list_slice(w, i, i + 3), ' '))) AS h
+      FROM dw WHERE doc_id % 97 = 0
+    ),
+    dc_flag AS (
+      SELECT doc_id,
+             MAX(CASE WHEN h IN (SELECT h FROM dc_bg) THEN 1 ELSE 0 END)
+               AS contaminated
+      FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(hs) = 0 THEN [NULL] ELSE hs END) AS h
+        FROM (
+          SELECT doc_id,
+                 list_transform(range(1, greatest(len(w) - 2, 1)),
+                   i -> array_to_string(list_slice(w, i, i + 3), ' ')) AS hs
+          FROM dw WHERE doc_id % 97 <> 0
+        )
+      )
+      GROUP BY doc_id
+    ),
+    qual AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 80
+                  THEN 1 ELSE 0 END
+           + CASE WHEN CAST(len(list_distinct(string_split(text, ' ')))
+                       AS DOUBLE) / len(string_split(text, ' ')) >= 0.5
+                  THEN 1 ELSE 0 END
+           + CASE WHEN CAST({_stop_count_sql('en')} AS DOUBLE)
+                       / len(string_split(text, ' '))
+                       BETWEEN 0.01 AND 0.6
+                  THEN 1 ELSE 0 END AS score
+      FROM documents
+    ),
+    base AS (
+      SELECT d.doc_id, q.n_tokens, q.score, f.contaminated,
+             CASE WHEN nd.doc_id IS NULL THEN 0 ELSE 1 END AS nd_dropped
+      FROM documents d
+      JOIN qual q USING (doc_id)
+      JOIN dc_flag f USING (doc_id)
+      LEFT JOIN nd_drops nd ON nd.doc_id = d.doc_id
+    )
+    SELECT CAST(0 AS BIGINT) AS stage_idx, 'corpus' AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM base
+    UNION ALL
+    SELECT 1, 'near_dup', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_tokens) AS BIGINT)
+    FROM base WHERE nd_dropped = 0
+    UNION ALL
+    SELECT 2, 'quality', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_tokens) AS BIGINT)
+    FROM base WHERE nd_dropped = 0 AND score >= 2
+    UNION ALL
+    SELECT 3, 'decontam', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_tokens) AS BIGINT)
+    FROM base WHERE nd_dropped = 0 AND score >= 2 AND contaminated = 0
+    """
+
+
+@query("d51_curation_funnel", oracle=_d51_oracle())
+def d51_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage survivor counts (docs + tokens) of the d17 pipeline.
+    Stage 0 ('corpus') is the pipeline's INPUT — the corpus after the
+    benchmark holdout leaves (d15's inner join, d17's convention).
+
+    Spark shape: ONE pass over (documents x d15 flags x broadcast d9
+    drop list) computing all four stages as conditional aggregates —
+    count(*) FILTER per stage over the cumulative predicates — so the
+    funnel costs one scan + one 4-expr singleton agg, never four
+    subqueries. The stage predicates are d17's own column expressions
+    (same _tokens/_stop_count/score exprs, same MVs), which is the
+    point: the report can never drift from the build it audits."""
+    from .textstats import _stop_count, _tokens
+
+    clusters = d9_dedup_clusters(spark, sf_dir)
+    nd_drops = F.broadcast(
+        clusters.where(~F.col("is_canonical")).select(
+            "doc_id", F.lit(True).alias("is_dup")
+        )
+    )
+    flags = d15_decontaminate(spark, sf_dir).select("doc_id", "contaminated")
+    docs = load_table(spark, sf_dir, "documents")
+    tk = _tokens(F.col("text"))
+    n_tokens = F.size(tk)
+    score = (
+        F.when(n_tokens.between(20, 80), 1).otherwise(0)
+        + F.when(F.size(F.array_distinct(tk)).cast("double") / n_tokens >= 0.5, 1)
+        .otherwise(0)
+        + F.when(
+            (_stop_count(tk, "en").cast("double") / n_tokens).between(0.01, 0.6), 1
+        ).otherwise(0)
+    )
+    base = (
+        docs.select(
+            "doc_id", n_tokens.cast("long").alias("n_tokens"), score.alias("score")
+        )
+        .join(flags, "doc_id")
+        .join(nd_drops, "doc_id", "left")
+        .select(
+            "n_tokens",
+            (
+                F.col("is_dup").isNull().cast("int").alias("s1")
+            ),
+            (
+                (F.col("is_dup").isNull() & (F.col("score") >= 2))
+                .cast("int")
+                .alias("s2")
+            ),
+            (
+                (
+                    F.col("is_dup").isNull()
+                    & (F.col("score") >= 2)
+                    & (F.col("contaminated") == 0)
+                )
+                .cast("int")
+                .alias("s3")
+            ),
+        )
+    )
+    totals = base.agg(
+        F.count("*").cast("long").alias("c0"),
+        F.sum("n_tokens").cast("long").alias("t0"),
+        F.sum("s1").cast("long").alias("c1"),
+        F.sum(F.col("n_tokens") * F.col("s1")).cast("long").alias("t1"),
+        F.sum("s2").cast("long").alias("c2"),
+        F.sum(F.col("n_tokens") * F.col("s2")).cast("long").alias("t2"),
+        F.sum("s3").cast("long").alias("c3"),
+        F.sum(F.col("n_tokens") * F.col("s3")).cast("long").alias("t3"),
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                F.col(f"c{i}").alias("n_docs"),
+                F.col(f"t{i}").alias("n_tokens"),
+            )
+            for i, name in enumerate(["corpus", "near_dup", "quality", "decontam"])
+        ]
+    )
+    return totals.select(F.explode(stages).alias("r")).select(
+        "r.stage_idx", "r.stage", "r.n_docs", "r.n_tokens"
+    )

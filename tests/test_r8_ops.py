@@ -777,3 +777,32 @@ def test_d50_vertex_set_is_exactly_the_d2_pair_universe(spark):
         deg[r["doc_a"]] += 1
         deg[r["doc_b"]] += 1
     assert got == dict(deg)
+
+
+def test_d51_funnel_ties_to_d17_survivors(spark):
+    # the funnel's last stage IS d17's survivor set, and the stages
+    # are monotone non-increasing in both docs and tokens
+    from risk_dashboard_database_spark.plans.dedup import (
+        d17_pretrain_build,
+        d51_curation_funnel,
+    )
+
+    funnel = {
+        r["stage_idx"]: (r["stage"], r["n_docs"], r["n_tokens"])
+        for r in d51_curation_funnel(spark, SF_DIR).collect()
+    }
+    assert [funnel[i][0] for i in range(4)] == [
+        "corpus", "near_dup", "quality", "decontam",
+    ]
+    for i in range(1, 4):
+        assert funnel[i][1] <= funnel[i - 1][1]
+        assert funnel[i][2] <= funnel[i - 1][2]
+    built = d17_pretrain_build(spark, SF_DIR).collect()
+    assert funnel[3][1] == len(built)
+    assert funnel[3][2] == sum(r["n_tokens"] for r in built)
+    # the corpus stage is the pipeline's INPUT: benchmark docs
+    # (doc_id % 97 == 0) leave the corpus in d15's join, per d17
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").where(
+        "doc_id % 97 <> 0"
+    ).count()
+    assert funnel[0][1] == docs
