@@ -65,7 +65,7 @@ _SAMPLE_FIRST = [
     "o7_fuzzy_topk", "m1_binary_meta", "m2_decode_features",
     "m3_frame_resize",
 ]
-# Round 8's thirty-seven NEW queries (d21_token_budget_mix, d22_epoch_shuffle,
+# Round 8's thirty-eight NEW queries (d21_token_budget_mix, d22_epoch_shuffle,
 # t_keyword_topk, d23_pq_codes, d24_ann_ivfpq, d25_ann_recall,
 # d26_kmv_distinct, d27_incremental_neardup, d28_chunk_overlap,
 # d29_split_assign, d30_span_dedup, d31_split_leakage, d32_rag_context,
@@ -75,7 +75,8 @@ _SAMPLE_FIRST = [
 # d43_lm_quality_buckets, d44_semantic_prune, t_readability,
 # d45_dup_weighted_sample, d46_sentence_dedup, d47_semantic_decontam,
 # d48_retention_curve, d49_kmeans_codebook, t_ttr, t_tfidf,
-# m4_payload_dedup, d50_dup_centrality, d51_curation_funnel)
+# m4_payload_dedup, d50_dup_centrality, d51_curation_funnel,
+# d52_cluster_size_hist)
 # follow the d17/r7 precedent: they are NOT in the
 # window (displacing an r06 row would leave it two rounds stale); each
 # landed with a full DuckDB oracle, exact local-gate runs at

@@ -117,6 +117,7 @@ HEADLINE = [
     "m4_payload_dedup",
     "d50_dup_centrality",
     "d51_curation_funnel",
+    "d52_cluster_size_hist",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
@@ -310,6 +311,9 @@ BUDGET = {
     "d51_curation_funnel": 1.8,    # 1.22 measured (one scan + 4-stage
                                    # conditional agg over d17's exprs;
                                    # 3.24x MV-warm at 100x)
+    "d52_cluster_size_hist": 0.5,  # 0.26-0.30 measured (histogram agg
+                                   # over the stored d9 MV; flat at 100x
+                                   # MV-warm)
     "d13_stratified_sample": 0.6,  # r8 re-pin (was generated 0.35 for the
                                    # single-window plan): the two-phase
                                    # de-skewed rank adds two tiny

@@ -5572,3 +5572,41 @@ def d51_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return totals.select(F.explode(stages).alias("r")).select(
         "r.stage_idx", "r.stage", "r.n_docs", "r.n_tokens"
     )
+
+
+# ---------------------------------------------------------------- d52
+# Dedup cluster-size histogram — the one-page report every dedup run
+# publishes: how much of the corpus sits in dup clusters of size k,
+# and how many documents a keep-one-per-cluster policy drops. Reads
+# the same stored d9 cluster MV the production drop consumes.
+
+
+@query(
+    "d52_cluster_size_hist",
+    oracle=f"""
+    WITH RECURSIVE {_D9_CTES}
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) - COUNT(DISTINCT cluster_id) AS BIGINT)
+             AS n_redundant
+    FROM sized GROUP BY cluster_size
+    """,
+)
+def d52_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram over the d9 near-dup clusters:
+    (cluster_size, n_clusters, n_docs, n_redundant) where n_redundant
+    is what keep-one-per-cluster drops at that size.
+
+    One size-keyed agg over the stored d9 MV (steady-state: an
+    MV scan + a histogram-sized exchange, map-side combined); the
+    corpus-scale cost is the d9 build, amortized under refresh_all
+    like every other MV consumer (d29/d33/d41/d45 pattern)."""
+    clusters = d9_dedup_clusters(spark, sf_dir)
+    return clusters.groupBy(F.col("cluster_size").cast("long").alias("cluster_size")).agg(
+        F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        F.count("*").cast("long").alias("n_docs"),
+        (F.count("*") - F.countDistinct("cluster_id"))
+        .cast("long")
+        .alias("n_redundant"),
+    )

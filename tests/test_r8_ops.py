@@ -806,3 +806,31 @@ def test_d51_funnel_ties_to_d17_survivors(spark):
         "doc_id % 97 <> 0"
     ).count()
     assert funnel[0][1] == docs
+
+
+def test_d52_hist_ties_to_d9_and_d10(spark):
+    # histogram rows re-derivable from the d9 cluster table, and the
+    # total redundant count IS the keep-one-per-cluster drop count
+    from collections import Counter
+
+    from risk_dashboard_database_spark.plans.dedup import (
+        d9_dedup_clusters,
+        d52_cluster_size_hist,
+    )
+
+    got = {
+        r["cluster_size"]: (r["n_clusters"], r["n_docs"], r["n_redundant"])
+        for r in d52_cluster_size_hist(spark, SF_DIR).collect()
+    }
+    rows = d9_dedup_clusters(spark, SF_DIR).collect()
+    by_size_docs = Counter(r["cluster_size"] for r in rows)
+    by_size_clusters = {}
+    for r in rows:
+        by_size_clusters.setdefault(r["cluster_size"], set()).add(r["cluster_id"])
+    want = {
+        s: (len(by_size_clusters[s]), n, n - len(by_size_clusters[s]))
+        for s, n in by_size_docs.items()
+    }
+    assert got == want
+    total_redundant = sum(v[2] for v in got.values())
+    assert total_redundant == sum(1 for r in rows if not r["is_canonical"])
