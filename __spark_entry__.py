@@ -65,7 +65,7 @@ _SAMPLE_FIRST = [
     "o7_fuzzy_topk", "m1_binary_meta", "m2_decode_features",
     "m3_frame_resize",
 ]
-# Round 8's thirty-eight NEW queries (d21_token_budget_mix, d22_epoch_shuffle,
+# Round 8's thirty-seven NEW queries (d21_token_budget_mix, d22_epoch_shuffle,
 # t_keyword_topk, d23_pq_codes, d24_ann_ivfpq, d25_ann_recall,
 # d26_kmv_distinct, d27_incremental_neardup, d28_chunk_overlap,
 # d29_split_assign, d30_span_dedup, d31_split_leakage, d32_rag_context,

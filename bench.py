@@ -371,6 +371,52 @@ BUDGET_GENERATED = {
 }
 BUDGET = {**BUDGET_GENERATED, **BUDGET}
 
+# ----------------------------------------------------------------
+# Over-the-line pin registry (VERDICT r8 #8). BASELINE.md derives a
+# ~1 s working budget per query (the reference's 500 ms slow-query
+# SLO x the agreed 2x allowance). Any pin ABOVE that line is an
+# exception that must be NAMED here with its rationale — the same
+# discipline as the plan-audit's EXCH_BUDGET — so pin vocabulary
+# cannot drift upward silently behind per-entry comments. The module
+# asserts the registry matches the merged BUDGET exactly (a new >1 s
+# pin without a registry entry is an ImportError, not a quiet grade
+# cut), and main() reports the registry size + names in the bench
+# JSON so every round's artifact carries the audit.
+WORKING_BUDGET_SEC = 1.0
+PINS_ABOVE_WORKING_BUDGET = {
+    # training / build passes (run once per dataset, consumers read MVs)
+    "d49_kmeans_codebook": "training pass: unrolled 2-round Lloyd; flat at 100x",
+    # gram-grain family: stage-latency-bound at sf0.1, volume-linear at scale
+    "d30_span_dedup": "gram-grain span flags; MV-seam move tracked r9 (#3)",
+    "d39_split_gram_overlap": "gram-grain split overlap, d30's class",
+    # plan-depth (many small broadcast joins) rather than data volume
+    "d24_ann_ivfpq": "~5 broadcast joins (PQ ADC pipeline); jitter not data",
+    "d16_rerank": "inherits d8's pinned pipeline + rerank stage",
+    "d8_ann_ivf": "IVF probe over stored assignment MV",
+    "d14_ann_ivf_nprobe2": "d8 + second probe cell",
+    "d37_minhash_calibration": "banded candidate join off stored sig MVs",
+    "d31_split_leakage": "d2 pair MVs + 2 assignment joins",
+    "d44_semantic_prune": "cell-local pairwise on stored IVF assignment",
+    "d46_sentence_dedup": "sentence-grain exchange carrying the dictionary",
+    "d47_semantic_decontam": "broadcast eval set over stored IVF assignment",
+    "d48_retention_curve": "one combinable agg over the d2 pair relation",
+    "d50_dup_centrality": "checkpointed edge table + 2 PageRank rounds",
+    "d51_curation_funnel": "one scan + 4-stage conditional agg (d17 exprs)",
+    "d17_pretrain_build": "4-stage composed curation build",
+    "e3_storylines": "multi-branch storyline assembly",
+    "e5_evidence": "evidence assembly over stored u3 MV",
+    "t_ngram_docfreq": "corpus trigram doc-frequency profile",
+    "t_ttr": "scan-rate per-row array exprs over full text",
+    "t_tfidf": "stored t_word_tf MV + vocab-sized docfreq agg",
+    "d40_vocab_growth": "word-grain min-wave agg",
+}
+_over_line = {n for n, b in BUDGET.items() if b > WORKING_BUDGET_SEC}
+assert _over_line == set(PINS_ABOVE_WORKING_BUDGET), (
+    "over-line pins drifted: unregistered="
+    f"{sorted(_over_line - set(PINS_ABOVE_WORKING_BUDGET))} "
+    f"stale={sorted(set(PINS_ABOVE_WORKING_BUDGET) - _over_line)}"
+)
+
 # Cold MV-store build budget (VERDICT r7 #4): queries are pinned but
 # the MV build path is the real operational cost (292.5 s cold at
 # 100x), and until r8 it had no regression tripwire. The whole store
@@ -505,6 +551,11 @@ def main() -> None:
                 "refresh_all_steps": refresh_steps,
                 "over_budget": over,
                 "median_over_budget": median_over,
+                "pins_above_working_budget": {
+                    "line_sec": WORKING_BUDGET_SEC,
+                    "count": len(PINS_ABOVE_WORKING_BUDGET),
+                    "names": sorted(PINS_ABOVE_WORKING_BUDGET),
+                },
             }
         )
     )

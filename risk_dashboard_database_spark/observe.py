@@ -32,6 +32,7 @@ from __future__ import annotations
 import fcntl
 import logging
 import os
+import threading
 import time
 from collections import deque
 from collections.abc import Callable, Iterator
@@ -86,19 +87,35 @@ def lock_holder(path: str) -> tuple[int, int] | None:
 # job locked after the parent dies (ADVICE r7). The at-fork handler
 # closes the child's duplicates immediately, leaving the parent the
 # sole holder; its exit then releases the job as documented.
+#
+# The registry is guarded by a mutex that the BEFORE-fork handler
+# acquires (ADVICE r8): without it, a fork landing between another
+# thread's os.open() and _live_lock_fds.add(fd) would inherit an
+# UNTRACKED duplicate fd that the child handler cannot see — the
+# exact stale-holder class this machinery exists to eliminate. Holding
+# the mutex across fork makes open+track (and untrack+close) atomic
+# with respect to fork.
 _live_lock_fds: set[int] = set()
+_live_lock_fds_mu = threading.Lock()
 
 
 def _drop_inherited_lock_fds() -> None:
+    # runs in the child with the mutex held (inherited acquired from
+    # the before-fork handler); close duplicates, then release.
     for fd in list(_live_lock_fds):
         try:
             os.close(fd)
         except OSError:
             pass
     _live_lock_fds.clear()
+    _live_lock_fds_mu.release()
 
 
-os.register_at_fork(after_in_child=_drop_inherited_lock_fds)
+os.register_at_fork(
+    before=_live_lock_fds_mu.acquire,
+    after_in_parent=_live_lock_fds_mu.release,
+    after_in_child=_drop_inherited_lock_fds,
+)
 
 
 @contextmanager
@@ -127,8 +144,9 @@ def single_flight(lock_dir: str, name: str) -> Iterator[bool]:
     no code path trusts it."""
     os.makedirs(lock_dir, exist_ok=True)
     path = os.path.join(lock_dir, f"{name}.lock")
-    fd = os.open(path, os.O_CREAT | os.O_RDWR | os.O_CLOEXEC, 0o644)
-    _live_lock_fds.add(fd)
+    with _live_lock_fds_mu:  # atomic open+track w.r.t. fork
+        fd = os.open(path, os.O_CREAT | os.O_RDWR | os.O_CLOEXEC, 0o644)
+        _live_lock_fds.add(fd)
     acquired = False
     try:
         try:
@@ -146,5 +164,6 @@ def single_flight(lock_dir: str, name: str) -> Iterator[bool]:
                 os.ftruncate(fd, 0)
             except OSError:
                 pass
-        _live_lock_fds.discard(fd)
-        os.close(fd)  # close releases the flock
+        with _live_lock_fds_mu:  # atomic untrack+close w.r.t. fork
+            _live_lock_fds.discard(fd)
+            os.close(fd)  # close releases the flock

@@ -270,6 +270,30 @@ def d2_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- d4
+# Quadratic-audit guard (VERDICT r8 #7). d4 and d42 are the deliberate
+# all-pairs exact legs — oracle-grade ground truth for the LSH/bucket
+# approximations, quadratic BY DESIGN and meant for samples. Nothing
+# used to stop a caller pointing them at a full corpus, where n^2 pairs
+# is a cluster-killer no optimizer can save. The bound lives IN THE
+# PLAN: a limit-pushed probe counts at most AUDIT_MAX_ROWS + 1 input
+# rows (cheap at any corpus size — the scan early-exits) and refuses
+# loudly above the ceiling, pointing at the scalable counterpart.
+AUDIT_MAX_ROWS = 50_000
+
+
+def _audit_bound(df: DataFrame, name: str, alternative: str) -> DataFrame:
+    n = df.limit(AUDIT_MAX_ROWS + 1).count()
+    if n > AUDIT_MAX_ROWS:
+        raise ValueError(
+            f"{name}: refusing the quadratic exact-audit leg on "
+            f">{AUDIT_MAX_ROWS} input rows ({n}+ found). This operator is "
+            f"oracle-grade ground truth for samples; at corpus scale use "
+            f"{alternative}, or audit a deterministic sample (e.g. "
+            f"doc_id-hash filter) under the bound."
+        )
+    return df
+
+
 @query(
     "d4_ngram_jaccard",
     oracle=f"""
@@ -293,6 +317,7 @@ def d4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", "lang", _shingles_spark(F.col("text")).alias("sh")).where(
         F.size("sh") > 0
     )
+    toks = _audit_bound(toks, "d4_ngram_jaccard", "d2_minhash_pairs (banded LSH)")
     a = toks.select(
         F.col("doc_id").alias("doc_a"), "lang", F.col("sh").alias("sh_a")
     )
@@ -4355,7 +4380,11 @@ def d42_embed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     The cosine, bucket, and band expressions are the identical IEEE
     trees on both engines, so the integer band/count/ppm columns
     hash-match exactly."""
-    emb = _normed_embeddings(spark, sf_dir)
+    emb = _audit_bound(
+        _normed_embeddings(spark, sf_dir),
+        "d42_embed_recall",
+        "d7_embedding_dedup (sign-LSH bucket join)",
+    )
     bucket = F.array_join(
         F.transform(
             F.slice(F.col("embedding"), 1, 8),

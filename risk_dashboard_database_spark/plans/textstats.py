@@ -646,8 +646,12 @@ def _kw_oracle() -> str:
         f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
         for t in KEYWORD_TERMS
     )
+    # greatest(df, 1): a term absent from the corpus (df = 0) must
+    # degrade identically on both engines — DuckDB's // 0 errors while
+    # Spark's div NULLs (ADVICE r8). tf is 0 whenever df is 0, so the
+    # clamped weight multiplies a zero and the score is unchanged.
     score = " + ".join(
-        f"p.tf_{t} * (a.n_docs // a.df_{t})" for t in KEYWORD_TERMS
+        f"p.tf_{t} * (a.n_docs // greatest(a.df_{t}, 1))" for t in KEYWORD_TERMS
     )
     n_terms = " + ".join(
         f"CASE WHEN p.tf_{t} > 0 THEN 1 ELSE 0 END" for t in KEYWORD_TERMS
@@ -710,7 +714,10 @@ def t_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = None
     n_terms = None
     for t in KEYWORD_TERMS:
-        s = F.col(f"tf_{t}") * F.expr(f"n_docs div df_{t}")
+        # greatest(df, 1) mirrors the oracle's zero-df clamp: absent
+        # terms (tf = 0 everywhere) contribute 0 instead of NULLing
+        # the whole score via div-by-zero (ADVICE r8).
+        s = F.col(f"tf_{t}") * F.expr(f"n_docs div greatest(df_{t}, 1L)")
         m = (F.col(f"tf_{t}") > 0).cast("long")
         score = s if score is None else score + s
         n_terms = m if n_terms is None else n_terms + m

@@ -72,6 +72,7 @@ def test_stream_kmv_incremental_merge_converges(spark, tmp_path):
         .parquet(str(docs_dir))
     )
     from risk_dashboard_database_spark.streaming.sketch import (
+        STATE_SCHEMA,
         with_token_hashes,
         _update,
     )
@@ -80,7 +81,7 @@ def test_stream_kmv_incremental_merge_converges(spark, tmp_path):
     sketched = with_token_hashes(stream).groupBy("lang").applyInPandasWithState(
         _update,
         outputStructType="lang string, k_kept long, vocab_est double",
-        stateStructType="hvs array<bigint>",
+        stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -109,3 +110,45 @@ def test_stream_kmv_incremental_merge_converges(spark, tmp_path):
             final[r["lang"]] = cand
     got = {k: (v[0], _bits(v[1])) for k, v in final.items()}
     assert got == _batch_want(spark)
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for direct _update unit tests."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_update_keeps_hv_colliding_distinct_words_in_separate_slots():
+    """Batch d26 ranks distinct (lang, word) rows by the 52-bit hash
+    prefix, so two DIFFERENT words colliding on hv occupy two of the k
+    slots. The stream state must mirror that (round-9 advice fix): a
+    hash-value set would merge them and break bit parity."""
+    import pandas as pd
+
+    from risk_dashboard_database_spark.plans.dedup import KMV_K
+    from risk_dashboard_database_spark.streaming.sketch import _update
+
+    # KMV_K distinct words, two of which collide on hv=5; plus one
+    # true repeat of an already-kept word (same wid) that must NOT
+    # take a second slot.
+    rows = [{"hv": i, "wid": f"w{i}"} for i in range(KMV_K - 1)]
+    rows.append({"hv": 5, "wid": "w5_collider"})  # distinct word, same hv
+    rows.append({"hv": 3, "wid": "w3"})  # repeat occurrence, same word
+    state = _FakeState()
+    (out,) = _update(("en",), iter([pd.DataFrame(rows)]), state)
+    assert int(out["k_kept"].iloc[0]) == KMV_K
+    hvs, wids = state.get
+    assert sorted(hvs).count(5) == 2, "hv collision must hold two slots"
+    assert len(set(wids)) == KMV_K, "slots dedup by word identity"

@@ -159,22 +159,35 @@ def _record_py_oracle_evidence(name: str, sf_dir: str, nrows: int) -> None:
     automatically instead of living in a judge's session notes."""
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "COVERAGE.md")
+    # ADVICE r8: the read-modify-write must be atomic across concurrent
+    # gate runs (e.g. sf0.001 and sf0.01 in parallel) — a blocking
+    # flock serializes writers, and os.replace() of a same-dir temp
+    # file keeps readers from ever seeing a torn ledger.
+    import fcntl
+    import tempfile
+
+    lock_fd = os.open(path + ".lock", os.O_CREAT | os.O_RDWR | os.O_CLOEXEC, 0o644)
     try:
-        text = open(path).read()
-    except OSError:
-        return
-    if _LEDGER_MARK not in text:
-        return
-    day = time.strftime("%Y-%m-%d")
-    line = (f"- {day}: `{name}` {nrows} rows exact vs the independent "
-            f"plain-Python difflib oracle at {os.path.basename(sf_dir.rstrip('/'))} "
-            f"(tools/check.py)")
-    head, _, tail = text.partition(_LEDGER_MARK)
-    if f"- {day}: `{name}`" in tail:
-        return  # one entry per day is plenty
-    open(path, "w").write(
-        head + _LEDGER_MARK + "\n" + line + "\n\n" + tail.lstrip("\n")
-    )
+        fcntl.flock(lock_fd, fcntl.LOCK_EX)
+        try:
+            text = open(path).read()
+        except OSError:
+            return
+        if _LEDGER_MARK not in text:
+            return
+        day = time.strftime("%Y-%m-%d")
+        line = (f"- {day}: `{name}` {nrows} rows exact vs the independent "
+                f"plain-Python difflib oracle at {os.path.basename(sf_dir.rstrip('/'))} "
+                f"(tools/check.py)")
+        head, _, tail = text.partition(_LEDGER_MARK)
+        if f"- {day}: `{name}`" in tail:
+            return  # one entry per day is plenty
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".covtmp")
+        with os.fdopen(fd, "w") as f:
+            f.write(head + _LEDGER_MARK + "\n" + line + "\n\n" + tail.lstrip("\n"))
+        os.replace(tmp, path)
+    finally:
+        os.close(lock_fd)  # releases the flock
 
 
 def main():
