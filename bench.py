@@ -250,10 +250,10 @@ BUDGET = {
     "d27_incremental_neardup": 0.6,  # 0.43 measured (stored-sig MV join)
     "d28_chunk_overlap": 0.7,      # 0.49 measured (shuffle-free generate)
     "d29_split_assign": 0.65,      # 0.44 measured (broadcast cluster map)
-    "d30_span_dedup": 2.6,         # 1.82 measured; stage-latency-bound at
-                                   # sf0.1 (8 sequential AQE stages over
-                                   # ~250k grams), data-bound 10x at 100x
-                                   # (BENCH_NOTES d30 table)
+    "d30_span_dedup": 1.2,         # r9: gram relation moved behind the
+                                   # d30_grams MV (VERDICT r8 #3) —
+                                   # 0.80-0.85 measured store-warm (was
+                                   # 1.58-1.82 recomputing the tokenize)
     "d31_split_leakage": 1.3,      # 0.93 measured (d2 pair MVs + 2
                                    # assignment joins + 1 agg)
     "d32_rag_context": 0.9,        # 0.64 measured (shuffle-free chunk
@@ -387,7 +387,7 @@ PINS_ABOVE_WORKING_BUDGET = {
     # training / build passes (run once per dataset, consumers read MVs)
     "d49_kmeans_codebook": "training pass: unrolled 2-round Lloyd; flat at 100x",
     # gram-grain family: stage-latency-bound at sf0.1, volume-linear at scale
-    "d30_span_dedup": "gram-grain span flags; MV-seam move tracked r9 (#3)",
+    "d30_span_dedup": "gram-grain span flags over the stored d30_grams MV",
     "d39_split_gram_overlap": "gram-grain split overlap, d30's class",
     # plan-depth (many small broadcast joins) rather than data volume
     "d24_ann_ivfpq": "~5 broadcast joins (PQ ADC pipeline); jitter not data",

@@ -98,6 +98,7 @@ MV_STORE_DAG: list[tuple[str, tuple[str, ...], tuple[str, ...]]] = [
     ("d8_assigned",   ("d8_assigned_v2",),                ()),
     ("d23_codes",     ("d23_pq_codes",),                  ()),
     ("d15_grams",     ("d15_grams",),                     ("layouts",)),
+    ("d30_grams",     ("d30_grams",),                     ("layouts",)),
     ("t_tri_grams",   ("t_tri_grams",),                   ("layouts",)),
     ("t_word_tf",     ("t_word_tf",),                     ("layouts",)),
     ("d43_lm_score",  ("d43_doc_lm_score",),              ("layouts",)),
@@ -130,6 +131,7 @@ def _mv_warmer(step: str):
         "d8_assigned": dedup._ivf_assigned,
         "d23_codes": dedup._pq_codes,
         "d15_grams": dedup._decon_grams,
+        "d30_grams": dedup._span_grams,
         "t_tri_grams": textstats.t_ngram_docfreq,
         "t_word_tf": textstats._word_tf,
         "d43_lm_score": dedup._d43_doc_scores,
