@@ -294,9 +294,11 @@ BUDGET = {
                                    # over the d2 pair relation; 2.54x on the
                                    # salted control, 63.7x adversarial =
                                    # the pair relation itself)
-    "d49_kmeans_codebook": 3.5,    # 2.44-2.53 measured (training pass, runs
-                                   # once per dataset: 8-exchange unrolled
-                                   # 2-round Lloyd, flat at 100x)
+    "d49_kmeans_codebook": 1.7,    # r9: gen1 moved behind the d49_codebook
+                                   # MV (VERDICT r8 #4) — the query is one
+                                   # assignment pass + count + digest join,
+                                   # exch 8 -> 2, 1.17-1.32 measured warm
+                                   # (was 2.34-2.53 retraining inline)
     "t_ttr": 1.2,                  # 0.84 measured (scan-rate per-row array
                                    # exprs; 6.79x at 100x = sub-linear)
     "t_tfidf": 1.2,                # 0.80 measured (stored t_word_tf MV +
@@ -385,7 +387,7 @@ BUDGET = {**BUDGET_GENERATED, **BUDGET}
 WORKING_BUDGET_SEC = 1.0
 PINS_ABOVE_WORKING_BUDGET = {
     # training / build passes (run once per dataset, consumers read MVs)
-    "d49_kmeans_codebook": "training pass: unrolled 2-round Lloyd; flat at 100x",
+    "d49_kmeans_codebook": "one assignment pass over the stored trained-codebook MV",
     # gram-grain family: stage-latency-bound at sf0.1, volume-linear at scale
     "d30_span_dedup": "gram-grain span flags over the stored d30_grams MV",
     "d39_split_gram_overlap": "gram-grain split overlap, d30's class",

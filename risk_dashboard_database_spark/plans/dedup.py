@@ -432,10 +432,25 @@ def _normed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- d3
+# Bounded-probe contract (VERDICT r8 #5): the probe set is a FIXED
+# COUNT selected by deterministic md5 rank + LIMIT, not a corpus
+# fraction. The old `vec_id % 50` made the driver-side probe collect
+# (and the n x probes kernel cost) grow linearly with the corpus —
+# effectively quadratic total work — with the bound living in prose
+# only. A LIMIT puts the bound in the plan: the collect is exactly
+# D3_PROBES rows at any corpus size, the selection is engine-exact
+# (md5 of the decimal vec_id string ranks identically in Spark and
+# DuckDB), and scanning for the top-K is TakeOrderedAndProject
+# (per-partition heads), never a global sort.
+D3_PROBES = 40
+
+
 @query(
     "d3_ann_topk",
     oracle=f"""
-    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+    WITH q AS (SELECT vec_id, embedding FROM embeddings
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               LIMIT {D3_PROBES}),
     scored AS (
       SELECT q.vec_id AS query_id, e.vec_id AS candidate_id, e.label,
              {_DOT_SQL.format(a='q.embedding', b='e.embedding')}
@@ -483,21 +498,24 @@ def d3_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-vector L2 norm still comes from the stored `d3_normed` MV
     (one fold per VECTOR, not per pair).
 
-    The probe set (`vec_id % 50 == 0`) is collected to the driver and
+    The probe set (md5-rank + LIMIT, D3_PROBES rows — the bound is in
+    the plan, VERDICT r8 #5) is collected to the driver and
     rebroadcast — the same data movement the previous BroadcastHash
-    formulation performed inside the JVM; at real scale the probe set
-    is the bounded side by workload construction, and a larger probe
-    set blocks through PROBE_BLOCK rows at a time so the kernel's
+    formulation performed inside the JVM; the collect is a fixed
+    D3_PROBES rows at ANY corpus size, and a larger configured probe set
+    blocks through PROBE_BLOCK rows at a time so the kernel's
     accumulator stays O(block x batch)."""
     import numpy as np
     import pandas as pd
 
     normed = _normed_embeddings(spark, sf_dir)
     qpd = (
-        normed.where(F.col("vec_id") % 50 == 0)
+        normed.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(D3_PROBES)
         .select("vec_id", "embedding", "norm")
         .toPandas()
     )
+    assert len(qpd) <= D3_PROBES  # the plan-enforced probe bound
     qids = qpd["vec_id"].to_numpy()
     Q = (
         np.stack(qpd["embedding"].to_numpy()).astype(np.float64)
@@ -593,7 +611,9 @@ def _d3_fold_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserts kernel == fold on every row including raw cosine bits)."""
     normed = _normed_embeddings(spark, sf_dir)
     q = F.broadcast(
-        normed.where(F.col("vec_id") % 50 == 0).select(
+        normed.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(D3_PROBES)
+        .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
             F.col("norm").alias("qnorm"),
@@ -3679,7 +3699,9 @@ HARDNEG_TOPK = 3
     "d36_hard_negatives",
     oracle=f"""
     WITH q AS (
-      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 50 = 0
+      SELECT vec_id, embedding, label FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {D3_PROBES}
     ),
     scored AS (
       SELECT q.vec_id AS query_id, q.label AS query_label,
@@ -3722,7 +3744,9 @@ def d36_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     the declarative statement of the same plan."""
     normed = _normed_embeddings(spark, sf_dir)
     probes = F.broadcast(
-        normed.where(F.col("vec_id") % 50 == 0).select(
+        normed.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(D3_PROBES)
+        .select(
             F.col("vec_id").alias("query_id"),
             F.col("label").alias("query_label"),
             F.col("embedding").alias("qe"),
@@ -5211,18 +5235,28 @@ def d48_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # truncation semantics differ between engines) is never needed.
 
 D49_PPB = 1_000_000_000  # fixed-point scale for embedding coords
+# Fixed-count seed codebook (VERDICT r8 #5): the old `vec_id % 100`
+# seed was 1% OF THE CORPUS, so the n x k assignment cost was
+# effectively quadratic in corpus size with the bound living in prose.
+# The seed is now a deterministic md5-rank top-K — the bound is a
+# LIMIT in the plan (TakeOrderedAndProject, never a global sort), k is
+# a workload parameter independent of n, and the selection is
+# engine-exact (d3's md5-of-decimal-string convention).
+D49_SEED_K = 16
 
-
-@query(
-    "d49_kmeans_codebook",
-    oracle=f"""
-    WITH vecs AS (
+# Shared SQL fragments for the trained-codebook CTE chain (d49's
+# training unrolled; reused verbatim by d25b so its oracle trains the
+# identical codebook).
+_D49_VECS_SQL = f"""
       SELECT vec_id,
              list_transform(embedding,
                x -> CAST(floor(CAST(x AS DOUBLE) * {D49_PPB}.0) AS BIGINT)) AS v
       FROM embeddings
-    ),
-    gen0 AS (SELECT vec_id AS cid, v AS c FROM vecs WHERE vec_id % 100 = 0),
+"""
+_D49_GEN1_CTES = f"""
+    gen0 AS (SELECT vec_id AS cid, v AS c FROM vecs
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+             LIMIT {D49_SEED_K}),
     a1 AS (
       SELECT s.vec_id, s.v,
              (SELECT g.cid FROM gen0 g
@@ -5233,13 +5267,102 @@ D49_PPB = 1_000_000_000  # fixed-point scale for embedding coords
       FROM vecs s
     ),
     sums AS (
-      SELECT cell, i AS dim, CAST(SUM(v[i]) AS BIGINT) AS s
+      SELECT cell, i AS dim, CAST(SUM(v[i]) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
       FROM a1, UNNEST(generate_series(1, len(v))) AS t(i)
       GROUP BY cell, i
     ),
     gen1 AS (
-      SELECT cell AS cid, list(s ORDER BY dim) AS c FROM sums GROUP BY cell
-    ),
+      SELECT cell AS cid, list(s ORDER BY dim) AS c, MAX(n) AS n
+      FROM sums GROUP BY cell
+    )
+"""
+
+
+def _d49_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings projected to exact ppb integers — the fixed-point
+    space the whole d49 family trains and assigns in."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    to_ppb = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(float(D49_PPB))),
+    )
+    return emb.select("vec_id", "label", to_ppb.alias("v"))
+
+
+def _d49_assign(vecs: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Argmax-cosine cell assignment: broadcast codebook (k rows),
+    map-side-combinable max_by — never a window over the n*k score
+    relation. Shuffles ~n rows once."""
+    cos = _dot_spark(F.col("v"), F.col("c")) / (
+        F.sqrt(_dot_spark(F.col("v"), F.col("v")))
+        * F.sqrt(_dot_spark(F.col("c"), F.col("c")))
+    )
+    return (
+        vecs.join(F.broadcast(codebook))
+        .select("vec_id", "v", "cid", cos.alias("__cos"))
+        .groupBy("vec_id")
+        .agg(
+            F.any_value("v").alias("v"),
+            F.max_by(
+                F.col("cid"),
+                F.struct(F.col("__cos").alias("c"), (-F.col("cid")).alias("nc")),
+            ).alias("cell"),
+        )
+    )
+
+
+def _d49_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRAINED codebook (cid, c: array<bigint>) — one Lloyd update
+    from the fixed-count seed — through the MV seam (VERDICT r8 #4/#6).
+    Training is a once-per-dataset build (refresh_all pre-pays it);
+    every consumer (d49's reassignment report, d25b's trained-recall
+    audit) compiles to a k-row parquet scan. Centroids are kept as the
+    RAW integer SUM vectors: cosine is scale-invariant, so the
+    engine-divergent division by member count never happens.
+
+    Build shape: one seed TakeOrdered pass, one assignment exchange,
+    one (cell, dim)-keyed partial-sum exchange (map-side combined —
+    the Spark MLlib dense-update layout); at 100 TB further rounds
+    iterate exactly like this with a lineage checkpoint per round (the
+    d9 connected-components discipline)."""
+    from .relcache import cached_relation
+
+    vecs = _d49_vecs(spark, sf_dir).select("vec_id", "v")
+
+    def _build() -> DataFrame:
+        gen0 = (
+            vecs.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(D49_SEED_K)
+            .select(F.col("vec_id").alias("cid"), F.col("v").alias("c"))
+        )
+        a1 = _d49_assign(vecs, gen0)
+        return (
+            a1.select("cell", F.posexplode("v").alias("dim0", "val"))
+            .groupBy("cell", (F.col("dim0") + 1).alias("dim"))
+            .agg(
+                F.sum("val").alias("s"),
+                F.count("*").cast("long").alias("n"),
+            )
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("dim", "s"))),
+                    lambda st: st.getField("s"),
+                ).alias("c"),
+                F.max("n").alias("n"),
+            )
+            .select(F.col("cell").alias("cid"), "c", "n")
+        )
+
+    return cached_relation("d49_codebook_v2", sf_dir, _build)
+
+
+@query(
+    "d49_kmeans_codebook",
+    oracle=f"""
+    WITH vecs AS ({_D49_VECS_SQL}),
+    {_D49_GEN1_CTES},
     a2 AS (
       SELECT s.vec_id,
              (SELECT g.cid FROM gen1 g
@@ -5262,61 +5385,18 @@ def d49_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> reassign), reported as final member counts per surviving
     centroid plus an integer digest of the trained centroid vector.
 
-    Spark shape: both assignment passes are the _ivf_assigned layout —
-    broadcast codebook (k rows), map-side-combinable max_by argmax,
-    never a window over the n*k score relation. The centroid update
-    shuffles (cell, dim)-keyed partial sums — d x the assignment
-    volume, map-side combined, the dense-partial-sum layout every
-    distributed k-means (including Spark MLlib's) uses; at 100 TB
-    further rounds iterate exactly like this behind the MV seam with a
-    lineage checkpoint per round (the d9 connected-components
-    discipline). Rounds here: fixed at one update + reassignment — the
-    oracle unrolls the same two rounds."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    to_ppb = F.transform(
-        F.col("embedding"),
-        lambda x: F.floor(x.cast("double") * F.lit(float(D49_PPB))),
-    )
-    vecs = emb.select("vec_id", to_ppb.alias("v"))
-    gen0 = F.broadcast(
-        vecs.where(F.col("vec_id") % 100 == 0).select(
-            F.col("vec_id").alias("cid"), F.col("v").alias("c")
-        )
-    )
-
-    def assign(codebook: DataFrame) -> DataFrame:
-        cos = _dot_spark(F.col("v"), F.col("c")) / (
-            F.sqrt(_dot_spark(F.col("v"), F.col("v")))
-            * F.sqrt(_dot_spark(F.col("c"), F.col("c")))
-        )
-        return (
-            vecs.join(codebook)
-            .select("vec_id", "v", "cid", cos.alias("__cos"))
-            .groupBy("vec_id")
-            .agg(
-                F.any_value("v").alias("v"),
-                F.max_by(
-                    F.col("cid"),
-                    F.struct(F.col("__cos").alias("c"), (-F.col("cid")).alias("nc")),
-                ).alias("cell"),
-            )
-        )
-
-    a1 = assign(gen0)
-    gen1 = (
-        a1.select("cell", F.posexplode("v").alias("dim0", "val"))
-        .groupBy("cell", (F.col("dim0") + 1).alias("dim"))
-        .agg(F.sum("val").alias("s"))
-        .groupBy("cell")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("dim", "s"))),
-                lambda st: st.getField("s"),
-            ).alias("c")
-        )
-        .select(F.col("cell").alias("cid"), "c")
-    )
-    a2 = assign(F.broadcast(gen1))
+    Spark shape (r9 slim, VERDICT r8 #4): the trained gen1 codebook is
+    the stored `d49_codebook` MV, so the query itself is ONE
+    assignment pass over the vecs (broadcast k-row codebook, map-side
+    max_by), one cell-grain count, and a broadcast digest join — the
+    two redundant corpus fan-outs of the old inline 8-exchange plan
+    (re-seeding, re-training and re-scanning vecs for both assignment
+    generations every run) now live in the once-per-dataset MV build.
+    The oracle unrolls the full training chain, so the gate re-proves
+    the stored codebook equals retraining from scratch."""
+    vecs = _d49_vecs(spark, sf_dir).select("vec_id", "v")
+    gen1 = _d49_codebook(spark, sf_dir)
+    a2 = _d49_assign(vecs, gen1)
     digest = gen1.select(
         "cid",
         F.aggregate(F.col("c"), F.lit(0).cast("long"), lambda acc, x: acc + x)
@@ -5328,6 +5408,275 @@ def d49_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_members"))
         .join(F.broadcast(digest), F.col("cid") == F.col("cell"))
         .select("cid", "n_members", "coord_sum")
+    )
+
+
+# --------------------------------------------------------------- d25b
+# Closing the PQ tuning loop (VERDICT r8 #6): d25 measures IVF-PQ
+# recall on the DELIBERATE stub codebook (every-100th-vector slices)
+# and reads 0.233 — the number that motivates training. d25b is the
+# identical measurement with every quantizer fed from d49's TRAINED
+# codebook instead: cells route by argmax cosine against the trained
+# mean centroids, PQ codes argmin per-subspace against the SAME
+# centroid slices, and recall is PQ-top-3 vs exact-in-cell-top-3 per
+# probe. d25 -> d25b is therefore exactly the before/after a pipeline
+# runs when deciding whether another Lloyd round pays for itself
+# (recall lift recorded in BENCH_NOTES).
+#
+# Mean centroids: the stored codebook keeps RAW SUM vectors (cosine
+# never needs the division), but squared-L2 sub-distances are scale-
+# sensitive, so d25b forms means as floor(sum / n) computed in DOUBLE
+# on both engines — IEEE division is exactly rounded, and |sum| < 2^53
+# at this scale, so the integer mean coordinates are engine-identical.
+
+_D25B_CM_SQL = """
+      SELECT cid,
+             list_transform(c, x -> CAST(floor(CAST(x AS DOUBLE) / n)
+                                         AS BIGINT)) AS ce
+      FROM gen1
+"""
+
+
+def _d25b_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained MEAN centroids (cid, ce) from the stored sum-codebook —
+    the _D25B_CM_SQL expression as Spark columns (double division then
+    floor: IEEE-identical on both engines for |sum| < 2^53)."""
+    return _d49_codebook(spark, sf_dir).select(
+        "cid",
+        F.transform(
+            "c",
+            lambda x: F.floor(x.cast("double") / F.col("n").cast("double"))
+            .cast("long"),
+        ).alias("ce"),
+    )
+
+
+def _d25b_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-codebook assignment + PQ codes (vec_id, v, cell,
+    code_1..code_M), through the MV seam — the trained analog of the
+    d8_assigned + d23_pq_codes MVs that the untrained pipeline stores.
+    ONE corpus fan-out (vecs x broadcast k-row trained codebook)
+    computes the cell argmax AND all PQ_M sub-code argmins in a single
+    map-side-combinable groupBy, so routing and code build share the
+    scan; consumers (d25b's three references) compile to plain scans
+    instead of re-paying the n x k pass each."""
+    from .relcache import cached_relation
+
+    vecs = _d49_vecs(spark, sf_dir).select("vec_id", "v")
+    cm = _d25b_centroids(spark, sf_dir)
+
+    def _build() -> DataFrame:
+        cos = _dot_spark(F.col("v"), F.col("ce")) / (
+            F.sqrt(_dot_spark(F.col("v"), F.col("v")))
+            * F.sqrt(_dot_spark(F.col("ce"), F.col("ce")))
+        )
+        subdists = [
+            _sql2_spark(
+                F.slice(F.col("v"), (s - 1) * PQ_SUBDIM + 1, PQ_SUBDIM),
+                F.slice(F.col("ce"), (s - 1) * PQ_SUBDIM + 1, PQ_SUBDIM),
+            ).alias(f"d_{s}")
+            for s in range(1, PQ_M + 1)
+        ]
+        fan = vecs.join(F.broadcast(cm)).select(
+            "vec_id", "v", "cid", cos.alias("__cos"), *subdists
+        )
+        return fan.groupBy("vec_id").agg(
+            F.any_value("v").alias("v"),
+            F.max_by(
+                F.col("cid"),
+                F.struct(F.col("__cos").alias("c"), (-F.col("cid")).alias("nc")),
+            ).alias("cell"),
+            *[
+                F.min_by(F.col("cid"), F.struct(F.col(f"d_{s}"), F.col("cid")))
+                .alias(f"code_{s}")
+                for s in range(1, PQ_M + 1)
+            ],
+        )
+
+    return cached_relation("d25b_assigned", sf_dir, _build)
+_D25B_CODES_SQL = ",\n".join(
+    f"""             (SELECT m.cid FROM cm m
+              ORDER BY {_SQL2_SQL.format(a=_sub_sql('s.v', s), b=_sub_sql('m.ce', s))}, m.cid
+              LIMIT 1) AS code_{s}"""
+    for s in range(1, PQ_M + 1)
+)
+_D25B_DT_COLS_SQL = ",\n".join(
+    f"             {_SQL2_SQL.format(a=_sub_sql('q.v', s), b=_sub_sql('m.ce', s))} AS td_{s}"
+    for s in range(1, PQ_M + 1)
+)
+
+
+@query(
+    "d25b_ann_recall_trained",
+    oracle=f"""
+    WITH vecs AS ({_D49_VECS_SQL}),
+    {_D49_GEN1_CTES},
+    cm AS ({_D25B_CM_SQL}),
+    assigned AS (
+      SELECT s.vec_id, s.v,
+             (SELECT m.cid FROM cm m
+              ORDER BY {_DOT_SQL.format(a='s.v', b='m.ce')}
+                       / (sqrt({_DOT_SQL.format(a='s.v', b='s.v')})
+                          * sqrt({_DOT_SQL.format(a='m.ce', b='m.ce')})) DESC, m.cid
+              LIMIT 1) AS cell
+      FROM vecs s
+    ),
+    codes AS (
+      SELECT s.vec_id,
+{_D25B_CODES_SQL}
+      FROM vecs s
+    ),
+    q AS (SELECT vec_id, v, cell FROM assigned WHERE vec_id % 50 = 0),
+    dt AS (
+      SELECT q.vec_id AS query_id, m.cid,
+{_D25B_DT_COLS_SQL}
+      FROM q, cm m
+    ),
+    pq_scored AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS candidate_id,
+             {_ADC_SUM_SQL} AS adc
+      FROM q
+      JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.vec_id
+      JOIN codes k ON k.vec_id = a.vec_id
+{_ADC_JOINS_SQL}
+    ),
+    pq_top AS (
+      SELECT query_id, candidate_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc, candidate_id) AS rank
+        FROM pq_scored) WHERE rank <= 3
+    ),
+    exact_scored AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS candidate_id,
+             {_DOT_SQL.format(a='q.v', b='a.v')}
+               / (sqrt({_DOT_SQL.format(a='q.v', b='q.v')})
+                  * sqrt({_DOT_SQL.format(a='a.v', b='a.v')})) AS cosine
+      FROM q JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.vec_id
+    ),
+    exact_top AS (
+      SELECT query_id, candidate_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, candidate_id) AS rank
+        FROM exact_scored) WHERE rank <= 3
+    )
+    SELECT p.query_id,
+           CAST(COUNT(*) AS BIGINT) AS k_returned,
+           CAST(COUNT(e.candidate_id) AS BIGINT) AS hits
+    FROM pq_top p
+    LEFT JOIN exact_top e
+      ON e.query_id = p.query_id AND e.candidate_id = p.candidate_id
+    GROUP BY p.query_id
+    """,
+)
+def d25b_ann_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d25's IVF-PQ recall audit re-run on d49's TRAINED codebook —
+    the after-training measurement (d25 is the before).
+
+    Spark shape: ONE corpus fan-out (vecs x broadcast k-row trained
+    codebook) computes the cell argmax AND all PQ_M sub-code argmins
+    in a single map-side-combinable groupBy — cell routing and code
+    build share the scan instead of paying two n x k passes. Probes
+    take the d25 convention (same probe ids => comparable recall);
+    the per-probe distance table folds to a broadcast map (d24's
+    layout); both the ADC and exact rankings are in-cell windows over
+    cell-local joins. Output schema matches d25 row-for-row, so
+    recall lift is a one-line diff of the two results."""
+    cm = _d25b_centroids(spark, sf_dir)
+    assigned = _d25b_assigned(spark, sf_dir)
+    probes = assigned.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("cell").alias("qcell"),
+    )
+    dt = probes.join(F.broadcast(cm)).select(
+        "query_id",
+        "cid",
+        *[
+            _sql2_spark(
+                F.slice(F.col("qv"), (s - 1) * PQ_SUBDIM + 1, PQ_SUBDIM),
+                F.slice(F.col("ce"), (s - 1) * PQ_SUBDIM + 1, PQ_SUBDIM),
+            ).alias(f"td_{s}")
+            for s in range(1, PQ_M + 1)
+        ],
+    )
+    dtm = (
+        dt.groupBy("query_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        F.col("cid"),
+                        F.array(*[F.col(f"td_{s}") for s in range(1, PQ_M + 1)]),
+                    )
+                )
+            ).alias("tdm")
+        )
+        .withColumnRenamed("query_id", "tq")
+    )
+    cand = assigned.select(
+        F.col("vec_id").alias("candidate_id"),
+        "cell",
+        "v",
+        *[F.col(f"code_{s}") for s in range(1, PQ_M + 1)],
+    )
+    joined = (
+        F.broadcast(probes.select("query_id", "qcell"))
+        .join(
+            cand,
+            (F.col("cell") == F.col("qcell"))
+            & (F.col("candidate_id") != F.col("query_id")),
+        )
+        .join(F.broadcast(dtm), F.col("tq") == F.col("query_id"))
+    )
+    adc = None
+    for s in range(1, PQ_M + 1):
+        term = F.element_at(F.col("tdm"), F.col(f"code_{s}"))[s - 1]
+        adc = term if adc is None else adc + term
+    wq = Window.partitionBy("query_id").orderBy(F.col("adc"), F.col("candidate_id"))
+    pq_top = (
+        joined.select("query_id", "candidate_id", adc.alias("adc"))
+        .withColumn("rank", F.row_number().over(wq))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "candidate_id")
+    )
+    exact_scored = F.broadcast(probes).join(
+        cand.select("candidate_id", "cell", F.col("v").alias("cv")),
+        (F.col("cell") == F.col("qcell"))
+        & (F.col("candidate_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "candidate_id",
+        (
+            _dot_spark(F.col("qv"), F.col("cv"))
+            / (
+                F.sqrt(_dot_spark(F.col("qv"), F.col("qv")))
+                * F.sqrt(_dot_spark(F.col("cv"), F.col("cv")))
+            )
+        ).alias("cosine"),
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("candidate_id")
+    )
+    exact_top = (
+        exact_scored.withColumn("rank", F.row_number().over(we))
+        .where(F.col("rank") <= 3)
+        .select(
+            F.col("query_id").alias("true_qid"),
+            F.col("candidate_id").alias("true_id"),
+        )
+    )
+    return (
+        pq_top.join(
+            F.broadcast(exact_top),
+            (F.col("query_id") == F.col("true_qid"))
+            & (F.col("candidate_id") == F.col("true_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("k_returned"),
+            F.count("true_id").cast("long").alias("hits"),
+        )
     )
 
 

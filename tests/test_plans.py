@@ -40,8 +40,11 @@ BNLJ_OK = {
     "d24_ann_ivfpq",    # probe x codebook distance-table fan-out
                         # (broadcast-sized by PQ's fixed-codebook contract)
     "d25_ann_recall",   # embeds d24's plan (same fan-out)
-    "d49_kmeans_codebook",  # two Lloyd assignment passes = two broadcast
-                            # codebook fan-outs (d8's layout, k rows each)
+    "d25b_ann_recall_trained",  # probe x trained-codebook distance-table
+                                # fan-out (d24's layout, k rows)
+    "d49_kmeans_codebook",  # one Lloyd reassignment pass = one broadcast
+                            # codebook fan-out (d8's layout, k rows;
+                            # training lives in the d49_codebook MV)
     "t_tfidf",          # 1-row corpus-count scalar crossJoin (the
                         # t_keyword_topk anchor pattern)
 }
@@ -102,13 +105,6 @@ EXCH_BUDGET = {
                                     # only the first is corpus-keyed;
                                     # eval grams never shuffle (flag
                                     # set broadcasts back, d30 pattern)
-    "d49_kmeans_codebook": 8,       # unrolled 2-round Lloyd: THREE
-                                    # corpus-scale exchanges (two argmax
-                                    # assignment aggs + the (cell,dim)
-                                    # partial-sum agg, all map-side
-                                    # combined); the other five move
-                                    # k- or (k x d)-row codebook frames
-                                    # (collect/digest/count joins)
 }
 
 

@@ -599,6 +599,7 @@ def test_d49_kmeans_codebook_matches_python_lloyd(spark):
 
     from risk_dashboard_database_spark.plans.dedup import (
         D49_PPB,
+        D49_SEED_K,
         d49_kmeans_codebook,
     )
 
@@ -628,7 +629,14 @@ def test_d49_kmeans_codebook_matches_python_lloyd(spark):
             out[vid] = best[0]
         return out
 
-    gen0 = {vid: v for vid, v in vecs.items() if vid % 100 == 0}
+    # fixed-count deterministic seed: md5-of-decimal-string rank + LIMIT
+    # (the r9 bounded-codebook contract)
+    import hashlib
+
+    seed_ids = sorted(
+        vecs, key=lambda vid: (hashlib.md5(str(vid).encode()).hexdigest(), vid)
+    )[:D49_SEED_K]
+    gen0 = {vid: vecs[vid] for vid in seed_ids}
     a1 = assign(gen0)
     gen1 = {}
     for vid, cell in a1.items():
@@ -834,3 +842,46 @@ def test_d52_hist_ties_to_d9_and_d10(spark):
     assert got == want
     total_redundant = sum(v[2] for v in got.values())
     assert total_redundant == sum(1 for r in rows if not r["is_canonical"])
+
+
+def test_d25b_trained_recall_mirrors_d25_contract(spark):
+    """d25b must be directly comparable to d25: same probe ids, same
+    k, hits bounded by truth-set size — so 'recall lift from training'
+    is a one-line diff of the two results (VERDICT r8 #6)."""
+    from risk_dashboard_database_spark.plans.dedup import (
+        d25_ann_recall,
+        d25b_ann_recall_trained,
+    )
+
+    base = {r["query_id"]: r for r in d25_ann_recall(spark, SF_DIR).collect()}
+    trained = {
+        r["query_id"]: r
+        for r in d25b_ann_recall_trained(spark, SF_DIR).collect()
+    }
+    assert set(trained) == set(base), "probe sets must match"
+    for qid, r in trained.items():
+        assert 1 <= r["k_returned"] <= 3
+        assert 0 <= r["hits"] <= r["k_returned"]
+
+
+def test_d25b_assigned_is_a_corpus_partition(spark):
+    """Every vector gets exactly one trained cell and PQ_M codes, and
+    every cell/code is a codebook member."""
+    from risk_dashboard_database_spark.plans.dedup import (
+        PQ_M,
+        _d25b_assigned,
+        _d49_codebook,
+    )
+
+    cb_ids = {
+        r["cid"] for r in _d49_codebook(spark, SF_DIR).select("cid").collect()
+    }
+    rows = _d25b_assigned(spark, SF_DIR).collect()
+    n_vecs = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    )
+    assert len(rows) == n_vecs
+    for r in rows:
+        assert r["cell"] in cb_ids
+        for s in range(1, PQ_M + 1):
+            assert r[f"code_{s}"] in cb_ids
