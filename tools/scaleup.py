@@ -116,18 +116,47 @@ LINEITEM_ZIPF_SQL = """
            l_linestatus, l_shipdate
     FROM src
 """
+# --mode=vec (VERDICT r8 #2): grow the EMBEDDINGS corpus K-fold — the
+# dimension every ANN/semantic operator consumes, which the default
+# modes deliberately keep 1:1 (see the header note). Each copy i > 0
+# applies one fixed ORTHOGONAL transform to all of its vectors: a
+# cyclic coordinate shift by i plus deterministic per-(copy, dim) sign
+# flips. Orthogonal => norms are preserved EXACTLY and every pairwise
+# cosine WITHIN a copy equals its copy-0 counterpart — so the true
+# neighbor structure replicates linearly (K x vectors, K x true
+# neighbor pairs), while CROSS-copy cosines scramble into noise (no
+# degenerate exact-duplicate family whose pair count would grow
+# quadratically for data reasons, the same design point as the salted
+# documents). Facts get the standard suffix replication so doc-side
+# operators stay honest if touched.
+EMB_VEC_SQL = """
+    SELECT vec_id + {off} AS vec_id, label,
+           CASE WHEN {i} = 0 THEN embedding ELSE
+             list_transform(range(1, len(embedding) + 1),
+               j -> CAST(embedding[1 + ((j - 1 + {i}) % len(embedding))]
+                    * (CASE WHEN hash({i} * 1024 + j) % 2 = 0
+                            THEN 1 ELSE -1 END) AS REAL))
+           END AS embedding
+    FROM src
+"""
+
 COPY_TABLES = ["region", "nation", "customer", "supplier", "part", "embeddings"]
 
 
 def build(k: int, src: str, dst: str, mode: str = "suffix") -> None:
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
-    for t in COPY_TABLES:
+    copy_tables = list(COPY_TABLES)
+    fact_sql = dict(FACT_SQL)
+    if mode == "vec":
+        copy_tables.remove("embeddings")
+        fact_sql["documents"] = DOCS_SALTED_SQL
+        fact_sql["embeddings"] = EMB_VEC_SQL
+    for t in copy_tables:
         con.sql(
             f"COPY (SELECT * FROM '{src}/{t}.parquet') TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
         )
         print(f"{t}: copied 1x")
-    fact_sql = dict(FACT_SQL)
     fmt = {}
     if mode == "salt":
         fact_sql["documents"] = DOCS_SALTED_SQL
@@ -165,11 +194,11 @@ def build(k: int, src: str, dst: str, mode: str = "suffix") -> None:
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     mode = "suffix"
-    for m in ("salt", "zipf"):
+    for m in ("salt", "zipf", "vec"):
         if f"--mode={m}" in sys.argv:
             mode = m
     k = int(args[0]) if args else 10
     src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
-    suffix = {"salt": "-salt", "zipf": "-zipf"}.get(mode, "")
+    suffix = {"salt": "-salt", "zipf": "-zipf", "vec": "-vec"}.get(mode, "")
     dst = args[2] if len(args) > 2 else f"/tmp/sfscale{k}{suffix}"
     build(k, src, dst, mode=mode)
