@@ -56,13 +56,12 @@ _SAMPLE_FIRST = [
     # tier 2 — latest driver green is r06 (2 rounds stale entering r9)
     "o7_fuzzy_topk", "m1_binary_meta", "m2_decode_features",
     "m3_frame_resize",
-    # tier 3 — output changed in r9 (bounded probe contract)
-    "d3_ann_topk",
-    # tier 4 — r07-green rows (headline-weighted seven; the other 43
+    # tier 3 — output changed in r9 (bounded probe contract) or NEW in r9
+    "d3_ann_topk", "t_zipf_profile", "d54_anneal_mix", "m5_frame_dedup",
+    # tier 4 — r07-green rows (headline-weighted four; the other 46
     # r07 rows remain ≤2 rounds old and lead the r10 rotation)
     "a1_pricing_summary", "d17_pretrain_build", "t1_narrative_rollup",
-    "t2_crisis_chain", "j4_entity_daily_metrics", "a7_sector_stats",
-    "u4_anomaly_rules",
+    "t2_crisis_chain",
 ]
 # (The round-8 newcomers' deferred-sampling note from r8 is resolved:
 # all 37 are tier-1 above, per VERDICT r8 #1.)

@@ -118,6 +118,9 @@ HEADLINE = [
     "d50_dup_centrality",
     "d51_curation_funnel",
     "d52_cluster_size_hist",
+    "t_zipf_profile",
+    "d54_anneal_mix",
+    "m5_frame_dedup",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
@@ -316,6 +319,13 @@ BUDGET = {
     "d52_cluster_size_hist": 0.5,  # 0.26-0.30 measured (histogram agg
                                    # over the stored d9 MV; flat at 100x
                                    # MV-warm)
+    # r9 queries, pinned at 1.4x the worst measured median (same recipe):
+    "t_zipf_profile": 0.85,        # 0.58 measured (t_word_tf MV +
+                                   # vocab agg + WindowGroupLimit rank)
+    "d54_anneal_mix": 1.0,         # 0.75 measured (d43 score MV +
+                                   # value-domain CDF + 2 tiny aggs)
+    "m5_frame_dedup": 0.9,         # 0.63 measured (frame generate +
+                                   # one fingerprint-keyed agg, d30 shape)
     "d13_stratified_sample": 0.6,  # r8 re-pin (was generated 0.35 for the
                                    # single-window plan): the two-phase
                                    # de-skewed rank adds two tiny

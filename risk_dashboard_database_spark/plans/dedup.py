@@ -4554,10 +4554,11 @@ def _d43_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached_relation("d43_doc_lm_score", sf_dir, _build)
 
 
-@query(
-    "d43_lm_quality_buckets",
-    oracle=f"""
-    WITH w AS (
+# Shared oracle CTE chain: documents -> per-doc integer LM score
+# (the SQL mirror of the `d43_doc_lm_score` MV build). Reused by d43's
+# bucket split and d54's annealing-mix report so the two oracles can
+# never drift apart.
+_D43_SCORED_CTES = f"""w AS (
       SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
     ),
     g AS (
@@ -4584,7 +4585,13 @@ def _d43_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) AS n_bigrams
       FROM g JOIN p USING (w1, w2)
       GROUP BY 1, 2
-    ),
+    )"""
+
+
+@query(
+    "d43_lm_quality_buckets",
+    oracle=f"""
+    WITH {_D43_SCORED_CTES},
     dom AS (
       SELECT lang, score, COUNT(*) AS c FROM scored GROUP BY 1, 2
     ),
@@ -4694,6 +4701,135 @@ def d43_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return main.unionByName(short)
+
+
+# ---------------------------------------------------------------- d54
+# Annealing-phase mixture report: late-training "annealing" upsamples
+# the highest-quality slice of the corpus (the OLMo/MiniCPM recipe:
+# finish training on the head of the quality distribution). d54 is
+# the mixture table that phase consumes — for every language, the
+# document/token mass of the full corpus ('base') vs the per-language
+# LM-quality head tertile ('anneal', d43's head bucket), with each
+# row's integer-ppm share of its phase's token total. The report shows
+# exactly how annealing reshapes the language mixture: a language with
+# disproportionately clean prose gains share in the anneal phase.
+
+
+@query(
+    "d54_anneal_mix",
+    oracle=f"""
+    WITH {_D43_SCORED_CTES},
+    dom AS (SELECT lang, score, COUNT(*) AS c FROM scored GROUP BY 1, 2),
+    cdf AS (
+      SELECT lang, score, c,
+             SUM(c) OVER (PARTITION BY lang ORDER BY score) AS cum,
+             SUM(c) OVER (PARTITION BY lang) AS n
+      FROM dom
+    ),
+    cuts AS (
+      SELECT lang,
+             MIN(CASE WHEN cum >= (2*n + 2) // 3 THEN score END) AS t2
+      FROM cdf GROUP BY lang
+    ),
+    phased AS (
+      SELECT s.lang, s.n_bigrams + 1 AS toks, (s.score > c.t2) AS anneal
+      FROM scored s JOIN cuts c USING (lang)
+    ),
+    phase_rows AS (
+      SELECT lang, 'base' AS phase,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(toks) AS BIGINT) AS n_tokens
+      FROM phased GROUP BY lang
+      UNION ALL
+      SELECT lang, 'anneal',
+             CAST(COUNT(*) AS BIGINT), CAST(SUM(toks) AS BIGINT)
+      FROM phased WHERE anneal GROUP BY lang
+    ),
+    tot AS (SELECT phase, SUM(n_tokens) AS pt FROM phase_rows GROUP BY phase)
+    SELECT r.lang, r.phase, r.n_docs, r.n_tokens,
+           CAST((r.n_tokens * 1000000) // t.pt AS BIGINT) AS tok_share_ppm
+    FROM phase_rows r JOIN tot t USING (phase)
+    """,
+)
+def d54_anneal_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language base vs annealing-phase mixture (docs, tokens, and
+    integer-ppm token share within each phase).
+
+    Spark shape: reads the stored `d43_doc_lm_score` MV (score-at-
+    ingest; no corpus text is touched), derives the per-language head
+    cut with d43's value-domain CDF (a (lang, score) agg keyed on the
+    full value domain + a dictionary-sized lang window — skew-immune),
+    broadcasts the cuts back, and reduces to ~2 x |langs| rows in one
+    map-side-combined agg. Phase token totals are a 2-row aggregate
+    broadcast onto the result. Token counts are n_bigrams + 1 (exact
+    for every scored doc; sub-2-token docs carry no LM score and are
+    excluded from both phases, the d43 'short' branch contract)."""
+    scored = _d43_doc_scores(spark, sf_dir)
+    dom = scored.groupBy("lang", "score").agg(F.count("*").alias("c"))
+    wl = Window.partitionBy("lang")
+    cdf = dom.select(
+        "lang",
+        "score",
+        F.sum("c").over(wl.orderBy("score")).alias("cum"),
+        F.sum("c").over(wl).alias("n"),
+    )
+    cuts = cdf.groupBy("lang").agg(
+        F.min(F.when(F.expr("cum >= (2*n + 2) div 3"), F.col("score"))).alias("t2"),
+    )
+    phased = scored.join(F.broadcast(cuts), "lang").select(
+        "lang",
+        (F.col("n_bigrams") + 1).alias("toks"),
+        (F.col("score") > F.col("t2")).alias("anneal"),
+    )
+    # both phases from ONE agg over one scan (a union of filtered
+    # branches would re-read the MV and re-derive the cuts per branch —
+    # measured at exch=11 before this shape, 5 after), then a 2-row
+    # unpivot per language.
+    per_lang = phased.groupBy("lang").agg(
+        F.count("*").cast("long").alias("base_docs"),
+        F.sum("toks").cast("long").alias("base_toks"),
+        F.sum(F.when(F.col("anneal"), 1).otherwise(0))
+        .cast("long")
+        .alias("ann_docs"),
+        F.sum(F.when(F.col("anneal"), F.col("toks")).otherwise(0))
+        .cast("long")
+        .alias("ann_toks"),
+    )
+    phase_rows = per_lang.select(
+        "lang",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("base").alias("phase"),
+                    F.col("base_docs").alias("n_docs"),
+                    F.col("base_toks").alias("n_tokens"),
+                ),
+                F.struct(
+                    F.lit("anneal").alias("phase"),
+                    F.col("ann_docs").alias("n_docs"),
+                    F.col("ann_toks").alias("n_tokens"),
+                ),
+            )
+        ).alias("p"),
+    ).select("lang", "p.phase", "p.n_docs", "p.n_tokens").where(
+        F.col("n_docs") > 0  # oracle's WHERE anneal emits no empty rows
+    )
+    # phase totals via a window over the ~2 x |langs|-row result (the
+    # sanctioned tiny frame) — a groupBy+join-back would recompute the
+    # whole per-lang subtree as the broadcast build side.
+    pt = F.sum("n_tokens").over(Window.partitionBy("phase"))
+    return (
+        phase_rows.withColumn("__pt", pt)
+        .select(
+            "lang",
+            "phase",
+            "n_docs",
+            "n_tokens",
+            F.expr("(n_tokens * 1000000) div __pt")
+            .cast("long")
+            .alias("tok_share_ppm"),
+        )
+    )
 
 
 # ---------------------------------------------------------------- d44

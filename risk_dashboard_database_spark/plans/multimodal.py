@@ -242,3 +242,110 @@ def m4_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bytes_saved"),
     )
+
+
+@query(
+    "m5_frame_dedup",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, text, 1 + n % 30 AS nf,
+             LEAST(4, 1 + n % 30) AS ns
+      FROM meta
+    ),
+    frames AS (
+      SELECT doc_id, ns, i,
+             CAST(i AS BIGINT) * nf // ns AS source_frame
+      FROM dims, UNNEST(range(0, ns)) AS t(i)
+    ),
+    fps AS (
+      SELECT f.doc_id, f.ns,
+             md5(substr(d.text,
+                        CAST(1 + (f.source_frame * 17)
+                             % GREATEST(length(d.text) - 11, 1) AS INTEGER),
+                        12)) AS fp
+      FROM frames f JOIN dims d USING (doc_id)
+    ),
+    shared AS (
+      SELECT fp FROM fps GROUP BY fp
+      HAVING MIN(doc_id) <> MAX(doc_id)
+    ),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS dup_frames
+      FROM fps WHERE fp IN (SELECT fp FROM shared)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(d.ns AS BIGINT) AS sampled_frames,
+           CAST(COALESCE(h.dup_frames, 0) AS BIGINT) AS dup_frames,
+           CAST((COALESCE(h.dup_frames, 0) * 1000000) // d.ns AS BIGINT)
+             AS dup_ppm
+    FROM dims d LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def m5_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-video frame-level dedup (m5): the video-pipeline analog of
+    d30's span dedup — sample frames with m3's plan, fingerprint each
+    frame, and report per video how many of its sampled frames also
+    appear in ANOTHER video (intro cards, shared b-roll, rebroadcasts).
+    With the container's deterministic fake codec a frame's
+    "content" is a 12-byte payload slice addressed by the source frame
+    index, so the whole pipeline is oracle-checkable end-to-end; a real
+    deployment swaps the fingerprint column for a perceptual hash
+    (pHash) computed in decode_media's mapInPandas seam — the plan
+    around it (frame explode, fingerprint agg, join-back) is unchanged.
+
+    Spark shape: frame fan-out is a per-row generate (m3's zero-
+    exchange pattern); the shared-frame flag is ONE fingerprint-keyed
+    map-side-combinable min!=max agg (d30's trick at frame grain); the
+    join-back + per-video agg and the final left join mirror d30. At
+    100 TB of video the fingerprint relation is frames x 48 bytes —
+    the only corpus-scale exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    n = F.octet_length(payload)
+    nf = (F.lit(1) + n % 30).cast("long")
+    ns = F.least(F.lit(4).cast("long"), nf)
+    dims = docs.select("doc_id", "text", nf.alias("nf"), ns.alias("ns"))
+    src_frame = F.expr("i * nf div ns")
+    off = (
+        F.lit(1)
+        + (src_frame * 17) % F.greatest(F.length("text") - 11, F.lit(1))
+    ).cast("int")
+    fps = (
+        dims.select(
+            "doc_id",
+            "text",
+            "nf",
+            "ns",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("ns") - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "ns",
+            F.md5(F.col("text").substr(off, F.lit(12))).alias("fp"),
+        )
+    )
+    shared = (
+        fps.groupBy("fp")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .where(F.col("lo") != F.col("hi"))
+        .select("fp")
+    )
+    hits = fps.join(shared, "fp").groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("dup_frames")
+    )
+    return (
+        dims.select("doc_id", "ns")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("ns").cast("long").alias("sampled_frames"),
+            F.coalesce("dup_frames", F.lit(0)).cast("long").alias("dup_frames"),
+            F.expr("(coalesce(dup_frames, 0) * 1000000) div ns")
+            .cast("long")
+            .alias("dup_ppm"),
+        )
+    )

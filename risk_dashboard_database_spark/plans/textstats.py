@@ -994,3 +994,86 @@ def t_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .withColumn("rank", F.col("rank").cast("int"))
     )
+
+
+# -------------------------------------------------------- t_zipf_profile
+# Rank-frequency profile at doubling ranks (Zipf's law, measured) —
+# the corpus-statistics companion to d40's Heaps curve: how fast does
+# word frequency fall with rank? The profile a tokenizer team reads to
+# size vocabularies and predict how much of the token stream the top-k
+# words absorb. No log enters either engine: the decay is reported as
+# the integer ppm ratio freq(r) / freq(2r) between successive doubling
+# ranks (alpha = log2(ratio) is the reader's one-liner), so every
+# column hash-matches bit-for-bit.
+
+ZIPF_MAX_RANK = 1024  # profile ranks 1, 2, 4, ..., 1024
+
+
+@query(
+    "t_zipf_profile",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> len(x) > 0))
+               AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tk GROUP BY doc_id, term
+    ),
+    freq AS (
+      SELECT term, CAST(SUM(tf) AS BIGINT) AS freq FROM tf GROUP BY term
+    ),
+    ranked AS (
+      SELECT term, freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rank
+      FROM freq
+    ),
+    kept AS (
+      SELECT * FROM ranked
+      WHERE rank <= {ZIPF_MAX_RANK}
+        AND (rank & (rank - 1)) = 0
+    )
+    SELECT a.rank, a.term, a.freq,
+           CAST((a.freq * 1000000) // b.freq AS BIGINT) AS decay_ppm
+    FROM kept a JOIN kept b ON b.rank = a.rank * 2
+    """,
+)
+def t_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word frequency at ranks 1, 2, 4, ..., 512 with the integer
+    frequency-decay ratio to the next doubling rank.
+
+    Spark shape: total frequencies are one vocabulary-grain agg over
+    the stored `t_word_tf` MV (map-side combined — the t_tfidf
+    docfreq topology); the global top-{ZIPF_MAX_RANK} is
+    TakeOrderedAndProject (per-partition heaps, never a vocabulary
+    sort — Spark's WindowGroupLimit push needs a non-empty partition
+    spec, so the global-rank form would single-task the vocabulary);
+    the row_number that names the ranks runs over the ALREADY-LIMITED
+    {ZIPF_MAX_RANK} rows (the sanctioned tiny single-partition
+    window), and the power-of-two filter + rank -> 2*rank self-join
+    act on ≤11 rows (broadcast). Ties break by term so the profile is
+    deterministic on any engine."""
+    tf = _word_tf(spark, sf_dir)
+    freq = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("freq"))
+    top = freq.orderBy(F.col("freq").desc(), "term").limit(ZIPF_MAX_RANK)
+    rk = F.row_number().over(
+        Window.partitionBy(F.lit(1)).orderBy(F.col("freq").desc(), "term")
+    )
+    kept = (
+        top.withColumn("rank", rk.cast("long"))
+        .where(F.col("rank").bitwiseAND(F.col("rank") - 1) == 0)
+    )
+    nxt = kept.select(
+        (F.col("rank")).alias("rank2"), F.col("freq").alias("freq2")
+    )
+    return (
+        kept.join(F.broadcast(nxt), F.col("rank2") == F.col("rank") * 2)
+        .select(
+            "rank",
+            "term",
+            "freq",
+            F.expr("(freq * 1000000) div freq2").cast("long").alias("decay_ppm"),
+        )
+    )

@@ -99,6 +99,12 @@ EXCH_BUDGET = {
                                     # branch agg; the corpus-scale
                                     # train+score pipeline lives in the
                                     # d43_doc_lm_score MV (build cost)
+    "d54_anneal_mix": 4,            # (lang,score) value-domain agg +
+                                    # dictionary-sized lang CDF window +
+                                    # per-lang conditional agg + the
+                                    # 2x|langs|-row phase-share window —
+                                    # only the first touches the scored
+                                    # MV, map-side combined (d43's class)
     "d39_split_gram_overlap": 4,    # gram-flag agg (map-side min/max),
                                     # per-(split,doc) hit agg, 2-row
                                     # split rollup, 2-row totals agg —

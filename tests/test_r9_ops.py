@@ -1,0 +1,123 @@
+"""Round-9 additions: Zipf rank-frequency profile (t_zipf_profile),
+annealing-phase mixture (d54_anneal_mix), cross-video frame dedup
+(m5_frame_dedup). Value exactness vs DuckDB is the oracle gate's job
+(all three ship full SQL oracles); these tests pin the semantic
+invariants a hash can't explain and the plan shapes the 100 TB story
+depends on."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_zipf_profile_matches_python_counter(spark):
+    from risk_dashboard_database_spark.plans.textstats import t_zipf_profile
+
+    rows = {r["rank"]: r for r in t_zipf_profile(spark, SF_DIR).collect()}
+    assert rows, "profile must be non-empty"
+    freq = Counter()
+    for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect():
+        freq.update(w for w in r["text"].split(" ") if w)
+    ordered = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    for rank, row in rows.items():
+        assert rank & (rank - 1) == 0, "ranks are powers of two"
+        term, f = ordered[rank - 1]
+        assert (row["term"], row["freq"]) == (term, f)
+        t2, f2 = ordered[2 * rank - 1]
+        assert row["decay_ppm"] == (f * 1_000_000) // f2
+        assert row["decay_ppm"] >= 1_000_000, "frequency is non-increasing"
+
+
+def test_zipf_profile_never_sorts_the_vocabulary_globally(spark):
+    """The global top-K must be TakeOrderedAndProject (per-partition
+    heaps) and the rank window must consume the already-limited rows —
+    never a Sort of the vocabulary feeding a single-partition window."""
+    from risk_dashboard_database_spark.plans.textstats import t_zipf_profile
+
+    plan = _executed_plan(t_zipf_profile(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    for window_at in (i for i, ln in enumerate(plan.splitlines()) if "Window" in ln):
+        below = plan.splitlines()[window_at:]
+        assert any("TakeOrderedAndProject" in ln for ln in below), (
+            "rank window must sit above the limit"
+        )
+
+
+def test_anneal_mix_is_the_head_tertile_of_d43(spark):
+    """The anneal pool must be exactly d43's per-language 'head'
+    bucket: same doc counts, and the base rows must equal
+    head+middle+tail."""
+    from risk_dashboard_database_spark.plans.dedup import (
+        d43_lm_quality_buckets,
+        d54_anneal_mix,
+    )
+
+    d43 = {
+        (r["lang"], r["bucket"]): r["n_docs"]
+        for r in d43_lm_quality_buckets(spark, SF_DIR).collect()
+    }
+    mix = {
+        (r["lang"], r["phase"]): r
+        for r in d54_anneal_mix(spark, SF_DIR).collect()
+    }
+    langs = {k[0] for k in mix}
+    for lang in langs:
+        assert mix[(lang, "anneal")]["n_docs"] == d43[(lang, "head")]
+        scored_total = sum(
+            d43.get((lang, b), 0) for b in ("head", "middle", "tail")
+        )
+        assert mix[(lang, "base")]["n_docs"] == scored_total
+        assert mix[(lang, "anneal")]["n_tokens"] <= mix[(lang, "base")]["n_tokens"]
+    # phase shares sum to ~1e6 (integer floor: within |langs| ppm)
+    for phase in ("base", "anneal"):
+        s = sum(r["tok_share_ppm"] for (l, p), r in mix.items() if p == phase)
+        assert 1_000_000 - len(langs) <= s <= 1_000_000
+
+
+def test_frame_dedup_flags_are_cross_video_only(spark):
+    """A frame fingerprint counts as duplicated iff it appears in at
+    least TWO videos; within-video repeats alone must not flag
+    (recomputed per-fingerprint in Python)."""
+    from risk_dashboard_database_spark.plans.multimodal import m5_frame_dedup
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    fps: dict[str, set] = {}
+    per_doc: dict[int, list] = {}
+    import hashlib
+
+    for doc_id, text in docs.items():
+        n = len(text.encode("utf-8"))
+        nf = 1 + n % 30
+        ns = min(4, nf)
+        frames = []
+        for i in range(ns):
+            sf_ = i * nf // ns
+            off = 1 + (sf_ * 17) % max(len(text) - 11, 1)
+            frame = text[off - 1 : off - 1 + 12]
+            fp = hashlib.md5(frame.encode("utf-8")).hexdigest()
+            frames.append(fp)
+            fps.setdefault(fp, set()).add(doc_id)
+        per_doc[doc_id] = frames
+    want = {
+        doc_id: (
+            len(frames),
+            sum(1 for fp in frames if len(fps[fp]) >= 2),
+        )
+        for doc_id, frames in per_doc.items()
+    }
+    got = {
+        r["doc_id"]: (r["sampled_frames"], r["dup_frames"])
+        for r in m5_frame_dedup(spark, SF_DIR).collect()
+    }
+    assert got == want
