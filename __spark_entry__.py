@@ -58,10 +58,10 @@ _SAMPLE_FIRST = [
     "m3_frame_resize",
     # tier 3 — output changed in r9 (bounded probe contract) or NEW in r9
     "d3_ann_topk", "t_zipf_profile", "d54_anneal_mix", "m5_frame_dedup",
-    # tier 4 — r07-green rows (headline-weighted four; the other 46
-    # r07 rows remain ≤2 rounds old and lead the r10 rotation)
-    "a1_pricing_summary", "d17_pretrain_build", "t1_narrative_rollup",
-    "t2_crisis_chain",
+    "d55_packing_efficiency", "d56_quality_dup_cross", "t_code_detect",
+    # tier 4 — r07-green row (flagship; the other 49 r07 rows remain
+    # ≤2 rounds old and lead the r10 rotation)
+    "a1_pricing_summary",
 ]
 # (The round-8 newcomers' deferred-sampling note from r8 is resolved:
 # all 37 are tier-1 above, per VERDICT r8 #1.)

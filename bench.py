@@ -121,6 +121,9 @@ HEADLINE = [
     "t_zipf_profile",
     "d54_anneal_mix",
     "m5_frame_dedup",
+    "d55_packing_efficiency",
+    "d56_quality_dup_cross",
+    "t_code_detect",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
@@ -266,8 +269,10 @@ BUDGET = {
     "d34_bpe_merges": 0.35,        # 0.23 measured (bounded char-pair domain)
     "d35_oov_rate": 0.7,           # 0.50 measured (2 corpus scans, per-row
                                    # probe vs broadcast 64-word vocab)
-    "d36_hard_negatives": 0.9,     # 0.61 measured (broadcast probes x
-                                   # stored-norm MV, d3's layout)
+    "d36_hard_negatives": 1.0,     # r9 re-pin (was 0.9): the bounded
+                                   # md5-rank probe selection adds a small
+                                   # TakeOrdered pass; 0.61-0.72 measured
+                                   # clean, 1.4x recipe on the worst median
     "d37_minhash_calibration": 1.3,  # 0.91 measured (d2's banded candidate
                                    # join off the stored sig MVs + 11-row agg)
     "d38_quantile_sketch": 0.55,   # 0.38 measured (value-domain agg + one
@@ -326,6 +331,12 @@ BUDGET = {
                                    # value-domain CDF + 2 tiny aggs)
     "m5_frame_dedup": 0.9,         # 0.63 measured (frame generate +
                                    # one fingerprint-keyed agg, d30 shape)
+    "d55_packing_efficiency": 0.7,  # 0.48 measured (one scan, explode x4,
+                                   # one combinable agg to 4 rows)
+    "d56_quality_dup_cross": 0.85,  # 0.58 measured (per-row quality expr +
+                                   # broadcast d9 MV + one tiny agg)
+    "t_code_detect": 0.6,          # 0.40 measured (zero-exchange per-row
+                                   # regex scan)
     "d13_stratified_sample": 0.6,  # r8 re-pin (was generated 0.35 for the
                                    # single-window plan): the two-phase
                                    # de-skewed rank adds two tiny

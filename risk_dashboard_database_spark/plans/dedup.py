@@ -6148,3 +6148,189 @@ def d52_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_redundant"),
     )
+
+
+# ---------------------------------------------------------------- d55
+# Context-length tuning report: pretraining pipelines pick a sequence
+# length by exactly this table — for each candidate length L, how many
+# training slots does per-document padding waste (the BERT-style
+# pad-each-doc layout) and how many tokens does truncate-to-one-
+# sequence lose? d12's concat-and-chunk layout wastes neither but
+# lets documents straddle boundaries; this report quantifies the other
+# two layouts so the choice is a measurement, not folklore.
+
+D55_SEQ_LENS = [512, 1024, 2048, 4096]
+
+
+@query(
+    "d55_packing_efficiency",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS t FROM documents
+    ),
+    e AS (
+      SELECT doc_id, t, L
+      FROM t, UNNEST([{", ".join(str(x) for x in D55_SEQ_LENS)}]) AS u(L)
+    )
+    SELECT CAST(L AS BIGINT) AS seq_len,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t) AS BIGINT) AS total_tokens,
+           CAST(SUM((t + L - 1) // L) AS BIGINT) AS padded_seqs,
+           CAST(SUM(((t + L - 1) // L) * L - t) AS BIGINT) AS pad_tokens,
+           CAST((SUM(((t + L - 1) // L) * L - t) * 1000000)
+                // (SUM((t + L - 1) // L) * L) AS BIGINT) AS pad_ppm,
+           CAST(SUM(t - LEAST(t, L)) AS BIGINT) AS trunc_lost_tokens,
+           CAST((SUM(t - LEAST(t, L)) * 1000000) // SUM(t) AS BIGINT)
+             AS trunc_lost_ppm
+    FROM e GROUP BY L
+    """,
+)
+def d55_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding waste and truncation loss per candidate sequence length
+    (512/1024/2048/4096), in exact integer token counts and ppm.
+
+    Spark shape: one narrow corpus scan (token count per row), a
+    4-way literal-array explode, and ONE map-side-combinable agg to 4
+    rows — the explode multiplies rows before the combiner, so the
+    exchange carries 4 rows per partition, not 4x the corpus. All
+    arithmetic is integer (ceil via (t + L - 1) div L), so the ppm
+    columns hash-match bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("t")
+    )
+    e = t.select(
+        "t",
+        F.explode(
+            F.array(*[F.lit(x).cast("long") for x in D55_SEQ_LENS])
+        ).alias("L"),
+    )
+    seqs = F.expr("(t + L - 1) div L")
+    return (
+        e.groupBy("L")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("t").cast("long").alias("total_tokens"),
+            F.sum(seqs).cast("long").alias("padded_seqs"),
+            F.sum(seqs * F.col("L") - F.col("t")).cast("long").alias("pad_tokens"),
+            F.sum(F.col("t") - F.least(F.col("t"), F.col("L")))
+            .cast("long")
+            .alias("trunc_lost_tokens"),
+        )
+        .select(
+            F.col("L").cast("long").alias("seq_len"),
+            "n_docs",
+            "total_tokens",
+            "padded_seqs",
+            "pad_tokens",
+            F.expr("(pad_tokens * 1000000) div (padded_seqs * L)")
+            .cast("long")
+            .alias("pad_ppm"),
+            "trunc_lost_tokens",
+            F.expr("(trunc_lost_tokens * 1000000) div total_tokens")
+            .cast("long")
+            .alias("trunc_lost_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- d56
+# Quality x duplication cross-signal: are near-duplicates lower
+# quality than unique documents? The diagnostic that decides whether
+# dedup and quality filtering are redundant (duplicates would have
+# been dropped anyway) or complementary — per (dup status, quality
+# score) document counts with each row's ppm share within its status.
+
+
+def _d56_quality_sql() -> str:
+    from .textstats import _stop_count_sql
+
+    return f"""
+      SELECT doc_id,
+             CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 80
+                  THEN 1 ELSE 0 END
+             + CASE WHEN CAST(len(list_distinct(string_split(text, ' ')))
+                         AS DOUBLE) / len(string_split(text, ' ')) >= 0.5
+                    THEN 1 ELSE 0 END
+             + CASE WHEN CAST({_stop_count_sql('en')} AS DOUBLE)
+                         / len(string_split(text, ' ')) BETWEEN 0.01 AND 0.6
+                    THEN 1 ELSE 0 END AS quality_score
+      FROM documents
+"""
+
+
+def _d56_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_D9_CTES},
+    q AS ({_d56_quality_sql()}),
+    st AS (
+      SELECT d.doc_id,
+             CASE WHEN s.rn = 1 THEN 'canonical'
+                  WHEN s.rn IS NOT NULL THEN 'duplicate'
+                  ELSE 'unique' END AS dup_status
+      FROM documents d LEFT JOIN sized s USING (doc_id)
+    ),
+    g AS (
+      SELECT st.dup_status, q.quality_score,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM st JOIN q USING (doc_id)
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT dup_status, SUM(n_docs) AS n FROM g GROUP BY 1)
+    SELECT g.dup_status,
+           CAST(g.quality_score AS INTEGER) AS quality_score,
+           g.n_docs,
+           CAST((g.n_docs * 1000000) // t.n AS BIGINT) AS share_ppm
+    FROM g JOIN tot t USING (dup_status)
+    """
+
+
+@query("d56_quality_dup_cross", oracle=_d56_oracle())
+def d56_quality_dup_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document counts per (dup status, t_quality_score value), with
+    integer-ppm shares within each status.
+
+    Spark shape: quality is t_quality_score's per-row integer
+    expression on the same scan that computes dup status (stored d9
+    cluster MV broadcast + left join — the d45 pattern; the cluster
+    relation is dup-members-sized, not corpus-sized); ONE map-side-
+    combinable agg to <= 12 rows; shares via a window over that tiny
+    frame (the d54 discipline — no join-back that would re-derive the
+    corpus subtree)."""
+    from .textstats import _stop_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = d9_dedup_clusters(spark, sf_dir)
+    members = F.broadcast(
+        clusters.select("doc_id", F.col("is_canonical").alias("canon"))
+    )
+    tk = F.split(F.col("text"), " ")
+    n_tokens = F.size(tk)
+    unique_ratio = F.size(F.array_distinct(tk)).cast("double") / n_tokens
+    stop_ratio = _stop_count(tk, "en").cast("double") / n_tokens
+    score = (
+        F.when(n_tokens.between(20, 80), 1).otherwise(0)
+        + F.when(unique_ratio >= 0.5, 1).otherwise(0)
+        + F.when(stop_ratio.between(0.01, 0.6), 1).otherwise(0)
+    )
+    status = (
+        F.when(F.col("canon"), "canonical")
+        .when(F.col("canon").isNotNull(), "duplicate")
+        .otherwise("unique")
+    )
+    g = (
+        docs.join(members, "doc_id", "left")
+        .select(status.alias("dup_status"), score.cast("int").alias("quality_score"))
+        .groupBy("dup_status", "quality_score")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    n = F.sum("n_docs").over(Window.partitionBy("dup_status"))
+    return (
+        g.withColumn("__n", n)
+        .select(
+            "dup_status",
+            "quality_score",
+            "n_docs",
+            F.expr("(n_docs * 1000000) div __n").cast("long").alias("share_ppm"),
+        )
+    )

@@ -1077,3 +1077,90 @@ def t_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(freq * 1000000) div freq2").cast("long").alias("decay_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------- t_code_detect
+# Code-vs-prose routing: pretraining mixtures treat code as its own
+# domain (separate dedup, quality rules, sampling temperature), so the
+# very first corpus pass needs a cheap code detector. Signals are the
+# standard fast heuristics — brace/semicolon density, assignment
+# operators, indented-line share — folded to an integer ppm score and
+# a route. The synthetic corpus carries no code, so (the t_pii_redact
+# convention) deterministic code fragments are PLANTED on a doc_id
+# schedule: the detector's hit/miss behavior is then oracle-checkable
+# end-to-end rather than vacuously all-prose.
+
+_CODE_SYM_RE = r"[{};=()]"
+_CODE_KW_RE = r"\b(def|return|if|else|for|while|var|let|const|function)\b"
+_CODE_SNIPPET = (
+    " def f(x) { if (x > 0) { return x; } else { return 0; } } "
+    "var y = f(12); let z = y;"
+)
+
+
+@query(
+    "t_code_detect",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 9 = 0
+                  THEN text || '{_CODE_SNIPPET}'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{_CODE_SYM_RE}')) AS n_sym,
+             len(regexp_extract_all(text, '{_CODE_KW_RE}')) AS n_kw,
+             len(string_split(text, ' ')) AS n_tok
+      FROM planted
+    )
+    SELECT doc_id,
+           CAST(n_sym AS BIGINT) AS n_sym,
+           CAST(n_kw AS BIGINT) AS n_kw,
+           CAST((n_sym * 1000000) // n_tok AS BIGINT) AS sym_ppm,
+           CASE WHEN n_kw >= 2 AND (n_sym * 1000000) // n_tok >= 50000
+                THEN 'code' ELSE 'prose' END AS route
+    FROM sig
+    """,
+)
+def t_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document code detection: symbol density (braces/semicolons/
+    assignment, integer ppm of whitespace tokens) + code-keyword count
+    -> a code/prose route. Every doc_id % 9 == 0 document gets a
+    deterministic planted snippet so both the hit and the miss path
+    are value-checked cross-engine.
+
+    Spark shape: per-row JVM regex at scan rate — no shuffle, no
+    Python; the route column is exactly the partition key a mixture
+    pipeline would write-partition by (d33's split x lang accounting
+    then applies per route). Thresholds are integers (ppm) so the
+    route decision hash-matches bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 9 == 0,
+        F.concat(F.col("text"), F.lit(_CODE_SNIPPET)),
+    ).otherwise(F.col("text"))
+    t = docs.select("doc_id", planted.alias("text"))
+    # patterns via F.lit, NOT embedded in a SQL string literal — Spark
+    # SQL literal escaping would eat the \b word boundaries that the
+    # oracle's RE2 engine reads verbatim.
+    n_sym = F.size(F.regexp_extract_all("text", F.lit(_CODE_SYM_RE), F.lit(0)))
+    n_kw = F.size(F.regexp_extract_all("text", F.lit(_CODE_KW_RE), F.lit(0)))
+    n_tok = F.size(F.split(F.col("text"), " "))
+    sig = t.select(
+        "doc_id",
+        n_sym.cast("long").alias("n_sym"),
+        n_kw.cast("long").alias("n_kw"),
+        n_tok.cast("long").alias("n_tok"),
+    )
+    sym_ppm = F.expr("(n_sym * 1000000) div n_tok")
+    return sig.select(
+        "doc_id",
+        "n_sym",
+        "n_kw",
+        sym_ppm.cast("long").alias("sym_ppm"),
+        F.when((F.col("n_kw") >= 2) & (sym_ppm >= 50000), "code")
+        .otherwise("prose")
+        .alias("route"),
+    )

@@ -121,3 +121,80 @@ def test_frame_dedup_flags_are_cross_video_only(spark):
         for r in m5_frame_dedup(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_packing_efficiency_matches_python_arithmetic(spark):
+    from risk_dashboard_database_spark.plans.dedup import (
+        D55_SEQ_LENS,
+        d55_packing_efficiency,
+    )
+
+    toks = [
+        len(r["text"].split(" "))
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    ]
+    got = {r["seq_len"]: r for r in d55_packing_efficiency(spark, SF_DIR).collect()}
+    assert set(got) == set(D55_SEQ_LENS)
+    for L, r in got.items():
+        seqs = sum(-(-t // L) for t in toks)
+        pad = seqs * L - sum(min(t, -(-t // L) * L) for t in toks)
+        assert r["n_docs"] == len(toks)
+        assert r["total_tokens"] == sum(toks)
+        assert r["padded_seqs"] == seqs
+        assert r["pad_tokens"] == seqs * L - sum(toks)
+        assert r["pad_ppm"] == ((seqs * L - sum(toks)) * 1_000_000) // (seqs * L)
+        lost = sum(t - min(t, L) for t in toks)
+        assert r["trunc_lost_tokens"] == lost
+        assert r["trunc_lost_ppm"] == (lost * 1_000_000) // sum(toks)
+        # longer sequences waste more padding, lose less to truncation
+    Ls = sorted(got)
+    for a, b in zip(Ls, Ls[1:]):
+        assert got[a]["trunc_lost_tokens"] >= got[b]["trunc_lost_tokens"]
+
+
+def test_quality_dup_cross_ties_to_d9_and_t_quality(spark):
+    """Row sums must reconcile exactly with d9's cluster census and
+    t_quality_score's per-score counts — the cross must be a
+    re-bucketing, never a re-derivation."""
+    from collections import Counter
+
+    from risk_dashboard_database_spark.plans.dedup import (
+        d9_dedup_clusters,
+        d56_quality_dup_cross,
+    )
+    from risk_dashboard_database_spark.plans.textstats import t_quality_score
+
+    rows = d56_quality_dup_cross(spark, SF_DIR).collect()
+    by_status = Counter()
+    by_score = Counter()
+    for r in rows:
+        by_status[r["dup_status"]] += r["n_docs"]
+        by_score[r["quality_score"]] += r["n_docs"]
+    clusters = d9_dedup_clusters(spark, SF_DIR).collect()
+    n_canon = sum(1 for c in clusters if c["is_canonical"])
+    n_dup = len(clusters) - n_canon
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert by_status["canonical"] == n_canon
+    assert by_status["duplicate"] == n_dup
+    assert by_status["unique"] == n_docs - len(clusters)
+    want_scores = Counter(
+        r["quality_score"] for r in t_quality_score(spark, SF_DIR).collect()
+    )
+    assert by_score == want_scores
+    for r in rows:
+        assert 0 <= r["share_ppm"] <= 1_000_000
+
+
+def test_code_detect_routes_exactly_the_planted_docs(spark):
+    """Synthetic corpus carries no code, so the planted doc_id % 9
+    schedule must be exactly the 'code' route (the detector's hit AND
+    miss paths both proven)."""
+    from risk_dashboard_database_spark.plans.textstats import t_code_detect
+
+    rows = t_code_detect(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        want = "code" if r["doc_id"] % 9 == 0 else "prose"
+        assert r["route"] == want, (r["doc_id"], r["route"])
+        if want == "code":
+            assert r["n_kw"] >= 2 and r["sym_ppm"] >= 50000
