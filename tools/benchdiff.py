@@ -24,7 +24,33 @@ def load(path: str) -> dict:
         d = json.loads(text)          # pretty-printed driver artifact
     except json.JSONDecodeError:
         d = json.loads(text.splitlines()[-1])  # bench.py one-liner
-    return d.get("parsed", d)
+    d = d.get("parsed", d) or d
+    if "queries" not in d and "tail" in d:
+        # driver wrapper whose 'parsed' is null (tail truncated the
+        # one-line JSON): recover what survives — per-query dict via a
+        # regex over the tail fragment, calibration if intact.
+        import re
+
+        frag = d["tail"]
+        qs: dict[str, float] = {}
+        m = re.search(r'"queries": \{(.*?)\}', frag, re.S)
+        if m:
+            scope = m.group(1)
+        else:
+            # tail starts mid-"queries": keep only up to the next
+            # sibling key so refresh/calibration fields don't leak in
+            scope = re.split(r'\}, "', frag, 1)[0]
+        for k, v in re.findall(r'"([a-z0-9_]+)": ([0-9.]+)', scope):
+            qs[k] = float(v)
+        cal = {}
+        mc = re.search(r'"calibration": (\{.*?\})', frag)
+        if mc:
+            try:
+                cal = json.loads(mc.group(1))
+            except json.JSONDecodeError:
+                pass
+        d = {"queries": qs, "calibration": cal}
+    return d
 
 
 def main() -> None:
@@ -51,10 +77,15 @@ def main() -> None:
     rows.sort(reverse=True)
     for _, line in rows:
         print(line)
-    print(
-        f"\nsuite {old['value']:.1f}s -> {new['value']:.1f}s | "
-        f"calib scale {so} -> {sn} | showing |normalized| >= {thresh:.0f}%"
+    ov = old.get("value")
+    nv = new.get("value")
+    suite = (
+        f"suite {ov:.1f}s -> {nv:.1f}s"
+        if ov is not None and nv is not None
+        else "suite totals unavailable (truncated artifact)"
     )
+    print(f"\n{suite} | calib scale {so} -> {sn} | "
+          f"showing |normalized| >= {thresh:.0f}%")
 
 
 if __name__ == "__main__":
