@@ -59,9 +59,15 @@ _SAMPLE_FIRST = [
     # tier 3 — output changed in r9 (bounded probe contract) or NEW in r9
     "d3_ann_topk", "t_zipf_profile", "d54_anneal_mix", "m5_frame_dedup",
     "d55_packing_efficiency", "d56_quality_dup_cross", "t_code_detect",
-    # tier 4 — r07-green row (flagship; the other 49 r07 rows remain
-    # ≤2 rounds old and lead the r10 rotation)
-    "a1_pricing_summary",
+    "t_html_strip",
+    # (no tier 4 this round: all 50 slots go to never-sampled or
+    # output-changed rows; every r07-green row stays ≤2 rounds old
+    # through its r07 evidence and leads the r10 rotation together
+    # with d57_span_strip — the one r9 query the 50-cap defers, chosen
+    # because it carries the strongest compensating evidence (exact
+    # local gates at sf0.001/sf0.01/vanilla plus the removed==d30-
+    # covered invariant test). a1_pricing_summary additionally runs
+    # every round as entry().)
 ]
 # (The round-8 newcomers' deferred-sampling note from r8 is resolved:
 # all 37 are tier-1 above, per VERDICT r8 #1.)

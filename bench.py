@@ -124,6 +124,8 @@ HEADLINE = [
     "d55_packing_efficiency",
     "d56_quality_dup_cross",
     "t_code_detect",
+    "t_html_strip",
+    "d57_span_strip",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
@@ -337,6 +339,11 @@ BUDGET = {
                                    # broadcast d9 MV + one tiny agg)
     "t_code_detect": 0.6,          # 0.40 measured (zero-exchange per-row
                                    # regex scan)
+    "t_html_strip": 0.8,           # 0.55 measured (zero-exchange chain of
+                                   # per-row regexp_replace)
+    "d57_span_strip": 1.9,         # 1.13-1.38 measured (d30's gram agg +
+                                   # per-row text rebuild: emits the full
+                                   # cleaned corpus, string-volume-bound)
     "d13_stratified_sample": 0.6,  # r8 re-pin (was generated 0.35 for the
                                    # single-window plan): the two-phase
                                    # de-skewed rank adds two tiny
@@ -411,6 +418,8 @@ PINS_ABOVE_WORKING_BUDGET = {
     "d49_kmeans_codebook": "one assignment pass over the stored trained-codebook MV",
     # gram-grain family: stage-latency-bound at sf0.1, volume-linear at scale
     "d30_span_dedup": "gram-grain span flags over the stored d30_grams MV",
+    "d57_span_strip": "emits the full cleaned corpus (string-volume-bound "
+                      "rebuild over d30's gram agg)",
     "d39_split_gram_overlap": "gram-grain split overlap, d30's class",
     # plan-depth (many small broadcast joins) rather than data volume
     "d24_ann_ivfpq": "~5 broadcast joins (PQ ADC pipeline); jitter not data",

@@ -6334,3 +6334,107 @@ def d56_quality_dup_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_docs * 1000000) div __n").cast("long").alias("share_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------- d57
+# Substring-dedup REMOVAL — d30 measures verbatim-span duplication;
+# d57 executes the fix (Lee et al. 2022 actually strip the duplicated
+# spans, not just count them): every token position covered by a
+# SPAN_L-gram that also appears in another document is dropped, and
+# the document is re-emitted as the surviving tokens. The cleaned
+# text, kept/removed counts, and the empty-after-strip flag (docs that
+# were pure boilerplate) all hash-check cross-engine.
+
+
+@query(
+    "d57_span_strip",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, s AS pos,
+             md5(array_to_string(list_slice(tk, s + 1, s + {SPAN_L}), ' ')) AS g
+      FROM toks, UNNEST(range(0, len(tk) - {SPAN_L} + 1)) AS t(s)
+    ),
+    shared AS (
+      SELECT g FROM grams GROUP BY g HAVING MIN(doc_id) <> MAX(doc_id)
+    ),
+    dup AS (
+      SELECT doc_id, list(pos ORDER BY pos) AS starts
+      FROM grams WHERE g IN (SELECT g FROM shared)
+      GROUP BY doc_id
+    ),
+    stripped AS (
+      SELECT t.doc_id, len(t.tk) AS n_tokens,
+             list_filter(range(0, len(t.tk)),
+               p -> len(list_filter(COALESCE(d.starts, []),
+                        s -> p >= s AND p < s + {SPAN_L})) = 0) AS keep_pos,
+             t.tk
+      FROM toks t LEFT JOIN dup d USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(len(keep_pos) AS BIGINT) AS kept_tokens,
+           CAST(n_tokens - len(keep_pos) AS BIGINT) AS removed_tokens,
+           CAST(len(keep_pos) = 0 AS INT) AS fully_removed,
+           COALESCE(array_to_string(list_transform(keep_pos, p -> tk[p + 1]),
+                                    ' '), '') AS clean_text
+    FROM stripped
+    """,
+)
+def d57_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip every token position covered by a cross-document
+    SPAN_L-gram; emit the cleaned text plus kept/removed accounting.
+
+    Spark shape: the positional gram relation is the stored d30_grams
+    MV; the shared-gram flag is d30's ONE map-side-combinable min!=max
+    agg; duplicated starts collect per doc (sorted list — gram-grain
+    agg); the rebuild is a PER-ROW expression on the docs scan (filter
+    each position against the doc's own start list — O(tokens x
+    starts) locally, zero extra exchange), so the only corpus-scale
+    shuffles are the gram agg and the doc-keyed join of the
+    (usually sparse) dup-starts relation back to the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _span_grams(spark, sf_dir)
+    shared = (
+        grams.groupBy("g")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .where(F.col("lo") != F.col("hi"))
+        .select("g")
+    )
+    dup = (
+        grams.join(shared, "g")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
+    )
+    t = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("tk")
+    ).join(dup, "doc_id", "left")
+    starts = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+    keep_pos = F.filter(
+        F.sequence(F.lit(0), F.size("tk") - 1),
+        lambda p: F.size(
+            F.filter(starts, lambda s: (p >= s) & (p < s + SPAN_L))
+        )
+        == 0,
+    )
+    s = t.select(
+        "doc_id",
+        F.size("tk").alias("n_tokens"),
+        keep_pos.alias("keep_pos"),
+        "tk",
+    )
+    return s.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.size("keep_pos").cast("long").alias("kept_tokens"),
+        (F.col("n_tokens") - F.size("keep_pos")).cast("long").alias(
+            "removed_tokens"
+        ),
+        (F.size("keep_pos") == 0).cast("int").alias("fully_removed"),
+        F.array_join(
+            F.transform(F.col("keep_pos"), lambda p: F.element_at("tk", p + 1)),
+            " ",
+        ).alias("clean_text"),
+    )

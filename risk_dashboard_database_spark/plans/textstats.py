@@ -1164,3 +1164,125 @@ def t_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("prose")
         .alias("route"),
     )
+
+
+# ---------------------------------------------------------- t_html_strip
+# Markup extraction — the very first stage of a web-corpus pipeline
+# (trafilatura/jusText-class): strip tags, decode the common entities,
+# collapse whitespace, and report how much of the payload was markup.
+# The synthetic corpus is plain text, so deterministic markup is
+# PLANTED on a doc_id schedule (the t_pii_redact convention): wrapping
+# tags, an inline <a href>, a <script> block that must vanish WITH its
+# contents, and entities — so extraction, entity decoding, and the
+# markup-ratio accounting all value-check cross-engine on both the hit
+# and miss paths.
+
+_HTML_SCRIPT_RE = "<script>[^<]*</script>"
+_HTML_TAG_RE = "<[^>]+>"
+
+
+@query(
+    "t_html_strip",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE
+               WHEN doc_id % 6 = 0 THEN
+                 '<html><body><h1>T' || CAST(doc_id AS VARCHAR)
+                 || '</h1><p>' || text
+                 || ' &amp; more &lt;here&gt;</p><script>var x='
+                 || CAST(doc_id AS VARCHAR)
+                 || ';</script><a href="/d?id='
+                 || CAST(doc_id AS VARCHAR) || '">link</a></body></html>'
+               ELSE text
+             END AS raw
+      FROM documents
+    ),
+    stripped AS (
+      SELECT doc_id, raw,
+             trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(raw,
+                 '{_HTML_SCRIPT_RE}', '', 'g'),
+                 '{_HTML_TAG_RE}', ' ', 'g'),
+                 '&amp;', '&', 'g'),
+                 '&lt;', '<', 'g'),
+                 '&gt;', '>', 'g'),
+                 ' +', ' ', 'g')) AS clean
+      FROM planted
+    )
+    SELECT doc_id,
+           CAST(length(raw) AS BIGINT) AS raw_chars,
+           CAST(length(clean) AS BIGINT) AS clean_chars,
+           CAST(((length(raw) - length(clean)) * 1000000)
+                // GREATEST(length(raw), 1) AS BIGINT) AS markup_ppm,
+           clean
+    FROM stripped
+    """,
+)
+def t_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup stripping + entity decoding + whitespace collapse, with
+    per-document markup-ratio accounting (ppm of raw chars removed).
+    <script> blocks are removed WITH their contents (the standard
+    boilerplate rule: style/script payloads are never prose), other
+    tags become a space so adjacent words don't fuse, then the three
+    common entities decode and runs of spaces collapse.
+
+    Spark shape: a fixed chain of per-row regexp_replace expressions —
+    no shuffle, no UDF, scan-rate at 100 TB (the reference's
+    normalization chains are the same shape, `src/url_utils.py`
+    classification families). Patterns ride F.lit, never SQL string
+    literals (the t_code_detect escaping lesson)."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.when(
+        F.col("doc_id") % 6 == 0,
+        F.concat(
+            F.lit("<html><body><h1>T"),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"),
+            F.col("text"),
+            F.lit(" &amp; more &lt;here&gt;</p><script>var x="),
+            F.col("doc_id").cast("string"),
+            F.lit(';</script><a href="/d?id='),
+            F.col("doc_id").cast("string"),
+            F.lit('">link</a></body></html>'),
+        ),
+    ).otherwise(F.col("text"))
+    t = docs.select("doc_id", raw.alias("raw"))
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace(
+                            F.regexp_replace(
+                                F.col("raw"), F.lit(_HTML_SCRIPT_RE), F.lit("")
+                            ),
+                            F.lit(_HTML_TAG_RE),
+                            F.lit(" "),
+                        ),
+                        F.lit("&amp;"),
+                        F.lit("&"),
+                    ),
+                    F.lit("&lt;"),
+                    F.lit("<"),
+                ),
+                F.lit("&gt;"),
+                F.lit(">"),
+            ),
+            F.lit(" +"),
+            F.lit(" "),
+        )
+    )
+    s = t.select("doc_id", "raw", clean.alias("clean"))
+    return s.select(
+        "doc_id",
+        F.length("raw").cast("long").alias("raw_chars"),
+        F.length("clean").cast("long").alias("clean_chars"),
+        F.expr(
+            "((length(raw) - length(clean)) * 1000000)"
+            " div greatest(length(raw), 1)"
+        )
+        .cast("long")
+        .alias("markup_ppm"),
+        "clean",
+    )

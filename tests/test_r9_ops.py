@@ -198,3 +198,68 @@ def test_code_detect_routes_exactly_the_planted_docs(spark):
         assert r["route"] == want, (r["doc_id"], r["route"])
         if want == "code":
             assert r["n_kw"] >= 2 and r["sym_ppm"] >= 50000
+
+
+def test_html_strip_matches_python_reference(spark):
+    """Hand-recompute the strip chain in Python for every planted doc:
+    script blocks vanish with contents, tags become spaces, entities
+    decode, whitespace collapses — and the clean text of a non-planted
+    doc is byte-identical to the original."""
+    import re
+
+    from risk_dashboard_database_spark.plans.textstats import t_html_strip
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    got = {r["doc_id"]: r for r in t_html_strip(spark, SF_DIR).collect()}
+    assert set(got) == set(docs)
+    for doc_id, text in docs.items():
+        if doc_id % 6 == 0:
+            raw = (
+                f"<html><body><h1>T{doc_id}</h1><p>{text}"
+                f" &amp; more &lt;here&gt;</p><script>var x={doc_id};"
+                f'</script><a href="/d?id={doc_id}">link</a></body></html>'
+            )
+        else:
+            raw = text
+        clean = re.sub(r"<script>[^<]*</script>", "", raw)
+        clean = re.sub(r"<[^>]+>", " ", clean)
+        clean = clean.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+        clean = re.sub(r" +", " ", clean).strip()
+        r = got[doc_id]
+        assert r["clean"] == clean, doc_id
+        assert r["raw_chars"] == len(raw)
+        assert r["clean_chars"] == len(clean)
+        assert r["markup_ppm"] == ((len(raw) - len(clean)) * 1_000_000) // max(
+            len(raw), 1
+        )
+        if doc_id % 6 != 0:
+            assert r["markup_ppm"] == 0 and r["clean"] == text
+
+
+def test_span_strip_removed_equals_d30_covered(spark):
+    """d57 must remove EXACTLY the positions d30 counts as covered:
+    removed_tokens == d30.covered_tokens per document, the cleaned
+    token count reconciles, and a fully-removed doc is one whose d30
+    coverage is total."""
+    from risk_dashboard_database_spark.plans.dedup import (
+        d30_span_dedup,
+        d57_span_strip,
+    )
+
+    cov = {
+        r["doc_id"]: (r["n_tokens"], r["covered_tokens"])
+        for r in d30_span_dedup(spark, SF_DIR).collect()
+    }
+    rows = d57_span_strip(spark, SF_DIR).collect()
+    assert {r["doc_id"] for r in rows} == set(cov)
+    for r in rows:
+        n, covered = cov[r["doc_id"]]
+        assert r["n_tokens"] == n
+        assert r["removed_tokens"] == covered
+        assert r["kept_tokens"] == n - covered
+        n_clean = len(r["clean_text"].split(" ")) if r["clean_text"] else 0
+        assert n_clean == r["kept_tokens"]
+        assert r["fully_removed"] == (1 if covered == n else 0)
