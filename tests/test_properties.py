@@ -354,3 +354,81 @@ def test_pii_regexes_match_python_re(spark, frags):
         expect_phones,
         expect_red,
     ), text
+
+
+# ----------------------------------------------------- span dedup laws
+# The d30 coverage fold (interval union over sorted duplicated starts,
+# JVM-side) and d57's position-filter rebuild are the subtlest
+# expressions in the span family; pin them against a brute-force
+# position-set recomputation on RANDOM corpora. A tiny vocabulary
+# forces heavy cross-document 8-gram sharing, so the interval-merge
+# paths (overlap, adjacency, containment, full coverage) all exercise.
+
+_span_doc = st.lists(
+    st.sampled_from(["a", "b", "c"]), min_size=1, max_size=24
+).map(" ".join)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(st.lists(_span_doc, min_size=2, max_size=8))
+def test_span_dedup_and_strip_match_bruteforce(spark, tmp_path_factory, texts):
+    import hashlib
+    import uuid
+
+    from risk_dashboard_database_spark.plans.dedup import (
+        SPAN_L,
+        d30_span_dedup,
+        d57_span_strip,
+    )
+
+    sf_dir = str(tmp_path_factory.mktemp("spanprop") / uuid.uuid4().hex)
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(sf_dir, exist_ok=True)
+    # single parquet FILE (the testdata layout the loaders expect)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["synth"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        f"{sf_dir}/documents.parquet",
+    )
+
+    # brute force: gram -> set(docs); covered positions per doc
+    grams: dict[str, set] = {}
+    toks = {i: t.split(" ") for i, t in enumerate(texts)}
+    for i, tk in toks.items():
+        for s in range(0, max(len(tk) - SPAN_L + 1, 0)):
+            g = hashlib.md5(" ".join(tk[s : s + SPAN_L]).encode()).hexdigest()
+            grams.setdefault(g, set()).add(i)
+    covered = {}
+    for i, tk in toks.items():
+        pos = set()
+        for s in range(0, max(len(tk) - SPAN_L + 1, 0)):
+            g = hashlib.md5(" ".join(tk[s : s + SPAN_L]).encode()).hexdigest()
+            if len(grams[g]) >= 2:
+                pos.update(range(s, s + SPAN_L))
+        covered[i] = pos
+
+    got30 = {r["doc_id"]: r for r in d30_span_dedup(spark, sf_dir).collect()}
+    got57 = {r["doc_id"]: r for r in d57_span_strip(spark, sf_dir).collect()}
+    assert set(got30) == set(got57) == set(toks)
+    for i, tk in toks.items():
+        assert got30[i]["covered_tokens"] == len(covered[i]), (i, texts)
+        assert got57[i]["removed_tokens"] == len(covered[i])
+        want_clean = " ".join(
+            w for p, w in enumerate(tk) if p not in covered[i]
+        )
+        assert got57[i]["clean_text"] == want_clean
