@@ -126,6 +126,8 @@ HEADLINE = [
     "t_code_detect",
     "t_html_strip",
     "d57_span_strip",
+    "d58_source_quota_rebalance",
+    "t_simpson",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
@@ -344,6 +346,10 @@ BUDGET = {
     "d57_span_strip": 1.9,         # 1.13-1.38 measured (d30's gram agg +
                                    # per-row text rebuild: emits the full
                                    # cleaned corpus, string-volume-bound)
+    "d58_source_quota_rebalance": 1.8,  # 1.03-1.37 measured (two corpus
+                                   # passes by construction: quota
+                                   # derivation + coin execution)
+    "t_simpson": 0.6,              # 0.40 measured (per-row sorted run fold)
     "d13_stratified_sample": 0.6,  # r8 re-pin (was generated 0.35 for the
                                    # single-window plan): the two-phase
                                    # de-skewed rank adds two tiny
@@ -420,6 +426,8 @@ PINS_ABOVE_WORKING_BUDGET = {
     "d30_span_dedup": "gram-grain span flags over the stored d30_grams MV",
     "d57_span_strip": "emits the full cleaned corpus (string-volume-bound "
                       "rebuild over d30's gram agg)",
+    "d58_source_quota_rebalance": "two corpus passes by construction "
+                                  "(quota derivation + coin execution)",
     "d39_split_gram_overlap": "gram-grain split overlap, d30's class",
     # plan-depth (many small broadcast joins) rather than data volume
     "d24_ann_ivfpq": "~5 broadcast joins (PQ ADC pipeline); jitter not data",

@@ -6438,3 +6438,171 @@ def d57_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------- d58
+# Explicit mixture rebalancing: d18/d21 reshape the mixture through a
+# temperature; production mixes are usually specified the other way —
+# a TARGET share per source, from which the pipeline must derive each
+# source's keep probability and the largest total the corpus can
+# supply at those shares. d58 computes exactly that executable quota
+# sheet (here the sqrt-temperature target, tau = 0.5 — any target
+# vector plugs into the same arithmetic) and then EXECUTES it with the
+# d45 deterministic md5 ppm coin, reporting expected vs actual.
+#
+# Determinism across engines: sqrt is IEEE correctly-rounded on both,
+# the weight total folds over the source list in sorted order (never a
+# partition-order double sum), every downstream step is integer ppm
+# arithmetic, and the coin is the shared _HASH_PPM convention.
+
+
+@query(
+    "d58_source_quota_rebalance",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+             CAST({_HASH_PPM_SQL} AS BIGINT) AS coin
+      FROM documents
+    ),
+    srcs AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(ntok) AS BIGINT) AS tok
+      FROM per_doc GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(tok) AS BIGINT) AS all_tok,
+             list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(list(tok ORDER BY source),
+                                t -> sqrt(CAST(t AS DOUBLE)))),
+               (a, w) -> a + w) AS sw
+      FROM srcs
+    ),
+    shared AS (
+      SELECT s.source, s.n_docs, s.tok, t.all_tok,
+             CAST(floor(sqrt(CAST(s.tok AS DOUBLE)) * 1000000.0 / t.sw)
+                  AS BIGINT) AS target_share_ppm
+      FROM srcs s, tot t
+    ),
+    star AS (
+      SELECT MIN(tok * 1000000 // GREATEST(target_share_ppm, 1)) AS tstar
+      FROM shared
+    ),
+    quota AS (
+      SELECT h.source, h.n_docs, h.tok,
+             (h.tok * 1000000) // h.all_tok AS cur_share_ppm,
+             h.target_share_ppm,
+             LEAST(1000000,
+                   ((s.tstar * h.target_share_ppm) // 1000000) * 1000000
+                     // h.tok) AS keep_ppm
+      FROM shared h, star s
+    ),
+    kept AS (
+      SELECT p.source,
+             CAST(COUNT(*) AS BIGINT) AS kept_docs,
+             CAST(SUM(p.ntok) AS BIGINT) AS kept_tokens
+      FROM per_doc p JOIN quota q USING (source)
+      WHERE p.coin < q.keep_ppm
+      GROUP BY p.source
+    )
+    SELECT q.source, q.n_docs, q.tok AS n_tokens,
+           CAST(q.cur_share_ppm AS BIGINT) AS cur_share_ppm,
+           q.target_share_ppm,
+           CAST(q.keep_ppm AS BIGINT) AS keep_ppm,
+           CAST((q.tok * q.keep_ppm) // 1000000 AS BIGINT)
+             AS expected_tokens,
+           CAST(COALESCE(k.kept_docs, 0) AS BIGINT) AS kept_docs,
+           CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
+    FROM quota q LEFT JOIN kept k USING (source)
+    """,
+)
+def d58_source_quota_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture quota sheet (sqrt-temperature targets) plus
+    the executed deterministic sample: current/target shares, the
+    derived keep probability at the corpus-feasible total, expected
+    tokens, and the md5-coin actuals.
+
+    Spark shape: ONE narrow corpus projection feeds both passes — a
+    per-source agg (map-side combined to |sources| rows) for the quota
+    arithmetic, and a second combinable agg under the broadcast quota
+    frame that carries the quota columns through any_value and counts
+    the coin actuals conditionally — quota is consumed ONCE, so the
+    corpus subtree never re-derives (the d54 lesson; the agg+crossJoin
+    chain version measured exch=15 and was rejected). The quota math
+    itself runs as windows over the tiny source frame (the sanctioned
+    singleton window): integer sums are order-free, and the ONE double
+    quantity (the sqrt-weight total) folds over the SORTED source list
+    — a partition-order double SUM would not hash cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("ntok"),
+        _hash_ppm_spark(F.col("doc_id")).alias("coin"),
+    )
+    srcs = per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("ntok").cast("long").alias("tok"),
+    )
+    wf = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    sw = F.aggregate(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("source", "tok")).over(wf)),
+            lambda s: s.getField("tok"),
+        ),
+        F.lit(0.0),
+        lambda a, t: a + F.sqrt(t.cast("double")),
+    )
+    shared = srcs.select(
+        "source",
+        "n_docs",
+        "tok",
+        F.sum("tok").over(wf).cast("long").alias("all_tok"),
+        F.floor(F.sqrt(F.col("tok").cast("double")) * 1000000.0 / sw)
+        .cast("long")
+        .alias("target_share_ppm"),
+    )
+    quota = shared.select(
+        "source",
+        "n_docs",
+        "tok",
+        F.expr("(tok * 1000000) div all_tok").cast("long").alias("cur_share_ppm"),
+        "target_share_ppm",
+        F.min(F.expr("(tok * 1000000) div greatest(target_share_ppm, 1)"))
+        .over(wf)
+        .alias("tstar"),
+    ).select(
+        "source",
+        "n_docs",
+        "tok",
+        "cur_share_ppm",
+        "target_share_ppm",
+        F.least(
+            F.lit(1000000).cast("long"),
+            F.expr("(((tstar * target_share_ppm) div 1000000) * 1000000) div tok"),
+        )
+        .cast("long")
+        .alias("keep_ppm"),
+    )
+    kept_doc = F.col("coin") < F.col("keep_ppm")
+    return (
+        per_doc.join(F.broadcast(quota), "source")
+        .groupBy("source")
+        .agg(
+            F.any_value("n_docs").alias("n_docs"),
+            F.any_value("tok").alias("n_tokens"),
+            F.any_value("cur_share_ppm").alias("cur_share_ppm"),
+            F.any_value("target_share_ppm").alias("target_share_ppm"),
+            F.any_value("keep_ppm").alias("keep_ppm"),
+            F.expr("(any_value(tok) * any_value(keep_ppm)) div 1000000")
+            .cast("long")
+            .alias("expected_tokens"),
+            F.sum(F.when(kept_doc, 1).otherwise(0)).cast("long").alias("kept_docs"),
+            F.sum(F.when(kept_doc, F.col("ntok")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )

@@ -1286,3 +1286,78 @@ def t_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("markup_ppm"),
         "clean",
     )
+
+
+# ----------------------------------------------------------- t_simpson
+# Simpson lexical concentration — the no-log companion to entropy:
+# lambda = sum(c_i^2) / n^2 over token counts c_i (the probability two
+# random tokens coincide). High lambda = templated/repetitive text;
+# the signal t_ttr's type counts miss when a doc has many types but
+# one dominating token. Integer-exact: sum of squared run lengths over
+# the SORTED token array via one per-row fold (the t_repetition
+# run-length discipline), then ppm by integer division — no float
+# anywhere, so both engines hash-match bit-for-bit.
+
+
+@query(
+    "t_simpson",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             list_reduce(
+               list_prepend(struct_pack(prev := CAST(NULL AS VARCHAR),
+                                        run := CAST(0 AS BIGINT),
+                                        acc := CAST(0 AS BIGINT)),
+                 list_transform(list_sort(string_split(text, ' ')),
+                                x -> struct_pack(prev := x,
+                                                 run := CAST(0 AS BIGINT),
+                                                 acc := CAST(0 AS BIGINT)))),
+               (a, x) -> CASE WHEN x.prev IS NOT DISTINCT FROM a.prev
+                 THEN struct_pack(prev := a.prev, run := a.run + 1,
+                                  acc := a.acc)
+                 ELSE struct_pack(prev := x.prev, run := CAST(1 AS BIGINT),
+                                  acc := a.acc + a.run * a.run) END) AS st
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(st.acc + st.run * st.run AS BIGINT) AS sum_sq,
+           CAST(((st.acc + st.run * st.run) * 1000000)
+                // (n_tokens * n_tokens) AS BIGINT) AS simpson_ppm
+    FROM f
+    """,
+)
+def t_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Simpson concentration index in ppm
+    (sum of squared token counts over n^2).
+
+    Spark shape: pure per-row expressions — array_sort then ONE
+    left fold accumulating squared run lengths (state =
+    (prev, run, acc); a run closes when the sorted stream changes
+    value, the final run closes in the projection). No shuffle, no
+    UDF; scan-rate at 100 TB, the t_quality_score class."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    fold = F.expr(
+        """
+        aggregate(
+          array_sort(split(text, ' ')),
+          named_struct('prev', CAST(NULL AS STRING),
+                       'run', CAST(0 AS BIGINT),
+                       'acc', CAST(0 AS BIGINT)),
+          (a, x) -> IF(x <=> a.prev,
+            named_struct('prev', a.prev, 'run', a.run + 1L, 'acc', a.acc),
+            named_struct('prev', x, 'run', 1L,
+                         'acc', a.acc + a.run * a.run)))
+        """
+    )
+    s = docs.select("doc_id", n_tokens.alias("n_tokens"), fold.alias("st"))
+    sum_sq = (F.col("st.acc") + F.col("st.run") * F.col("st.run")).cast("long")
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        sum_sq.alias("sum_sq"),
+        F.expr("((st.acc + st.run * st.run) * 1000000) div (n_tokens * n_tokens)")
+        .cast("long")
+        .alias("simpson_ppm"),
+    )

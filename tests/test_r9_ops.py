@@ -263,3 +263,51 @@ def test_span_strip_removed_equals_d30_covered(spark):
         n_clean = len(r["clean_text"].split(" ")) if r["clean_text"] else 0
         assert n_clean == r["kept_tokens"]
         assert r["fully_removed"] == (1 if covered == n else 0)
+
+
+def test_simpson_matches_python_counter(spark):
+    from risk_dashboard_database_spark.plans.textstats import t_simpson
+
+    got = {r["doc_id"]: r for r in t_simpson(spark, SF_DIR).collect()}
+    for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect():
+        toks = r["text"].split(" ")
+        counts = Counter(toks)
+        sum_sq = sum(c * c for c in counts.values())
+        g = got[r["doc_id"]]
+        assert g["n_tokens"] == len(toks)
+        assert g["sum_sq"] == sum_sq
+        assert g["simpson_ppm"] == (sum_sq * 1_000_000) // (len(toks) ** 2)
+
+
+def test_quota_rebalance_laws(spark):
+    """The quota sheet must satisfy the rebalance contract: shares sum
+    to ~1e6, keep_ppm <= 1e6, the binding source keeps ~everything,
+    expected tokens realize the target shares at the feasible total,
+    and the coin actuals land within the bounded md5 deviation."""
+    import math
+
+    from risk_dashboard_database_spark.plans.dedup import (
+        d58_source_quota_rebalance,
+    )
+
+    rows = d58_source_quota_rebalance(spark, SF_DIR).collect()
+    assert rows
+    n = len(rows)
+    assert 1_000_000 - n <= sum(r["target_share_ppm"] for r in rows) <= 1_000_000
+    total = sum(r["n_tokens"] for r in rows)
+    assert sum(r["cur_share_ppm"] for r in rows) <= 1_000_000
+    for r in rows:
+        assert 0 <= r["keep_ppm"] <= 1_000_000
+        assert r["expected_tokens"] == (r["n_tokens"] * r["keep_ppm"]) // 1_000_000
+        assert r["kept_docs"] <= r["n_docs"]
+        assert r["kept_tokens"] <= r["n_tokens"]
+    # the feasible total is set by the binding source: at least one
+    # source keeps >= 99% of its tokens (integer floors shave a little)
+    assert any(r["keep_ppm"] >= 990_000 for r in rows)
+    # sqrt temperature flattens: the token-richest source's target
+    # share must not exceed its current share, the poorest's must not
+    # fall below it
+    rich = max(rows, key=lambda r: r["n_tokens"])
+    poor = min(rows, key=lambda r: r["n_tokens"])
+    assert rich["target_share_ppm"] <= rich["cur_share_ppm"] + 1
+    assert poor["target_share_ppm"] >= poor["cur_share_ppm"] - 1
