@@ -29,13 +29,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # round. Round 9 (VERDICT r8 #1): tier 1 = the 37 round-8 queries that
 # have never had a driver CORRECTNESS row (each verified oracle-exact
 # at sf0.01 by the judge's own runs AND the local gate) plus round 9's
-# new d25b; tier 2 = o7/m1/m2/m3, whose latest driver green is r06
-# (each carried compensating per-round evidence: o7's automated
-# py-oracle ledger, the m-family's pytest seam coverage); tier 3 = the
-# two queries whose OUTPUT changed this round (d3/d36 moved to the
-# plan-enforced md5-rank bounded probe set, so their r08 rows describe
-# a superseded result); tier 4 = seven of the r07-green rows (the rest
-# stay ≤2 rounds old through their r07 rows and lead the r10 rotation).
+# new d25b — d36 rides in tier 1 both as an r8 newcomer AND because
+# its output changed this round (the plan-enforced md5-rank bounded
+# probe set supersedes its r08 row); tier 2 = o7/m1/m2/m3, whose
+# latest driver green is r06 (each carried compensating per-round
+# evidence: o7's automated py-oracle ledger, the m-family's pytest
+# seam coverage); tier 3 = d3 (same superseded-probe-set reason as
+# d36) plus the round-9 queries that fit the 50-cap. No tier 4: every
+# r07-green row stays ≤2 rounds old through its r07 evidence and
+# leads the r10 rotation (see the closing note).
 _SAMPLE_FIRST = [
     # tier 1 — never driver-sampled (37 landed round 8, d25b round 9)
     "d21_token_budget_mix", "d22_epoch_shuffle", "t_keyword_topk",

@@ -4703,6 +4703,35 @@ def d43_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return main.unionByName(short)
 
 
+# ---------------------------------------------------------------- ppm
+# Guarded ppm arithmetic (self-review r9): the engine's integer-ppm
+# convention `x * 1_000_000 div y` wraps SILENTLY to garbage on a
+# legacy (ANSI-off) Spark session once x > (2^63-1)/1e6 ≈ 9.2e12,
+# while DuckDB and ANSI Spark error loudly. Per-document and
+# dictionary-grain ppm expressions can never get near that line, but
+# the mixture/packing family multiplies CORPUS-TOTAL token counts —
+# inside the 100 TB envelope (~25T tokens) the silent-wrap channel is
+# real. These expressions therefore guard the multiplicand in-plan:
+# above the bound they raise_error() instead of wrapping, which is the
+# same loud degradation the oracle engine exhibits (the ADVICE-r8
+# degrade-identically rule). The REPRESENTATION fix at that scale is a
+# coarser unit (ppb of a per-shard subtotal, or DECIMAL(38)); the
+# guard makes the boundary impossible to cross unnoticed.
+PPM_SAFE_MAX = (2**63 - 1) // 1_000_000
+
+
+def _guarded_ppm_sql(num: str, den: str) -> str:
+    """Spark SQL fragment: (num * 1e6) div den, raising loudly when
+    num would overflow the bigint multiply."""
+    return (
+        f"CASE WHEN ({num}) <= {PPM_SAFE_MAX} "
+        f"THEN (({num}) * 1000000) div ({den}) "
+        f"ELSE CAST(raise_error('ppm overflow: multiplicand exceeds "
+        f"{PPM_SAFE_MAX}; re-unit this report (ppb / per-shard "
+        f"subtotals) before running at this corpus size') AS BIGINT) END"
+    )
+
+
 # ---------------------------------------------------------------- d54
 # Annealing-phase mixture report: late-training "annealing" upsamples
 # the highest-quality slice of the corpus (the OLMo/MiniCPM recipe:
@@ -4825,7 +4854,7 @@ def d54_anneal_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "phase",
             "n_docs",
             "n_tokens",
-            F.expr("(n_tokens * 1000000) div __pt")
+            F.expr(_guarded_ppm_sql("n_tokens", "__pt"))
             .cast("long")
             .alias("tok_share_ppm"),
         )
@@ -6223,11 +6252,11 @@ def d55_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_tokens",
             "padded_seqs",
             "pad_tokens",
-            F.expr("(pad_tokens * 1000000) div (padded_seqs * L)")
+            F.expr(_guarded_ppm_sql("pad_tokens", "padded_seqs * L"))
             .cast("long")
             .alias("pad_ppm"),
             "trunc_lost_tokens",
-            F.expr("(trunc_lost_tokens * 1000000) div total_tokens")
+            F.expr(_guarded_ppm_sql("trunc_lost_tokens", "total_tokens"))
             .cast("long")
             .alias("trunc_lost_ppm"),
         )
@@ -6569,9 +6598,9 @@ def d58_source_quota_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "tok",
-        F.expr("(tok * 1000000) div all_tok").cast("long").alias("cur_share_ppm"),
+        F.expr(_guarded_ppm_sql("tok", "all_tok")).cast("long").alias("cur_share_ppm"),
         "target_share_ppm",
-        F.min(F.expr("(tok * 1000000) div greatest(target_share_ppm, 1)"))
+        F.min(F.expr(_guarded_ppm_sql("tok", "greatest(target_share_ppm, 1)")))
         .over(wf)
         .alias("tstar"),
     ).select(
@@ -6582,7 +6611,12 @@ def d58_source_quota_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "target_share_ppm",
         F.least(
             F.lit(1000000).cast("long"),
-            F.expr("(((tstar * target_share_ppm) div 1000000) * 1000000) div tok"),
+            F.expr(
+                f"CASE WHEN tstar <= {PPM_SAFE_MAX} THEN "
+                + _guarded_ppm_sql("(tstar * target_share_ppm) div 1000000", "tok")
+                + " ELSE CAST(raise_error('ppm overflow: tstar exceeds the"
+                " bigint-safe multiplicand') AS BIGINT) END"
+            ),
         )
         .cast("long")
         .alias("keep_ppm"),
@@ -6597,7 +6631,12 @@ def d58_source_quota_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value("cur_share_ppm").alias("cur_share_ppm"),
             F.any_value("target_share_ppm").alias("target_share_ppm"),
             F.any_value("keep_ppm").alias("keep_ppm"),
-            F.expr("(any_value(tok) * any_value(keep_ppm)) div 1000000")
+            F.expr(
+                f"CASE WHEN any_value(tok) <= {PPM_SAFE_MAX} THEN "
+                "(any_value(tok) * any_value(keep_ppm)) div 1000000 "
+                "ELSE CAST(raise_error('ppm overflow: per-source tokens"
+                " exceed the bigint-safe multiplicand') AS BIGINT) END"
+            )
             .cast("long")
             .alias("expected_tokens"),
             F.sum(F.when(kept_doc, 1).otherwise(0)).cast("long").alias("kept_docs"),

@@ -1098,6 +1098,46 @@ _CODE_SNIPPET = (
 )
 
 
+def code_route_signals(docs: DataFrame, plant: bool = True) -> DataFrame:
+    """(doc_id, text, ...) -> (doc_id, n_sym, n_kw, sym_ppm, route):
+    the SHARED per-row projection behind t_code_detect and the
+    streaming router — one definition so the batch query and the
+    ingest gate can never drift (their parity test demands
+    bit-equality). `plant` mirrors the deterministic snippet schedule
+    (the synthetic corpus carries no code); pass False for real
+    ingest. Patterns ride F.lit, NOT SQL string literals — Spark SQL
+    literal escaping would eat the \\b word boundaries that the
+    oracle's RE2 engine reads verbatim."""
+    text = (
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(F.col("text"), F.lit(_CODE_SNIPPET)),
+        ).otherwise(F.col("text"))
+        if plant
+        else F.col("text")
+    )
+    t = docs.select("doc_id", text.alias("__t"))
+    n_sym = F.size(F.regexp_extract_all("__t", F.lit(_CODE_SYM_RE), F.lit(0)))
+    n_kw = F.size(F.regexp_extract_all("__t", F.lit(_CODE_KW_RE), F.lit(0)))
+    n_tok = F.size(F.split(F.col("__t"), " "))
+    sig = t.select(
+        "doc_id",
+        n_sym.cast("long").alias("n_sym"),
+        n_kw.cast("long").alias("n_kw"),
+        n_tok.cast("long").alias("n_tok"),
+    )
+    sym_ppm = F.expr("(n_sym * 1000000) div n_tok")
+    return sig.select(
+        "doc_id",
+        "n_sym",
+        "n_kw",
+        sym_ppm.cast("long").alias("sym_ppm"),
+        F.when((F.col("n_kw") >= 2) & (sym_ppm >= 50000), "code")
+        .otherwise("prose")
+        .alias("route"),
+    )
+
+
 @query(
     "t_code_detect",
     oracle=f"""
@@ -1135,35 +1175,9 @@ def t_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python; the route column is exactly the partition key a mixture
     pipeline would write-partition by (d33's split x lang accounting
     then applies per route). Thresholds are integers (ppm) so the
-    route decision hash-matches bit-for-bit."""
-    docs = load_table(spark, sf_dir, "documents")
-    planted = F.when(
-        F.col("doc_id") % 9 == 0,
-        F.concat(F.col("text"), F.lit(_CODE_SNIPPET)),
-    ).otherwise(F.col("text"))
-    t = docs.select("doc_id", planted.alias("text"))
-    # patterns via F.lit, NOT embedded in a SQL string literal — Spark
-    # SQL literal escaping would eat the \b word boundaries that the
-    # oracle's RE2 engine reads verbatim.
-    n_sym = F.size(F.regexp_extract_all("text", F.lit(_CODE_SYM_RE), F.lit(0)))
-    n_kw = F.size(F.regexp_extract_all("text", F.lit(_CODE_KW_RE), F.lit(0)))
-    n_tok = F.size(F.split(F.col("text"), " "))
-    sig = t.select(
-        "doc_id",
-        n_sym.cast("long").alias("n_sym"),
-        n_kw.cast("long").alias("n_kw"),
-        n_tok.cast("long").alias("n_tok"),
-    )
-    sym_ppm = F.expr("(n_sym * 1000000) div n_tok")
-    return sig.select(
-        "doc_id",
-        "n_sym",
-        "n_kw",
-        sym_ppm.cast("long").alias("sym_ppm"),
-        F.when((F.col("n_kw") >= 2) & (sym_ppm >= 50000), "code")
-        .otherwise("prose")
-        .alias("route"),
-    )
+    route decision hash-matches bit-for-bit. The projection itself is
+    `code_route_signals`, shared verbatim with the streaming router."""
+    return code_route_signals(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------- t_html_strip

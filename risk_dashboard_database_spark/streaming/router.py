@@ -11,11 +11,11 @@ watermark, no state store, no shuffle; per-document cost is O(chars)
 and the router scales with the scan at 100 TB. The route column is
 exactly the partition key a `partitionBy("route")` sink consumes.
 
-Parity contract (tested): availableNow replay over the real documents
-table (with the same planted-snippet schedule) emits per document the
-identical (n_sym, n_kw, sym_ppm, route) row as the DuckDB-oracle-
-verified batch `t_code_detect` — a cross-implementation check against
-the shared column expressions.
+Batch and stream share ONE projection (`textstats.code_route_signals`)
+— unlike the other gates, whose batch plans differ in shape, the two
+paths here are the identical stateless select, so the definition lives
+once and the parity test pins the wiring rather than a hand-mirrored
+copy.
 
 Trigger guidance: quality.py's measured policy applies unchanged
 (stateless gates share the ~0.55 s per-micro-batch floor) — use
@@ -25,44 +25,15 @@ Trigger guidance: quality.py's measured policy applies unchanged
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from ..plans.textstats import _CODE_KW_RE, _CODE_SNIPPET, _CODE_SYM_RE
+from ..plans.textstats import code_route_signals
 
 
 def with_route(docs: DataFrame, plant: bool = True) -> DataFrame:
     """(doc_id, text, ...) -> (doc_id, n_sym, n_kw, sym_ppm, route).
-    Works identically on batch and streaming DataFrames. `plant`
-    mirrors t_code_detect's deterministic snippet schedule (the
-    synthetic corpus carries no code); pass False for real ingest."""
-    text = (
-        F.when(
-            F.col("doc_id") % 9 == 0,
-            F.concat(F.col("text"), F.lit(_CODE_SNIPPET)),
-        ).otherwise(F.col("text"))
-        if plant
-        else F.col("text")
-    )
-    t = docs.select("doc_id", text.alias("__t"))
-    n_sym = F.size(F.regexp_extract_all("__t", F.lit(_CODE_SYM_RE), F.lit(0)))
-    n_kw = F.size(F.regexp_extract_all("__t", F.lit(_CODE_KW_RE), F.lit(0)))
-    n_tok = F.size(F.split(F.col("__t"), " "))
-    sig = t.select(
-        "doc_id",
-        n_sym.cast("long").alias("n_sym"),
-        n_kw.cast("long").alias("n_kw"),
-        n_tok.cast("long").alias("n_tok"),
-    )
-    sym_ppm = F.expr("(n_sym * 1000000) div n_tok")
-    return sig.select(
-        "doc_id",
-        "n_sym",
-        "n_kw",
-        sym_ppm.cast("long").alias("sym_ppm"),
-        F.when((F.col("n_kw") >= 2) & (sym_ppm >= 50000), "code")
-        .otherwise("prose")
-        .alias("route"),
-    )
+    Works identically on batch and streaming DataFrames; see
+    `textstats.code_route_signals` (the single shared definition)."""
+    return code_route_signals(docs, plant=plant)
 
 
 def stream_route(spark: SparkSession, docs_dir: str) -> DataFrame:

@@ -311,3 +311,25 @@ def test_quota_rebalance_laws(spark):
     poor = min(rows, key=lambda r: r["n_tokens"])
     assert rich["target_share_ppm"] <= rich["cur_share_ppm"] + 1
     assert poor["target_share_ppm"] >= poor["cur_share_ppm"] - 1
+
+
+def test_guarded_ppm_raises_instead_of_wrapping(spark):
+    """The mixture/packing ppm expressions guard their corpus-total
+    multiplicand: above (2^63-1)/1e6 they raise loudly (like DuckDB
+    and ANSI Spark) instead of silently wrapping on a legacy session."""
+    import pytest
+
+    from risk_dashboard_database_spark.plans.dedup import (
+        PPM_SAFE_MAX,
+        _guarded_ppm_sql,
+    )
+    from pyspark.sql import functions as F
+
+    safe = spark.range(1).selectExpr(f"{PPM_SAFE_MAX}L as x", "7L as y")
+    assert (
+        safe.select(F.expr(_guarded_ppm_sql("x", "y")).alias("p")).first()["p"]
+        == (PPM_SAFE_MAX * 1_000_000) // 7
+    )
+    hot = spark.range(1).selectExpr(f"{PPM_SAFE_MAX + 1}L as x", "7L as y")
+    with pytest.raises(Exception, match="ppm overflow"):
+        hot.select(F.expr(_guarded_ppm_sql("x", "y")).alias("p")).collect()
