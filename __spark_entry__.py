@@ -65,11 +65,12 @@ _SAMPLE_FIRST = [
     # (no tier 4 this round: all 50 slots go to never-sampled or
     # output-changed rows; every r07-green row stays ≤2 rounds old
     # through its r07 evidence and leads the r10 rotation together
-    # with the three late-r9 queries the 50-cap defers — d57_span_strip,
-    # d58_source_quota_rebalance, t_simpson — each carrying exact local
-    # gates at sf0.001/sf0.01/vanilla plus invariant/parity tests
-    # (d57's removed==d30-covered tie, d58's rebalance laws, t_simpson's
-    # python-Counter parity). a1_pricing_summary additionally runs
+    # with the four late-r9 queries the 50-cap defers — d57_span_strip,
+    # d58_source_quota_rebalance, t_simpson, d59_cluster_drift — each
+    # carrying exact local gates at sf0.001/sf0.01/vanilla plus
+    # invariant/parity tests (d57's removed==d30-covered tie, d58's
+    # rebalance laws, t_simpson's python-Counter parity, d59's
+    # brute-force within-cluster audit). a1_pricing_summary additionally runs
     # every round as entry().)
 ]
 # (The round-8 newcomers' deferred-sampling note from r8 is resolved:

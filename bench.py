@@ -128,6 +128,7 @@ HEADLINE = [
     "d57_span_strip",
     "d58_source_quota_rebalance",
     "t_simpson",
+    "d59_cluster_drift",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
@@ -350,6 +351,9 @@ BUDGET = {
                                    # passes by construction: quota
                                    # derivation + coin execution)
     "t_simpson": 0.6,              # 0.40 measured (per-row sorted run fold)
+    "d59_cluster_drift": 1.4,      # 0.87-1.06 measured (cluster-local
+                                   # pairwise exact Jaccard over two
+                                   # stored MVs, size-capped)
     "d13_stratified_sample": 0.6,  # r8 re-pin (was generated 0.35 for the
                                    # single-window plan): the two-phase
                                    # de-skewed rank adds two tiny
@@ -428,6 +432,8 @@ PINS_ABOVE_WORKING_BUDGET = {
                       "rebuild over d30's gram agg)",
     "d58_source_quota_rebalance": "two corpus passes by construction "
                                   "(quota derivation + coin execution)",
+    "d59_cluster_drift": "cluster-local pairwise exact-Jaccard audit "
+                         "(size-capped; the d44 bounded-candidate class)",
     "d39_split_gram_overlap": "gram-grain split overlap, d30's class",
     # plan-depth (many small broadcast joins) rather than data volume
     "d24_ann_ivfpq": "~5 broadcast joins (PQ ADC pipeline); jitter not data",

@@ -151,6 +151,20 @@ def _minhash_spark(shingles: F.Column) -> F.Column:
     )
 
 
+def _shingle_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, shingle-set) relation through the MV seam
+    (`d2_toks`) — shared by d2's signature build and d59's
+    within-cluster exact-Jaccard audit."""
+    from .relcache import cached_relation
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cached_relation(
+        "d2_toks",
+        sf_dir,
+        lambda: docs.select("doc_id", _shingles_spark(F.col("text")).alias("sh")),
+    )
+
+
 _JACCARD_SQL = """
   CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
     / (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x))))
@@ -208,11 +222,7 @@ def d2_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # evicts on dataset switch so blocks never accumulate.
     from .relcache import cached_relation
 
-    toks = cached_relation(
-        "d2_toks",
-        sf_dir,
-        lambda: docs.select("doc_id", _shingles_spark(F.col("text")).alias("sh")),
-    )
+    toks = _shingle_toks(spark, sf_dir)
     sigs = cached_relation(
         "d2_sigs",
         sf_dir,
@@ -6644,4 +6654,123 @@ def d58_source_quota_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("kept_tokens"),
         )
+    )
+
+
+# ---------------------------------------------------------------- d59
+# Transitive-drift audit of the dedup clusters — the classic objection
+# to connected-components near-dup: LSH edges chain (A~B, B~C), so a
+# component can contain pairs (A, C) far below the pair threshold, and
+# dropping "duplicates" then deletes genuinely distinct documents. d59
+# measures that drift exactly: for every cluster (size-capped — the
+# audit is pairwise within clusters by construction), the worst and
+# mean EXACT pairwise Jaccard in integer ppm, rolled up per cluster
+# size with a count of clusters whose worst pair falls below the d2
+# edge threshold. A drifted_clusters column of zero is the proof the
+# corpus's clusters are tight; a non-zero count is the tuning signal
+# to raise the threshold or band count (d37's calibration knobs).
+
+D59_MAX_CLUSTER = 64  # clusters above this are reported, not audited
+_J_THRESH_PPM = int(JACCARD_THRESHOLD * 1_000_000)
+
+
+@query(
+    "d59_cluster_drift",
+    oracle=f"""
+    WITH RECURSIVE {_D9_CTES},
+    cl AS (
+      SELECT cluster_id, doc_id, cluster_size FROM sized
+      WHERE cluster_size BETWEEN 2 AND {D59_MAX_CLUSTER}
+    ),
+    pr AS (
+      SELECT x.cluster_id, x.cluster_size,
+             CAST(len(list_filter(a.sh, s -> list_contains(b.sh, s)))
+                  AS BIGINT) AS inter,
+             CAST(len(a.sh) + len(b.sh)
+                  - len(list_filter(a.sh, s -> list_contains(b.sh, s)))
+                  AS BIGINT) AS uni
+      FROM cl x
+      JOIN cl y ON y.cluster_id = x.cluster_id AND x.doc_id < y.doc_id
+      JOIN toks a ON a.doc_id = x.doc_id
+      JOIN toks b ON b.doc_id = y.doc_id
+    ),
+    pj AS (
+      SELECT cluster_id, cluster_size,
+             (inter * 1000000) // GREATEST(uni, 1) AS j_ppm
+      FROM pr
+    ),
+    per_cluster AS (
+      SELECT cluster_id, cluster_size,
+             MIN(j_ppm) AS min_ppm,
+             SUM(j_ppm) AS s_ppm, COUNT(*) AS n_pairs
+      FROM pj GROUP BY 1, 2
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(MIN(min_ppm) AS BIGINT) AS worst_pair_ppm,
+           CAST(SUM(s_ppm) // SUM(n_pairs) AS BIGINT) AS mean_pair_ppm,
+           CAST(COUNT(*) FILTER (WHERE min_ppm < {_J_THRESH_PPM}) AS BIGINT)
+             AS drifted_clusters
+    FROM per_cluster GROUP BY cluster_size
+    """,
+)
+def d59_cluster_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-cluster exact-Jaccard drift per cluster size: worst and
+    mean pairwise similarity (integer ppm) and how many clusters hold
+    at least one pair below the d2 edge threshold.
+
+    Spark shape: the cluster table and the shingle relation are both
+    stored MVs; within-cluster pairs come from ONE cluster-keyed
+    self-join (cluster-LOCAL by construction and size-capped at
+    {D59_MAX_CLUSTER}, so the pairwise term is bounded per key — the
+    d44 cell-local contract, never corpus-quadratic); the exact
+    Jaccard is the same per-pair array expression d4 uses; two
+    map-side-combinable aggs (cluster grain, then size grain) finish
+    it. The ppm is integer (inter * 1e6 div union — shingle-set sizes
+    sit far below the guard line), so every column hash-matches."""
+    clusters = d9_dedup_clusters(spark, sf_dir)
+    toks = _shingle_toks(spark, sf_dir)
+    cl = clusters.where(
+        F.col("cluster_size").between(2, D59_MAX_CLUSTER)
+    ).select("cluster_id", "doc_id", "cluster_size")
+    a = cl.select(
+        "cluster_id", "cluster_size", F.col("doc_id").alias("doc_a")
+    )
+    b = cl.select(
+        F.col("cluster_id").alias("cid_b"), F.col("doc_id").alias("doc_b")
+    )
+    pairs = a.join(
+        b,
+        (F.col("cluster_id") == F.col("cid_b"))
+        & (F.col("doc_a") < F.col("doc_b")),
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    uni = (F.size("sh_a") + F.size("sh_b")).cast("long") - inter
+    pj = (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "cluster_id",
+            "cluster_size",
+            F.expr(
+                "(cast(size(array_intersect(sh_a, sh_b)) as bigint) * 1000000)"
+                " div greatest(cast(size(sh_a) + size(sh_b) as bigint)"
+                " - cast(size(array_intersect(sh_a, sh_b)) as bigint), 1)"
+            ).alias("j_ppm"),
+        )
+    )
+    per_cluster = pj.groupBy("cluster_id", "cluster_size").agg(
+        F.min("j_ppm").alias("min_ppm"),
+        F.sum("j_ppm").alias("s_ppm"),
+        F.count("*").alias("n_pairs"),
+    )
+    return per_cluster.groupBy("cluster_size").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.min("min_ppm").cast("long").alias("worst_pair_ppm"),
+        F.expr("sum(s_ppm) div sum(n_pairs)").cast("long").alias("mean_pair_ppm"),
+        F.sum((F.col("min_ppm") < _J_THRESH_PPM).cast("long"))
+        .cast("long")
+        .alias("drifted_clusters"),
     )

@@ -333,3 +333,51 @@ def test_guarded_ppm_raises_instead_of_wrapping(spark):
     hot = spark.range(1).selectExpr(f"{PPM_SAFE_MAX + 1}L as x", "7L as y")
     with pytest.raises(Exception, match="ppm overflow"):
         hot.select(F.expr(_guarded_ppm_sql("x", "y")).alias("p")).collect()
+
+
+def test_cluster_drift_matches_bruteforce_and_ties_to_d9(spark):
+    """Recompute the within-cluster exact-Jaccard audit in Python from
+    d9's clusters and the raw shingle sets; the rollup must match
+    per size, and every audited cluster must come from d9."""
+    from risk_dashboard_database_spark.plans.dedup import (
+        D59_MAX_CLUSTER,
+        _J_THRESH_PPM,
+        _shingles_spark,
+        d9_dedup_clusters,
+        d59_cluster_drift,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sh = {
+        r["doc_id"]: set(r["sh"])
+        for r in docs.select(
+            "doc_id", _shingles_spark(F.col("text")).alias("sh")
+        ).collect()
+    }
+    clusters: dict[int, list] = {}
+    for r in d9_dedup_clusters(spark, SF_DIR).collect():
+        if 2 <= r["cluster_size"] <= D59_MAX_CLUSTER:
+            clusters.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    per_size: dict[int, list] = {}
+    for cid, members in clusters.items():
+        members.sort()
+        ppms = []
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                inter = len(sh[a] & sh[b])
+                uni = len(sh[a]) + len(sh[b]) - inter
+                ppms.append((inter * 1_000_000) // max(uni, 1))
+        per_size.setdefault(len(members), []).append(ppms)
+    got = {r["cluster_size"]: r for r in d59_cluster_drift(spark, SF_DIR).collect()}
+    assert set(got) == set(per_size)
+    for size, cluster_ppms in per_size.items():
+        r = got[size]
+        assert r["n_clusters"] == len(cluster_ppms)
+        assert r["worst_pair_ppm"] == min(min(p) for p in cluster_ppms)
+        total = sum(sum(p) for p in cluster_ppms)
+        npairs = sum(len(p) for p in cluster_ppms)
+        assert r["mean_pair_ppm"] == total // npairs
+        assert r["drifted_clusters"] == sum(
+            1 for p in cluster_ppms if min(p) < _J_THRESH_PPM
+        )
