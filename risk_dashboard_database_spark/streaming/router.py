@@ -36,9 +36,17 @@ def with_route(docs: DataFrame, plant: bool = True) -> DataFrame:
     return code_route_signals(docs, plant=plant)
 
 
-def stream_route(spark: SparkSession, docs_dir: str) -> DataFrame:
+def stream_route(
+    spark: SparkSession, docs_dir: str, plant: bool = False
+) -> DataFrame:
     """Streaming source over a documents directory -> per-document
-    route verdicts on arrival."""
+    route verdicts on arrival.
+
+    ``plant`` defaults to False: this is the real-ingest entry point,
+    and `code_route_signals`' planted snippet schedule exists only so
+    the synthetic all-prose corpus exercises the code branch in tests
+    and the driver oracle. The batch-parity test passes ``plant=True``
+    explicitly to pin the shared projection against t_code_detect."""
     schema = spark.read.parquet(docs_dir).schema
     stream = spark.readStream.schema(schema).parquet(docs_dir)
-    return with_route(stream)
+    return with_route(stream, plant=plant)

@@ -30,9 +30,28 @@ def test_stream_route_matches_batch_t_code_detect(spark, tmp_path):
     shutil.copy(f"{SF_DIR}/documents.parquet", docs_dir / "part-0.parquet")
 
     streamed = run_available_now(
-        stream_route(spark, str(docs_dir)), "t_stream_route", output_mode="append"
+        stream_route(spark, str(docs_dir), plant=True),
+        "t_stream_route",
+        output_mode="append",
     )
     assert _rows(streamed) == _rows(t_code_detect(spark, SF_DIR))
+
+
+def test_stream_route_defaults_to_real_ingest_no_planting(spark, tmp_path):
+    """stream_route's default is the real-ingest form (plant=False):
+    the synthetic corpus carries no code, so every document must route
+    prose — planting is opt-in, never the ingest default."""
+    docs_dir = tmp_path / "docs_route_stream_real"
+    docs_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", docs_dir / "part-0.parquet")
+
+    streamed = run_available_now(
+        stream_route(spark, str(docs_dir)),
+        "t_stream_route_real",
+        output_mode="append",
+    )
+    rows = streamed.collect()
+    assert rows and all(r["route"] == "prose" for r in rows)
 
 
 def test_route_without_planting_is_all_prose_on_synthetic_corpus(spark):

@@ -15,6 +15,25 @@ import json
 import sys
 
 
+def _known_query_names() -> set[str] | None:
+    """Names bench.py can emit under "queries" — the full plan
+    registry (HEADLINE is a subset of it). None if the registry is
+    unavailable (standalone use), in which case recovery keeps the
+    old permissive behavior."""
+    try:
+        import os
+        import sys as _sys
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        if root not in _sys.path:
+            _sys.path.insert(0, root)
+        from risk_dashboard_database_spark import plans
+
+        return set(plans.QUERIES)
+    except Exception:
+        return None
+
+
 def load(path: str) -> dict:
     """Accept either bench.py's raw one-line JSON or the driver's
     BENCH_r{N}.json wrapper (payload under 'parsed')."""
@@ -39,9 +58,14 @@ def load(path: str) -> dict:
         else:
             # tail starts mid-"queries": keep only up to the next
             # sibling key so refresh/calibration fields don't leak in
-            scope = re.split(r'\}, "', frag, 1)[0]
+            scope = re.split(r'\}, "', frag, maxsplit=1)[0]
+        # Filter recovered keys against the bench's own query registry
+        # so sibling scalars that survive truncation (sf, value, n, rc)
+        # are never mistaken for per-query timings (ADVICE r9).
+        known = _known_query_names()
         for k, v in re.findall(r'"([a-z0-9_]+)": ([0-9.]+)', scope):
-            qs[k] = float(v)
+            if known is None or k in known:
+                qs[k] = float(v)
         cal = {}
         mc = re.search(r'"calibration": (\{.*?\})', frag)
         if mc:

@@ -166,7 +166,13 @@ def _record_py_oracle_evidence(name: str, sf_dir: str, nrows: int) -> None:
     import fcntl
     import tempfile
 
-    lock_fd = os.open(path + ".lock", os.O_CREAT | os.O_RDWR | os.O_CLOEXEC, 0o644)
+    # Ledger recording is best-effort bookkeeping: on a read-only
+    # checkout (or any unwritable dir) the gate itself must still run,
+    # so every OS-level failure here fails OPEN (ADVICE r9).
+    try:
+        lock_fd = os.open(path + ".lock", os.O_CREAT | os.O_RDWR | os.O_CLOEXEC, 0o644)
+    except OSError:
+        return
     try:
         fcntl.flock(lock_fd, fcntl.LOCK_EX)
         try:
@@ -183,9 +189,15 @@ def _record_py_oracle_evidence(name: str, sf_dir: str, nrows: int) -> None:
         if f"- {day}: `{name}`" in tail:
             return  # one entry per day is plenty
         fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".covtmp")
-        with os.fdopen(fd, "w") as f:
-            f.write(head + _LEDGER_MARK + "\n" + line + "\n\n" + tail.lstrip("\n"))
-        os.replace(tmp, path)
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(head + _LEDGER_MARK + "\n" + line + "\n\n" + tail.lstrip("\n"))
+            os.replace(tmp, path)
+        except OSError:
+            try:
+                os.unlink(tmp)  # don't leak the temp on a failed replace
+            except OSError:
+                pass
     finally:
         os.close(lock_fd)  # releases the flock
 
