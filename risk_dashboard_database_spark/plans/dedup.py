@@ -418,6 +418,199 @@ _DOT_SQL = """
     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
 """
 
+# --------------------------------------------- shared vector fragments
+# (defined up here, before the first IVF-family @query decorator that
+# embeds them in its oracle SQL)
+
+PQ_M = 8        # subspaces
+PQ_SUBDIM = 8   # dims per subspace (embeddings are 64-dim)
+
+
+def _sql2_spark(a: F.Column, b: F.Column) -> F.Column:
+    """Left-fold squared-L2 over double casts — the same expression
+    tree as `_SQL2_SQL` so sub-distances hash-match the oracle."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+_SQL2_SQL = """
+  list_reduce(list_transform(list_zip({a}, {b}),
+    p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), (x, y) -> x + y)
+"""
+
+
+def _sub_sql(col: str, s: int) -> str:
+    """DuckDB 1-based inclusive slice of subspace s."""
+    return f"{col}[{(s - 1) * PQ_SUBDIM + 1}:{s * PQ_SUBDIM}]"
+
+
+D49_PPB = 1_000_000_000  # fixed-point scale for embedding coords
+# Fixed-count seed codebook (VERDICT r8 #5): the old `vec_id % 100`
+# seed was 1% OF THE CORPUS, so the n x k assignment cost was
+# effectively quadratic in corpus size with the bound living in prose.
+# The seed is now a deterministic md5-rank top-K — the bound is a
+# LIMIT in the plan (TakeOrderedAndProject, never a global sort), k is
+# a workload parameter independent of n, and the selection is
+# engine-exact (d3's md5-of-decimal-string convention).
+D49_SEED_K = 16
+
+# Shared SQL fragments for the trained-codebook CTE chain (d49's
+# training unrolled; reused by every trained-default IVF/PQ oracle so
+# each gate re-proves the stored codebook equals retraining from
+# scratch).
+_D49_VECS_SQL = f"""
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {D49_PPB}.0) AS BIGINT)) AS v
+      FROM embeddings
+"""
+_D49_GEN1_CTES = f"""
+    gen0 AS (SELECT vec_id AS cid, v AS c FROM vecs
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+             LIMIT {D49_SEED_K}),
+    a1 AS (
+      SELECT s.vec_id, s.v,
+             (SELECT g.cid FROM gen0 g
+              ORDER BY {_DOT_SQL.format(a='s.v', b='g.c')}
+                       / (sqrt({_DOT_SQL.format(a='s.v', b='s.v')})
+                          * sqrt({_DOT_SQL.format(a='g.c', b='g.c')})) DESC, g.cid
+              LIMIT 1) AS cell
+      FROM vecs s
+    ),
+    sums AS (
+      SELECT cell, i AS dim, CAST(SUM(v[i]) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM a1, UNNEST(generate_series(1, len(v))) AS t(i)
+      GROUP BY cell, i
+    ),
+    gen1 AS (
+      SELECT cell AS cid, list(s ORDER BY dim) AS c, MAX(n) AS n
+      FROM sums GROUP BY cell
+    )
+"""
+
+# Mean centroids from the stored sum-codebook: squared-L2 sub-distances
+# are scale-sensitive (unlike cosine), so means are floor(sum / n) in
+# DOUBLE on both engines — IEEE division is exactly rounded and
+# |sum| < 2^53 at this scale, so the integer coords are engine-equal.
+_D25B_CM_SQL = """
+      SELECT cid,
+             list_transform(c, x -> CAST(floor(CAST(x AS DOUBLE) / n)
+                                         AS BIGINT)) AS ce
+      FROM gen1
+"""
+
+# Bounded probe set for the whole IVF/PQ search family (VERDICT r9 #4
+# closes the family on the d3/d36/d49 convention): a FIXED COUNT of
+# probes selected by deterministic md5 rank + LIMIT, not the old
+# `vec_id % 50` corpus fraction, so per-query search work stops growing
+# linearly with the corpus and the bound lives in the plan
+# (TakeOrderedAndProject). The same probe ids select under the stub and
+# the trained codebook, so recall comparisons stay row-for-row.
+IVF_PROBES = 40
+
+# The trained-default oracle preamble: ppb fixed-point vectors (with
+# label riding along for the search outputs), the d49 Lloyd round, the
+# mean codebook, argmax-cosine cell assignment, and the bounded probe
+# set. Every trained IVF/PQ oracle starts with this text.
+_TRAINED_PREAMBLE_SQL = f"""vecs AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {D49_PPB}.0) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+{_D49_GEN1_CTES},
+    cm AS ({_D25B_CM_SQL}),
+    assigned AS (
+      SELECT s.vec_id, s.label, s.v,
+             (SELECT m.cid FROM cm m
+              ORDER BY {_DOT_SQL.format(a='s.v', b='m.ce')}
+                       / (sqrt({_DOT_SQL.format(a='s.v', b='s.v')})
+                          * sqrt({_DOT_SQL.format(a='m.ce', b='m.ce')})) DESC, m.cid
+              LIMIT 1) AS cell
+      FROM vecs s
+    ),
+    q AS (SELECT vec_id, label, v, cell FROM assigned
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT {IVF_PROBES})"""
+
+_TRAINED_CODES_SQL = ",\n".join(
+    f"""             (SELECT m.cid FROM cm m
+              ORDER BY {_SQL2_SQL.format(a=_sub_sql('s.v', s), b=_sub_sql('m.ce', s))}, m.cid
+              LIMIT 1) AS code_{s}"""
+    for s in range(1, PQ_M + 1)
+)
+_TRAINED_DT_COLS_SQL = ",\n".join(
+    f"             {_SQL2_SQL.format(a=_sub_sql('q.v', s), b=_sub_sql('m.ce', s))} AS td_{s}"
+    for s in range(1, PQ_M + 1)
+)
+_TRAINED_ADC_JOINS_SQL = "\n".join(
+    f"      JOIN dt dt{s} ON dt{s}.query_id = q.vec_id AND dt{s}.cid = k.code_{s}"
+    for s in range(1, PQ_M + 1)
+)
+_TRAINED_ADC_SUM_SQL = " + ".join(f"dt{s}.td_{s}" for s in range(1, PQ_M + 1))
+
+# The full trained IVF-PQ recall chain (PQ top-3 vs exact in-cell
+# top-3 per probe) — shared verbatim by d25 (trained default) and d25b
+# (the explicit trained leg): identical oracle text is the contract
+# that the two independently-shaped Spark plans compute the same thing.
+_TRAINED_RECALL_ORACLE = f"""
+    WITH {_TRAINED_PREAMBLE_SQL},
+    codes AS (
+      SELECT s.vec_id,
+{_TRAINED_CODES_SQL}
+      FROM vecs s
+    ),
+    dt AS (
+      SELECT q.vec_id AS query_id, m.cid,
+{_TRAINED_DT_COLS_SQL}
+      FROM q, cm m
+    ),
+    pq_scored AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS candidate_id,
+             {_TRAINED_ADC_SUM_SQL} AS adc
+      FROM q
+      JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.vec_id
+      JOIN codes k ON k.vec_id = a.vec_id
+{_TRAINED_ADC_JOINS_SQL}
+    ),
+    pq_top AS (
+      SELECT query_id, candidate_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc, candidate_id) AS rank
+        FROM pq_scored) WHERE rank <= 3
+    ),
+    exact_scored AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS candidate_id,
+             {_DOT_SQL.format(a='q.v', b='a.v')}
+               / (sqrt({_DOT_SQL.format(a='q.v', b='q.v')})
+                  * sqrt({_DOT_SQL.format(a='a.v', b='a.v')})) AS cosine
+      FROM q JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.vec_id
+    ),
+    exact_top AS (
+      SELECT query_id, candidate_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, candidate_id) AS rank
+        FROM exact_scored) WHERE rank <= 3
+    )
+    SELECT p.query_id,
+           CAST(COUNT(*) AS BIGINT) AS k_returned,
+           CAST(COUNT(e.candidate_id) AS BIGINT) AS hits
+    FROM pq_top p
+    LEFT JOIN exact_top e
+      ON e.query_id = p.query_id AND e.candidate_id = p.candidate_id
+    GROUP BY p.query_id
+    """
+
 
 def _normed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings with their L2 norm precomputed, through the MV seam:
@@ -660,8 +853,12 @@ _BUCKET_SQL = """
 
 
 def _ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 'codebook': every 100th vector (a trained k-means
-    codebook in a real system) — broadcast-sized by construction."""
+    """The deterministic STUB codebook: every 100th vector. Since r10
+    the search family defaults to the d49-trained codebook
+    (_trained_centroids); this one survives for the codebook="stub"
+    recall-comparability flag and the d44/d47 cell-partition
+    consumers. Its k ~ n/100 makes assignment ~n^2/100 — the named
+    super-linear term the trained default retires."""
     emb = load_table(spark, sf_dir, "embeddings")
     return F.broadcast(
         emb.where(F.col("vec_id") % 100 == 0).select(
@@ -680,8 +877,10 @@ def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     field, matching the oracle's ORDER BY ... DESC, c.cid LIMIT 1.
 
     Stored through the MV seam: it is an index — real systems build it
-    once and store it — and it is consumed by both sides of the d8
-    search join plus every nprobe variant (d14)."""
+    once and store it. Consumers since r10: d44/d47's cell-local ops
+    (which want an n/100-cell partition of the corpus) and the
+    codebook="stub" flag paths of the search family (whose default
+    moved to the trained index, _trained_assigned)."""
     from .relcache import cached_relation
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -722,24 +921,12 @@ def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "d8_ann_ivf",
     oracle=f"""
-    WITH centroids AS (
-      SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 100 = 0
-    ),
-    assigned AS (
-      SELECT e.vec_id, e.label, e.embedding,
-             (SELECT c.cid FROM centroids c
-              ORDER BY {_DOT_SQL.format(a='e.embedding', b='c.ce')}
-                       / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
-                          * sqrt({_DOT_SQL.format(a='c.ce', b='c.ce')})) DESC, c.cid
-              LIMIT 1) AS cell
-      FROM embeddings e
-    ),
-    q AS (SELECT * FROM assigned WHERE vec_id % 50 = 0),
+    WITH {_TRAINED_PREAMBLE_SQL},
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS candidate_id, c.label, q.cell,
-             {_DOT_SQL.format(a='q.embedding', b='c.embedding')}
-               / (sqrt({_DOT_SQL.format(a='q.embedding', b='q.embedding')})
-                  * sqrt({_DOT_SQL.format(a='c.embedding', b='c.embedding')})) AS cosine
+             {_DOT_SQL.format(a='q.v', b='c.v')}
+               / (sqrt({_DOT_SQL.format(a='q.v', b='q.v')})
+                  * sqrt({_DOT_SQL.format(a='c.v', b='c.v')})) AS cosine
       FROM q JOIN assigned c ON c.cell = q.cell AND c.vec_id <> q.vec_id
     ),
     ranked AS (
@@ -751,29 +938,53 @@ def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked WHERE rank <= 3
     """,
 )
-def d8_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d8_ann_ivf(
+    spark: SparkSession, sf_dir: str, codebook: str = "trained"
+) -> DataFrame:
     """IVF-style ANN (the other scale path beside d5's sign-LSH):
-    deterministic 'centroids' (every 100th vector — a trained k-means
-    codebook in a real system), every vector assigned to its
-    max-cosine centroid cell, probes search ONLY their own cell. The
-    assignment pass broadcasts the centroid set (codebooks are tiny);
-    the search shuffles on the cell id. Oracle derives assignments via
-    an independent correlated-subquery argmax."""
-    assigned = _ivf_assigned(spark, sf_dir)
-    q = assigned.where(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        F.col("cell").alias("qcell"),
-        F.col("norm").alias("qnorm"),
-    )
-    c = assigned.select(
-        F.col("vec_id").alias("candidate_id"),
-        "label",
-        F.col("embedding").alias("ce2"),
-        "cell",
-        F.col("norm").alias("cnorm"),
-    )
-    scored = q.join(
+    every vector assigned to its max-cosine centroid cell, bounded
+    md5-rank probes search ONLY their own cell.
+
+    ``codebook`` (VERDICT r9 #4 — trained is the DEFAULT): "trained"
+    reads the d49-Lloyd-trained index MV (fixed D49_SEED_K cells, so
+    the codebook is corpus-size-independent and the n x k assignment
+    is linear in n); "stub" keeps the reference's deliberate
+    every-100th-vector codebook for recall-comparability runs — its
+    k ~ n/100 makes the assignment ~n^2/100, which is exactly why the
+    stub lives behind the flag and not in the registry. The oracle
+    (trained path) unrolls the full training chain, so the gate
+    re-proves the stored index equals retraining from scratch."""
+    if codebook == "stub":
+        assigned = _ivf_assigned(spark, sf_dir)
+        q = _ivf_probe_set(assigned).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("cell").alias("qcell"),
+            F.col("norm").alias("qnorm"),
+        )
+        c = assigned.select(
+            F.col("vec_id").alias("candidate_id"),
+            "label",
+            F.col("embedding").alias("ce2"),
+            "cell",
+            F.col("norm").alias("cnorm"),
+        )
+    else:
+        assigned = _trained_assigned(spark, sf_dir)
+        q = _ivf_probe_set(assigned).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qe"),
+            F.col("cell").alias("qcell"),
+            F.col("vnorm").alias("qnorm"),
+        )
+        c = assigned.select(
+            F.col("vec_id").alias("candidate_id"),
+            "label",
+            F.col("v").alias("ce2"),
+            "cell",
+            F.col("vnorm").alias("cnorm"),
+        )
+    scored = F.broadcast(q).join(
         c, (F.col("cell") == F.col("qcell")) & (F.col("candidate_id") != F.col("query_id"))
     ).select(
         "query_id",
@@ -1370,36 +1581,24 @@ def d13_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "d14_ann_ivf_nprobe2",
     oracle=f"""
-    WITH centroids AS (
-      SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 100 = 0
-    ),
-    assigned AS (
-      SELECT e.vec_id, e.label, e.embedding,
-             (SELECT c.cid FROM centroids c
-              ORDER BY {_DOT_SQL.format(a='e.embedding', b='c.ce')}
-                       / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
-                          * sqrt({_DOT_SQL.format(a='c.ce', b='c.ce')})) DESC, c.cid
-              LIMIT 1) AS cell
-      FROM embeddings e
-    ),
-    q AS (SELECT vec_id, embedding FROM assigned WHERE vec_id % 50 = 0),
+    WITH {_TRAINED_PREAMBLE_SQL},
     pcells AS (
       SELECT * FROM (
-        SELECT q.vec_id AS query_id, q.embedding AS qe, c.cid AS cell,
+        SELECT q.vec_id AS query_id, q.v AS qe, m.cid AS cell,
                ROW_NUMBER() OVER (
                  PARTITION BY q.vec_id
-                 ORDER BY {_DOT_SQL.format(a='q.embedding', b='c.ce')}
-                          / (sqrt({_DOT_SQL.format(a='q.embedding', b='q.embedding')})
-                             * sqrt({_DOT_SQL.format(a='c.ce', b='c.ce')})) DESC, c.cid
+                 ORDER BY {_DOT_SQL.format(a='q.v', b='m.ce')}
+                          / (sqrt({_DOT_SQL.format(a='q.v', b='q.v')})
+                             * sqrt({_DOT_SQL.format(a='m.ce', b='m.ce')})) DESC, m.cid
                ) AS prk
-        FROM q, centroids c
+        FROM q, cm m
       ) WHERE prk <= 2
     ),
     scored AS (
       SELECT p.query_id, a.vec_id AS candidate_id, a.label, a.cell,
-             {_DOT_SQL.format(a='p.qe', b='a.embedding')}
+             {_DOT_SQL.format(a='p.qe', b='a.v')}
                / (sqrt({_DOT_SQL.format(a='p.qe', b='p.qe')})
-                  * sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})) AS cosine
+                  * sqrt({_DOT_SQL.format(a='a.v', b='a.v')})) AS cosine
       FROM pcells p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
     ),
     ranked AS (
@@ -1411,27 +1610,43 @@ def d13_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked WHERE rank <= 3
     """,
 )
-def d14_ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d14_ann_ivf_nprobe2(
+    spark: SparkSession, sf_dir: str, codebook: str = "trained"
+) -> DataFrame:
     """IVF ANN with nprobe=2 — the standard recall knob: each probe
     searches its TWO nearest centroid cells instead of one, recovering
     neighbors that fall just across a Voronoi boundary (d8's known
     miss mode) at ~2x the per-probe candidate cost.
 
-    Plan shape: the stored assignment MV (shared with d8) supplies
-    both candidates and probes; probe-to-cell ranking is a window over
-    the probes x broadcast-codebook fan-out (probe count is n/50 —
-    dim-sized, so the sort is trivial); the search joins on the cell
-    key exactly like d8. A candidate belongs to exactly one cell, so
-    the two probed cells yield disjoint candidate sets — no dedup
-    pass. At 100 TB: same posture as d8, with nprobe scaling candidate
-    volume linearly and the shuffle still keyed on cell id."""
-    assigned = _ivf_assigned(spark, sf_dir)
-    centroids = _ivf_centroids(spark, sf_dir)
-    probes = assigned.where(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        F.col("norm").alias("qnorm"),
-    )
+    Plan shape: the stored index MV (shared with d8; trained codebook
+    by default, stub behind the flag — see d8_ann_ivf) supplies both
+    candidates and probes; probe-to-cell ranking is a window over the
+    bounded probe set x broadcast-codebook fan-out (IVF_PROBES x k
+    rows — trivial); the search joins on the cell key exactly like d8.
+    A candidate belongs to exactly one cell, so the two probed cells
+    yield disjoint candidate sets — no dedup pass. At 100 TB: same
+    posture as d8, with nprobe scaling candidate volume linearly and
+    the shuffle still keyed on cell id."""
+    if codebook == "stub":
+        assigned = _ivf_assigned(spark, sf_dir)
+        centroids = _ivf_centroids(spark, sf_dir)
+        probes = _ivf_probe_set(assigned).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("norm").alias("qnorm"),
+        )
+        cand_vec, cand_norm = "embedding", "norm"
+    else:
+        assigned = _trained_assigned(spark, sf_dir)
+        centroids = F.broadcast(
+            _trained_centroids(spark, sf_dir)
+        )
+        probes = _ivf_probe_set(assigned).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qe"),
+            F.col("vnorm").alias("qnorm"),
+        )
+        cand_vec, cand_norm = "v", "vnorm"
     cos_to_centroid = _dot_spark(F.col("qe"), F.col("ce")) / (
         F.sqrt(_dot_spark(F.col("qe"), F.col("qe")))
         * F.sqrt(_dot_spark(F.col("ce"), F.col("ce")))
@@ -1448,11 +1663,11 @@ def d14_ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = assigned.select(
         F.col("vec_id").alias("candidate_id"),
         "label",
-        F.col("embedding").alias("ce2"),
+        F.col(cand_vec).alias("ce2"),
         "cell",
-        F.col("norm").alias("cnorm"),
+        F.col(cand_norm).alias("cnorm"),
     )
-    scored = pcells.join(
+    scored = F.broadcast(pcells).join(
         cand,
         (F.col("cell") == F.col("pcell"))
         & (F.col("candidate_id") != F.col("query_id")),
@@ -2271,35 +2486,8 @@ def d22_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-probe distance TABLE (|codebook| x PQ_M lookups computed once
 # per probe) instead of touching any candidate's floats — IVF-PQ is
 # the standard billion-scale ANN layout (Jegou et al., TPAMI 2011).
-PQ_M = 8        # subspaces
-PQ_SUBDIM = 8   # dims per subspace (embeddings are 64-dim)
-
-
-def _sql2_spark(a: F.Column, b: F.Column) -> F.Column:
-    """Left-fold squared-L2 over double casts — the same expression
-    tree as `_SQL2_SQL` so sub-distances hash-match the oracle."""
-    return F.aggregate(
-        F.zip_with(
-            a,
-            b,
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
-_SQL2_SQL = """
-  list_reduce(list_transform(list_zip({a}, {b}),
-    p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
-         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), (x, y) -> x + y)
-"""
-
-
-def _sub_sql(col: str, s: int) -> str:
-    """DuckDB 1-based inclusive slice of subspace s."""
-    return f"{col}[{(s - 1) * PQ_SUBDIM + 1}:{s * PQ_SUBDIM}]"
+# (PQ_M / PQ_SUBDIM / _sql2_spark / _sub_sql live in the shared
+# vector-fragments block near the top of the module.)
 
 
 def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2341,86 +2529,62 @@ def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached_relation("d23_pq_codes", sf_dir, _build)
 
 
-_PQ_CODES_SQL = ",\n".join(
-    f"""             (SELECT c.cid FROM centroids c
-              ORDER BY {_SQL2_SQL.format(a=_sub_sql('e.embedding', s), b=_sub_sql('c.ce', s))}, c.cid
-              LIMIT 1) AS code_{s}"""
-    for s in range(1, PQ_M + 1)
-)
-
-
 @query(
     "d23_pq_codes",
     oracle=f"""
-    WITH centroids AS (
-      SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 100 = 0
-    )
-    SELECT e.vec_id,
-{_PQ_CODES_SQL}
-    FROM embeddings e
+    WITH vecs AS ({_D49_VECS_SQL}),
+    {_D49_GEN1_CTES},
+    cm AS ({_D25B_CM_SQL})
+    SELECT s.vec_id,
+{_TRAINED_CODES_SQL}
+    FROM vecs s
     """,
 )
-def d23_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization code build (new r8): every vector
-    compressed to PQ_M=8 nearest-centroid codes over 8-dim subspaces
-    of the shared deterministic codebook (every 100th vector — a
-    trained per-subspace k-means in a real system). 64 floats become
-    8 small ints: the compressed index d24 searches without touching
-    candidate floats. Output is pure integers, so cross-engine
-    hash-exactness needs only that the argmin COMPARISONS agree — and
-    they do, because each sub-distance is the identical left-fold
-    IEEE expression on both engines. Steady state compiles to a scan
-    of the stored codes MV."""
-    codes = _pq_codes(spark, sf_dir)
+def d23_pq_codes(
+    spark: SparkSession, sf_dir: str, codebook: str = "trained"
+) -> DataFrame:
+    """Product-quantization code build: every vector compressed to
+    PQ_M=8 nearest-centroid codes over 8-dim subspaces of the
+    codebook (d49-trained by default since r10; the every-100th-vector
+    stub behind the flag — see d8_ann_ivf). 64 floats become 8 small
+    ints: the compressed index d24 searches without touching candidate
+    floats. Output is pure integers, so cross-engine hash-exactness
+    needs only that the argmin COMPARISONS agree — and they do,
+    because each sub-distance is the identical left-fold IEEE
+    expression on both engines. Steady state compiles to a scan of
+    the stored index MV (the oracle unrolls the training chain, so
+    the gate re-proves the stored codes equal a from-scratch build)."""
+    codes = (
+        _pq_codes(spark, sf_dir)
+        if codebook == "stub"
+        else _trained_assigned(spark, sf_dir)
+    )
     return codes.select(
         "vec_id", *[F.col(f"code_{s}").cast("long") for s in range(1, PQ_M + 1)]
     )
 
 
-_ADC_JOINS_SQL = "\n".join(
-    f"      JOIN dt dt{s} ON dt{s}.query_id = q.vec_id AND dt{s}.cid = k.code_{s}"
-    for s in range(1, PQ_M + 1)
-)
-_ADC_SUM_SQL = " + ".join(f"dt{s}.td_{s}" for s in range(1, PQ_M + 1))
-_DT_COLS_SQL = ",\n".join(
-    f"             {_SQL2_SQL.format(a=_sub_sql('q.embedding', s), b=_sub_sql('c.ce', s))} AS td_{s}"
-    for s in range(1, PQ_M + 1)
-)
-
-
 @query(
     "d24_ann_ivfpq",
     oracle=f"""
-    WITH centroids AS (
-      SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 100 = 0
-    ),
-    assigned AS (
-      SELECT e.vec_id, e.label, e.embedding,
-             (SELECT c.cid FROM centroids c
-              ORDER BY {_DOT_SQL.format(a='e.embedding', b='c.ce')}
-                       / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
-                          * sqrt({_DOT_SQL.format(a='c.ce', b='c.ce')})) DESC, c.cid
-              LIMIT 1) AS cell
-      FROM embeddings e
-    ),
+    WITH {_TRAINED_PREAMBLE_SQL},
     codes AS (
-      SELECT e.vec_id,
-{_PQ_CODES_SQL}
-      FROM embeddings e
+      SELECT s.vec_id,
+{_TRAINED_CODES_SQL}
+      FROM vecs s
     ),
-    q AS (SELECT vec_id, embedding, cell FROM assigned WHERE vec_id % 50 = 0),
     dt AS (
-      SELECT q.vec_id AS query_id, c.cid,
-{_DT_COLS_SQL}
-      FROM q, centroids c
+      SELECT q.vec_id AS query_id, m.cid,
+{_TRAINED_DT_COLS_SQL}
+      FROM q, cm m
     ),
     scored AS (
       SELECT q.vec_id AS query_id, a.vec_id AS candidate_id, a.label, q.cell,
-             {_ADC_SUM_SQL} AS adc
+             {_TRAINED_ADC_SUM_SQL} AS adc
       FROM q
       JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.vec_id
       JOIN codes k ON k.vec_id = a.vec_id
-{_ADC_JOINS_SQL}
+{_TRAINED_ADC_JOINS_SQL}
     ),
     ranked AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -2431,7 +2595,9 @@ _DT_COLS_SQL = ",\n".join(
     FROM ranked WHERE rank <= 3
     """,
 )
-def d24_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d24_ann_ivfpq(
+    spark: SparkSession, sf_dir: str, codebook: str = "trained"
+) -> DataFrame:
     """IVF-PQ search (new r8): probes search only their IVF cell (d8's
     stored assignment MV) and score candidates by ASYMMETRIC DISTANCE
     — the sum over subspaces of the distance from the probe's
@@ -2451,16 +2617,39 @@ def d24_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT-ASSOCIATIVELY, the same IEEE order as the oracle's
     dt1.td_1 + ... + dt8.td_8, and each table entry is the identical
     sub-distance fold, so raw doubles hash-match. Top-3 per probe by
-    (adc asc, candidate_id)."""
-    assigned = _ivf_assigned(spark, sf_dir)
-    codes = _pq_codes(spark, sf_dir)
-    centroids = _ivf_centroids(spark, sf_dir)
+    (adc asc, candidate_id).
 
-    probes = assigned.where(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        F.col("cell").alias("qcell"),
-    )
+    Codebook: d49-trained by default since r10 (cells AND codes read
+    from the single stored index MV — no separate codes join); the
+    every-100th-vector stub behind the flag (see d8_ann_ivf)."""
+    if codebook == "stub":
+        assigned = _ivf_assigned(spark, sf_dir)
+        centroids = _ivf_centroids(spark, sf_dir)
+        probes = _ivf_probe_set(assigned).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("cell").alias("qcell"),
+        )
+        cand = assigned.select(
+            F.col("vec_id").alias("candidate_id"), "label", "cell"
+        ).join(
+            _pq_codes(spark, sf_dir).withColumnRenamed("vec_id", "candidate_id"),
+            "candidate_id",
+        )
+    else:
+        assigned = _trained_assigned(spark, sf_dir)
+        centroids = F.broadcast(_trained_centroids(spark, sf_dir))
+        probes = _ivf_probe_set(assigned).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qe"),
+            F.col("cell").alias("qcell"),
+        )
+        cand = assigned.select(
+            F.col("vec_id").alias("candidate_id"),
+            "label",
+            "cell",
+            *[F.col(f"code_{s}") for s in range(1, PQ_M + 1)],
+        )
     dt = probes.join(centroids).select(
         "query_id",
         "cid",
@@ -2472,10 +2661,7 @@ def d24_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in range(1, PQ_M + 1)
         ],
     )
-    cand = assigned.select(
-        F.col("vec_id").alias("candidate_id"), "label", "cell"
-    ).join(codes.withColumnRenamed("vec_id", "candidate_id"), "candidate_id")
-    joined = probes.select("query_id", "qcell").join(
+    joined = F.broadcast(probes.select("query_id", "qcell")).join(
         cand,
         (F.col("cell") == F.col("qcell"))
         & (F.col("candidate_id") != F.col("query_id")),
@@ -2517,85 +2703,36 @@ def d24_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- d25
-@query(
-    "d25_ann_recall",
-    oracle=f"""
-    WITH centroids AS (
-      SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 100 = 0
-    ),
-    assigned AS (
-      SELECT e.vec_id, e.label, e.embedding,
-             (SELECT c.cid FROM centroids c
-              ORDER BY {_DOT_SQL.format(a='e.embedding', b='c.ce')}
-                       / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
-                          * sqrt({_DOT_SQL.format(a='c.ce', b='c.ce')})) DESC, c.cid
-              LIMIT 1) AS cell
-      FROM embeddings e
-    ),
-    codes AS (
-      SELECT e.vec_id,
-{_PQ_CODES_SQL}
-      FROM embeddings e
-    ),
-    q AS (SELECT vec_id, embedding, cell FROM assigned WHERE vec_id % 50 = 0),
-    dt AS (
-      SELECT q.vec_id AS query_id, c.cid,
-{_DT_COLS_SQL}
-      FROM q, centroids c
-    ),
-    pq_scored AS (
-      SELECT q.vec_id AS query_id, a.vec_id AS candidate_id,
-             {_ADC_SUM_SQL} AS adc
-      FROM q
-      JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.vec_id
-      JOIN codes k ON k.vec_id = a.vec_id
-{_ADC_JOINS_SQL}
-    ),
-    pq_top AS (
-      SELECT query_id, candidate_id FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                     ORDER BY adc, candidate_id) AS rank
-        FROM pq_scored) WHERE rank <= 3
-    ),
-    exact_scored AS (
-      SELECT q.vec_id AS query_id, a.vec_id AS candidate_id,
-             {_DOT_SQL.format(a='q.embedding', b='a.embedding')}
-               / (sqrt({_DOT_SQL.format(a='q.embedding', b='q.embedding')})
-                  * sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})) AS cosine
-      FROM q JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.vec_id
-    ),
-    exact_top AS (
-      SELECT query_id, candidate_id FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                     ORDER BY cosine DESC, candidate_id) AS rank
-        FROM exact_scored) WHERE rank <= 3
-    )
-    SELECT p.query_id,
-           CAST(COUNT(*) AS BIGINT) AS k_returned,
-           CAST(COUNT(e.candidate_id) AS BIGINT) AS hits
-    FROM pq_top p
-    LEFT JOIN exact_top e
-      ON e.query_id = p.query_id AND e.candidate_id = p.candidate_id
-    GROUP BY p.query_id
-    """,
-)
-def d25_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN index-quality report (new r8): per-probe recall of d24's
-    IVF-PQ top-3 against the EXACT in-cell cosine top-3 (d8's ground
-    truth — same cell restriction, so the number isolates PQ
-    quantization loss from cell-routing loss, which is d14's knob).
-    This is the 'measure, don't guess' operator for the ANN family: a
-    pipeline tunes PQ_M / nprobe by exactly this query. Output is
-    pure integers (probe, k returned, hits in truth) — the oracle
+@query("d25_ann_recall", oracle=_TRAINED_RECALL_ORACLE)
+def d25_ann_recall(
+    spark: SparkSession, sf_dir: str, codebook: str = "trained"
+) -> DataFrame:
+    """ANN index-quality report: per-probe recall of d24's IVF-PQ
+    top-3 against the EXACT in-cell cosine top-3 (d8's ground truth —
+    same cell restriction, so the number isolates PQ quantization
+    loss from cell-routing loss, which is d14's knob). This is the
+    'measure, don't guess' operator for the ANN family: a pipeline
+    tunes PQ_M / nprobe by exactly this query. Output is pure
+    integers (probe, k returned, hits in truth) — the oracle
     re-derives both rankings independently and must agree row-for-row,
     which it can only do if every ADC comparison and every cosine
     comparison matches across engines.
 
-    Plan: both sides reuse the stored MVs (assignment + codes); the
-    intersection is a broadcast-able top-3 join (3 rows per probe each
-    side); one aggregate on probe id."""
-    pq_top = d24_ann_ivfpq(spark, sf_dir).select("query_id", "candidate_id")
-    exact_top = d8_ann_ivf(spark, sf_dir).select(
+    ``codebook`` passes straight through to both parents, so
+    d25(codebook="stub") is the before-training recall and the
+    default is the after-training number — identical probe ids on
+    both paths (the bounded md5-rank set), so the lift is row-for-row
+    (recorded in BENCH_NOTES). The default shares its oracle string
+    with d25b, which computes the same measurement through a
+    single-pipeline plan — a plan-shape A/B the gate re-proves.
+
+    Plan: both sides reuse the stored index MV; the intersection is a
+    broadcast-able top-3 join (3 rows per probe each side); one
+    aggregate on probe id."""
+    pq_top = d24_ann_ivfpq(spark, sf_dir, codebook=codebook).select(
+        "query_id", "candidate_id"
+    )
+    exact_top = d8_ann_ivf(spark, sf_dir, codebook=codebook).select(
         F.col("query_id").alias("true_qid"),
         F.col("candidate_id").alias("true_id"),
     )
@@ -5396,10 +5533,11 @@ def d48_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- d49
-# Distributed k-means codebook training — the loop the IVF family
-# deliberately stubs: d8/d14/d23/d24 take "every 100th vector" as
-# their codebook and note a real system would TRAIN it. d49 is that
-# training step as a deterministic distributed Lloyd iteration:
+# Distributed k-means codebook training — the codebook the IVF/PQ
+# search family reads by DEFAULT since r10 (the every-100th-vector
+# stub survives behind codebook="stub" for recall-comparability
+# runs). d49 is the training step as a deterministic distributed
+# Lloyd iteration:
 # seed with the stub codebook, assign every vector to its max-cosine
 # centroid, recompute centroids from the members, reassign. Two
 # determinism tricks make an inherently-float algorithm hash-exact
@@ -5408,50 +5546,8 @@ def d48_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order; (2) centroids are kept as the raw SUM vectors — cosine is
 # scale-invariant, so dividing by the member count (whose floor/
 # truncation semantics differ between engines) is never needed.
-
-D49_PPB = 1_000_000_000  # fixed-point scale for embedding coords
-# Fixed-count seed codebook (VERDICT r8 #5): the old `vec_id % 100`
-# seed was 1% OF THE CORPUS, so the n x k assignment cost was
-# effectively quadratic in corpus size with the bound living in prose.
-# The seed is now a deterministic md5-rank top-K — the bound is a
-# LIMIT in the plan (TakeOrderedAndProject, never a global sort), k is
-# a workload parameter independent of n, and the selection is
-# engine-exact (d3's md5-of-decimal-string convention).
-D49_SEED_K = 16
-
-# Shared SQL fragments for the trained-codebook CTE chain (d49's
-# training unrolled; reused verbatim by d25b so its oracle trains the
-# identical codebook).
-_D49_VECS_SQL = f"""
-      SELECT vec_id,
-             list_transform(embedding,
-               x -> CAST(floor(CAST(x AS DOUBLE) * {D49_PPB}.0) AS BIGINT)) AS v
-      FROM embeddings
-"""
-_D49_GEN1_CTES = f"""
-    gen0 AS (SELECT vec_id AS cid, v AS c FROM vecs
-             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-             LIMIT {D49_SEED_K}),
-    a1 AS (
-      SELECT s.vec_id, s.v,
-             (SELECT g.cid FROM gen0 g
-              ORDER BY {_DOT_SQL.format(a='s.v', b='g.c')}
-                       / (sqrt({_DOT_SQL.format(a='s.v', b='s.v')})
-                          * sqrt({_DOT_SQL.format(a='g.c', b='g.c')})) DESC, g.cid
-              LIMIT 1) AS cell
-      FROM vecs s
-    ),
-    sums AS (
-      SELECT cell, i AS dim, CAST(SUM(v[i]) AS BIGINT) AS s,
-             CAST(COUNT(*) AS BIGINT) AS n
-      FROM a1, UNNEST(generate_series(1, len(v))) AS t(i)
-      GROUP BY cell, i
-    ),
-    gen1 AS (
-      SELECT cell AS cid, list(s ORDER BY dim) AS c, MAX(n) AS n
-      FROM sums GROUP BY cell
-    )
-"""
+# (D49_PPB / D49_SEED_K / _D49_VECS_SQL / _D49_GEN1_CTES live in the
+# shared vector-fragments block near the top of the module.)
 
 
 def _d49_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5600,19 +5696,11 @@ def d49_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Mean centroids: the stored codebook keeps RAW SUM vectors (cosine
 # never needs the division), but squared-L2 sub-distances are scale-
-# sensitive, so d25b forms means as floor(sum / n) computed in DOUBLE
-# on both engines — IEEE division is exactly rounded, and |sum| < 2^53
-# at this scale, so the integer mean coordinates are engine-identical.
-
-_D25B_CM_SQL = """
-      SELECT cid,
-             list_transform(c, x -> CAST(floor(CAST(x AS DOUBLE) / n)
-                                         AS BIGINT)) AS ce
-      FROM gen1
-"""
+# sensitive, so the trained family forms means as floor(sum / n) in
+# DOUBLE on both engines (_D25B_CM_SQL, shared fragments block).
 
 
-def _d25b_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained MEAN centroids (cid, ce) from the stored sum-codebook —
     the _D25B_CM_SQL expression as Spark columns (double division then
     floor: IEEE-identical on both engines for |sum| < 2^53)."""
@@ -5626,19 +5714,20 @@ def _d25b_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _d25b_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trained-codebook assignment + PQ codes (vec_id, v, cell,
-    code_1..code_M), through the MV seam — the trained analog of the
-    d8_assigned + d23_pq_codes MVs that the untrained pipeline stores.
+def _trained_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE trained IVF-PQ index (vec_id, label, v, vnorm, cell,
+    code_1..code_M), through the MV seam — the single index relation
+    the whole trained-default family (d8/d14/d23/d24/d25/d25b) reads.
     ONE corpus fan-out (vecs x broadcast k-row trained codebook)
     computes the cell argmax AND all PQ_M sub-code argmins in a single
     map-side-combinable groupBy, so routing and code build share the
-    scan; consumers (d25b's three references) compile to plain scans
-    instead of re-paying the n x k pass each."""
+    scan; every consumer compiles to a plain scan instead of re-paying
+    the n x k pass. The L2 norm is stored WITH the index (d3's
+    _normed_embeddings trick) so search joins fold one dot per pair."""
     from .relcache import cached_relation
 
-    vecs = _d49_vecs(spark, sf_dir).select("vec_id", "v")
-    cm = _d25b_centroids(spark, sf_dir)
+    vecs = _d49_vecs(spark, sf_dir)
+    cm = _trained_centroids(spark, sf_dir)
 
     def _build() -> DataFrame:
         cos = _dot_spark(F.col("v"), F.col("ce")) / (
@@ -5653,9 +5742,10 @@ def _d25b_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in range(1, PQ_M + 1)
         ]
         fan = vecs.join(F.broadcast(cm)).select(
-            "vec_id", "v", "cid", cos.alias("__cos"), *subdists
+            "vec_id", "label", "v", "cid", cos.alias("__cos"), *subdists
         )
         return fan.groupBy("vec_id").agg(
+            F.any_value("label").alias("label"),
             F.any_value("v").alias("v"),
             F.max_by(
                 F.col("cid"),
@@ -5666,99 +5756,46 @@ def _d25b_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias(f"code_{s}")
                 for s in range(1, PQ_M + 1)
             ],
-        )
+        ).withColumn("vnorm", F.sqrt(_dot_spark(F.col("v"), F.col("v"))))
 
-    return cached_relation("d25b_assigned", sf_dir, _build)
-_D25B_CODES_SQL = ",\n".join(
-    f"""             (SELECT m.cid FROM cm m
-              ORDER BY {_SQL2_SQL.format(a=_sub_sql('s.v', s), b=_sub_sql('m.ce', s))}, m.cid
-              LIMIT 1) AS code_{s}"""
-    for s in range(1, PQ_M + 1)
-)
-_D25B_DT_COLS_SQL = ",\n".join(
-    f"             {_SQL2_SQL.format(a=_sub_sql('q.v', s), b=_sub_sql('m.ce', s))} AS td_{s}"
-    for s in range(1, PQ_M + 1)
-)
+    # key bumped from "d25b_assigned": label + vnorm columns added when
+    # the whole IVF family graduated to the trained codebook (r10) —
+    # the store is content-addressed by dataset, so a build-logic
+    # change must change the key or stale files would be reused.
+    return cached_relation("ivf_trained_assigned", sf_dir, _build)
 
 
-@query(
-    "d25b_ann_recall_trained",
-    oracle=f"""
-    WITH vecs AS ({_D49_VECS_SQL}),
-    {_D49_GEN1_CTES},
-    cm AS ({_D25B_CM_SQL}),
-    assigned AS (
-      SELECT s.vec_id, s.v,
-             (SELECT m.cid FROM cm m
-              ORDER BY {_DOT_SQL.format(a='s.v', b='m.ce')}
-                       / (sqrt({_DOT_SQL.format(a='s.v', b='s.v')})
-                          * sqrt({_DOT_SQL.format(a='m.ce', b='m.ce')})) DESC, m.cid
-              LIMIT 1) AS cell
-      FROM vecs s
-    ),
-    codes AS (
-      SELECT s.vec_id,
-{_D25B_CODES_SQL}
-      FROM vecs s
-    ),
-    q AS (SELECT vec_id, v, cell FROM assigned WHERE vec_id % 50 = 0),
-    dt AS (
-      SELECT q.vec_id AS query_id, m.cid,
-{_D25B_DT_COLS_SQL}
-      FROM q, cm m
-    ),
-    pq_scored AS (
-      SELECT q.vec_id AS query_id, a.vec_id AS candidate_id,
-             {_ADC_SUM_SQL} AS adc
-      FROM q
-      JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.vec_id
-      JOIN codes k ON k.vec_id = a.vec_id
-{_ADC_JOINS_SQL}
-    ),
-    pq_top AS (
-      SELECT query_id, candidate_id FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                     ORDER BY adc, candidate_id) AS rank
-        FROM pq_scored) WHERE rank <= 3
-    ),
-    exact_scored AS (
-      SELECT q.vec_id AS query_id, a.vec_id AS candidate_id,
-             {_DOT_SQL.format(a='q.v', b='a.v')}
-               / (sqrt({_DOT_SQL.format(a='q.v', b='q.v')})
-                  * sqrt({_DOT_SQL.format(a='a.v', b='a.v')})) AS cosine
-      FROM q JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.vec_id
-    ),
-    exact_top AS (
-      SELECT query_id, candidate_id FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                     ORDER BY cosine DESC, candidate_id) AS rank
-        FROM exact_scored) WHERE rank <= 3
-    )
-    SELECT p.query_id,
-           CAST(COUNT(*) AS BIGINT) AS k_returned,
-           CAST(COUNT(e.candidate_id) AS BIGINT) AS hits
-    FROM pq_top p
-    LEFT JOIN exact_top e
-      ON e.query_id = p.query_id AND e.candidate_id = p.candidate_id
-    GROUP BY p.query_id
-    """,
-)
+def _ivf_probe_set(assigned: DataFrame) -> DataFrame:
+    """The family's bounded probe set: deterministic md5-rank top-K
+    over the index relation (IVF_PROBES rows at any corpus size,
+    TakeOrderedAndProject in the plan)."""
+    return assigned.orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    ).limit(IVF_PROBES)
+
+
+@query("d25b_ann_recall_trained", oracle=_TRAINED_RECALL_ORACLE)
 def d25b_ann_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """d25's IVF-PQ recall audit re-run on d49's TRAINED codebook —
-    the after-training measurement (d25 is the before).
+    """The trained IVF-PQ recall audit as a SINGLE flat pipeline over
+    the stored index — since r10 (trained codebook as family default,
+    VERDICT r9 #4) this computes the same measurement as
+    d25_ann_recall's default path, through a deliberately different
+    plan shape: d25 composes its two parent queries (d24's ADC search,
+    d8's exact in-cell search), d25b reads the index MV once and
+    builds both rankings inline. The two share ONE oracle string
+    (_TRAINED_RECALL_ORACLE), so the driver gate pins plan-shape
+    equivalence every round; the before-training number comes from
+    d25_ann_recall(codebook="stub").
 
     Spark shape: ONE corpus fan-out (vecs x broadcast k-row trained
-    codebook) computes the cell argmax AND all PQ_M sub-code argmins
-    in a single map-side-combinable groupBy — cell routing and code
-    build share the scan instead of paying two n x k passes. Probes
-    take the d25 convention (same probe ids => comparable recall);
-    the per-probe distance table folds to a broadcast map (d24's
-    layout); both the ADC and exact rankings are in-cell windows over
-    cell-local joins. Output schema matches d25 row-for-row, so
-    recall lift is a one-line diff of the two results."""
-    cm = _d25b_centroids(spark, sf_dir)
-    assigned = _d25b_assigned(spark, sf_dir)
-    probes = assigned.where(F.col("vec_id") % 50 == 0).select(
+    codebook) builds the stored index (cell argmax + all PQ_M sub-code
+    argmins in one map-side-combinable groupBy); probes are the
+    family's bounded md5-rank set; the per-probe distance table folds
+    to a broadcast map (d24's layout); both the ADC and exact rankings
+    are in-cell windows over cell-local joins."""
+    cm = _trained_centroids(spark, sf_dir)
+    assigned = _trained_assigned(spark, sf_dir)
+    probes = _ivf_probe_set(assigned).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("cell").alias("qcell"),
@@ -6712,6 +6749,14 @@ _J_THRESH_PPM = int(JACCARD_THRESHOLD * 1_000_000)
            CAST(COUNT(*) FILTER (WHERE min_ppm < {_J_THRESH_PPM}) AS BIGINT)
              AS drifted_clusters
     FROM per_cluster GROUP BY cluster_size
+    UNION ALL
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) // cluster_size AS BIGINT) AS n_clusters,
+           CAST(-1 AS BIGINT) AS worst_pair_ppm,
+           CAST(-1 AS BIGINT) AS mean_pair_ppm,
+           CAST(-1 AS BIGINT) AS drifted_clusters
+    FROM sized WHERE cluster_size > {D59_MAX_CLUSTER}
+    GROUP BY cluster_size
     """,
 )
 def d59_cluster_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6727,7 +6772,14 @@ def d59_cluster_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard is the same per-pair array expression d4 uses; two
     map-side-combinable aggs (cluster grain, then size grain) finish
     it. The ppm is integer (inter * 1e6 div union — shingle-set sizes
-    sit far below the guard line), so every column hash-matches."""
+    sit far below the guard line), so every column hash-matches.
+
+    Over-cap disclosure (VERDICT r9 #5): cluster sizes above
+    {D59_MAX_CLUSTER} are NOT silently dropped — they appear as rows
+    whose audit columns (worst/mean/drifted) are the -1 sentinel and
+    whose n_clusters counts what went unaudited, in both engines. The
+    biggest clusters are the most drift-prone, so an audit that hides
+    them would be lying; -1 says 'present, size-refused' loudly."""
     clusters = d9_dedup_clusters(spark, sf_dir)
     toks = _shingle_toks(spark, sf_dir)
     cl = clusters.where(
@@ -6766,7 +6818,7 @@ def d59_cluster_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("j_ppm").alias("s_ppm"),
         F.count("*").alias("n_pairs"),
     )
-    return per_cluster.groupBy("cluster_size").agg(
+    audited = per_cluster.groupBy("cluster_size").agg(
         F.count("*").cast("long").alias("n_clusters"),
         F.min("min_ppm").cast("long").alias("worst_pair_ppm"),
         F.expr("sum(s_ppm) div sum(n_pairs)").cast("long").alias("mean_pair_ppm"),
@@ -6774,3 +6826,22 @@ def d59_cluster_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("drifted_clusters"),
     )
+    # over-cap clusters: counted, sentinel-marked, never silent. The
+    # cluster table is doc-grain and every size-s cluster contributes
+    # exactly s rows, so n_clusters = count(*) div size — ONE
+    # map-side-combinable agg, no count_distinct double-exchange.
+    unaudited = (
+        clusters.where(F.col("cluster_size") > D59_MAX_CLUSTER)
+        .groupBy("cluster_size")
+        .agg(
+            F.expr("count(*) div cluster_size").cast("long").alias("n_clusters")
+        )
+        .select(
+            F.col("cluster_size").cast("long"),
+            "n_clusters",
+            F.lit(-1).cast("long").alias("worst_pair_ppm"),
+            F.lit(-1).cast("long").alias("mean_pair_ppm"),
+            F.lit(-1).cast("long").alias("drifted_clusters"),
+        )
+    )
+    return audited.unionByName(unaudited)

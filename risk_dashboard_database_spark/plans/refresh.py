@@ -95,10 +95,13 @@ MV_STORE_DAG: list[tuple[str, tuple[str, ...], tuple[str, ...]]] = [
     ("d9_clusters",   ("d9_clusters",),                   ("d2_sigs",)),
     ("d3_normed",     ("d3_normed",),                     ()),
     ("d19_clusters",  ("d19_clusters",),                  ("d3_normed",)),
+    # d8_assigned stays warmed for its remaining registry consumers
+    # (d44/d47 cell-local ops + the codebook="stub" flag paths); the
+    # old d23_codes step dropped out with the trained default (r10) —
+    # stub-only now, built lazily by a flagged run.
     ("d8_assigned",   ("d8_assigned_v2",),                ()),
-    ("d23_codes",     ("d23_pq_codes",),                  ()),
     ("d49_codebook",  ("d49_codebook_v2",),               ()),
-    ("d25b_assigned", ("d25b_assigned",),                 ("d49_codebook",)),
+    ("trained_assigned", ("ivf_trained_assigned",),       ("d49_codebook",)),
     ("d15_grams",     ("d15_grams",),                     ("layouts",)),
     ("d30_grams",     ("d30_grams",),                     ("layouts",)),
     ("t_tri_grams",   ("t_tri_grams",),                   ("layouts",)),
@@ -131,9 +134,8 @@ def _mv_warmer(step: str):
         "d19_clusters": dedup.d19_embedding_clusters,
         "d3_normed": dedup._normed_embeddings,
         "d8_assigned": dedup._ivf_assigned,
-        "d23_codes": dedup._pq_codes,
         "d49_codebook": dedup._d49_codebook,
-        "d25b_assigned": dedup._d25b_assigned,
+        "trained_assigned": dedup._trained_assigned,
         "d15_grams": dedup._decon_grams,
         "d30_grams": dedup._span_grams,
         "t_tri_grams": textstats.t_ngram_docfreq,

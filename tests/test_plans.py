@@ -23,7 +23,10 @@ SF_DIR = "/root/testdata/sf0.001"
 # join condition is non-equi (or absent) BY DESIGN.
 BNLJ_OK = {
     "d5_ann_lsh_bucket",  # bucket-equi but probe side broadcast w/ <> residual
-    "d8_ann_ivf",       # broadcast centroid codebook fan-out (assignment pass)
+    # (d8_ann_ivf left the list in r10: the trained default reads the
+    # stored index MV and broadcasts its 40-probe set — the assignment
+    # fan-out lives in the MV build, so the consumer plan is one
+    # BroadcastHashJoin + one window exchange.)
     "d14_ann_ivf_nprobe2",  # probes x broadcast codebook fan-out (cell ranking)
     "o7_fuzzy_topk",    # broadcast candidate dim for the fuzzy scorer
     "e4_crisis_impact",  # 1-row window-end scalar crossJoin
@@ -51,10 +54,10 @@ BNLJ_OK = {
 
 # Intentional statically-planned SortMergeJoins: both sides large at
 # scale, equi-keyed — the correct 100 TB plan (AQE flips them to
-# broadcast at small SF at runtime).
-SMJ_OK = {
-    "d8_ann_ivf",  # cell-local search join: probes x corpus shuffled on cell id
-}
+# broadcast at small SF at runtime). Empty since r10: d8's cell-local
+# search join became a broadcast of the bounded probe set when the
+# family's probes moved from a corpus fraction to md5-rank+LIMIT.
+SMJ_OK: set[str] = set()
 
 MAX_EXCHANGES = 3
 

@@ -134,9 +134,12 @@ def test_epoch_shuffle_rank_window_is_bucketed_not_global(spark):
 
 
 def test_pq_codes_are_true_subspace_argmins(spark):
-    """d23: every code is a codebook id and IS the argmin of the
+    """d23 (stub flag — the hand-checkable every-100th-vector
+    codebook): every code is a codebook id and IS the argmin of the
     squared-L2 sub-distance (hand-recomputed in Python for every
-    vector at sf0.001, ties broken by min cid)."""
+    vector at sf0.001, ties broken by min cid). The trained default's
+    argmin machinery is the same min_by expression, pinned by the
+    shared-oracle driver gate."""
     from risk_dashboard_database_spark.plans.dedup import (
         PQ_M,
         PQ_SUBDIM,
@@ -148,7 +151,7 @@ def test_pq_codes_are_true_subspace_argmins(spark):
         for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
     }
     cb = {vid: e for vid, e in emb.items() if vid % 100 == 0}
-    rows = d23_pq_codes(spark, SF_DIR).collect()
+    rows = d23_pq_codes(spark, SF_DIR, codebook="stub").collect()
     assert len(rows) == len(emb)
     for r in rows:
         e = emb[r["vec_id"]]
@@ -168,9 +171,12 @@ def test_pq_codes_are_true_subspace_argmins(spark):
 
 
 def test_ivfpq_adc_is_sum_of_code_subdistances(spark):
-    """d24: every hit stays in the probe's IVF cell and its adc equals
-    the hand-computed sum of probe-to-assigned-centroid sub-distances
-    (the asymmetric-distance definition), summed in subspace order."""
+    """d24 (stub flag — hand-checkable codebook): every hit stays in
+    the probe's IVF cell and its adc equals the hand-computed sum of
+    probe-to-assigned-centroid sub-distances (the asymmetric-distance
+    definition), summed in subspace order. The trained default runs
+    the identical ADC pipeline over the trained index MV, pinned by
+    its own oracle."""
     from risk_dashboard_database_spark.plans.dedup import (
         PQ_M,
         PQ_SUBDIM,
@@ -189,9 +195,9 @@ def test_ivfpq_adc_is_sum_of_code_subdistances(spark):
     }
     codes = {
         r["vec_id"]: [r[f"code_{s}"] for s in range(1, PQ_M + 1)]
-        for r in d23_pq_codes(spark, SF_DIR).collect()
+        for r in d23_pq_codes(spark, SF_DIR, codebook="stub").collect()
     }
-    rows = d24_ann_ivfpq(spark, SF_DIR).collect()
+    rows = d24_ann_ivfpq(spark, SF_DIR, codebook="stub").collect()
     assert rows
     for r in rows:
         assert r["cell"] == cells[r["query_id"]] == cells[r["candidate_id"]]
@@ -844,39 +850,51 @@ def test_d52_hist_ties_to_d9_and_d10(spark):
     assert total_redundant == sum(1 for r in rows if not r["is_canonical"])
 
 
-def test_d25b_trained_recall_mirrors_d25_contract(spark):
-    """d25b must be directly comparable to d25: same probe ids, same
-    k, hits bounded by truth-set size — so 'recall lift from training'
-    is a one-line diff of the two results (VERDICT r8 #6)."""
+def test_d25_trained_default_equals_d25b_and_stub_shares_probes(spark):
+    """Since r10 the trained codebook is the family default, so
+    d25_ann_recall() and d25b_ann_recall_trained — two independently
+    shaped plans sharing one oracle string — must agree row-for-row;
+    and d25(codebook="stub") must select the IDENTICAL bounded probe
+    ids so the before/after-training recall lift is a one-line diff
+    (VERDICT r9 #4 / ADVICE r9)."""
     from risk_dashboard_database_spark.plans.dedup import (
+        IVF_PROBES,
         d25_ann_recall,
         d25b_ann_recall_trained,
     )
 
-    base = {r["query_id"]: r for r in d25_ann_recall(spark, SF_DIR).collect()}
-    trained = {
-        r["query_id"]: r
+    base = {
+        r["query_id"]: (r["k_returned"], r["hits"])
+        for r in d25_ann_recall(spark, SF_DIR).collect()
+    }
+    pipelined = {
+        r["query_id"]: (r["k_returned"], r["hits"])
         for r in d25b_ann_recall_trained(spark, SF_DIR).collect()
     }
-    assert set(trained) == set(base), "probe sets must match"
-    for qid, r in trained.items():
-        assert 1 <= r["k_returned"] <= 3
-        assert 0 <= r["hits"] <= r["k_returned"]
+    assert base == pipelined, "composed vs single-pipeline plans diverged"
+    assert len(base) == IVF_PROBES
+    stub = {
+        r["query_id"]: (r["k_returned"], r["hits"])
+        for r in d25_ann_recall(spark, SF_DIR, codebook="stub").collect()
+    }
+    assert set(stub) == set(base), "stub probe ids must match trained"
+    for k, hits in list(base.values()) + list(stub.values()):
+        assert 1 <= k <= 3 and 0 <= hits <= k
 
 
-def test_d25b_assigned_is_a_corpus_partition(spark):
+def test_trained_assigned_is_a_corpus_partition(spark):
     """Every vector gets exactly one trained cell and PQ_M codes, and
     every cell/code is a codebook member."""
     from risk_dashboard_database_spark.plans.dedup import (
         PQ_M,
-        _d25b_assigned,
         _d49_codebook,
+        _trained_assigned,
     )
 
     cb_ids = {
         r["cid"] for r in _d49_codebook(spark, SF_DIR).select("cid").collect()
     }
-    rows = _d25b_assigned(spark, SF_DIR).collect()
+    rows = _trained_assigned(spark, SF_DIR).collect()
     n_vecs = (
         spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
     )

@@ -369,7 +369,13 @@ def test_cluster_drift_matches_bruteforce_and_ties_to_d9(spark):
                 uni = len(sh[a]) + len(sh[b]) - inter
                 ppms.append((inter * 1_000_000) // max(uni, 1))
         per_size.setdefault(len(members), []).append(ppms)
-    got = {r["cluster_size"]: r for r in d59_cluster_drift(spark, SF_DIR).collect()}
+    rows = d59_cluster_drift(spark, SF_DIR).collect()
+    # audited rows only — over-cap sizes carry the -1 sentinel (none
+    # exist at this SF; the disclosure contract is pinned below)
+    got = {
+        r["cluster_size"]: r for r in rows if r["drifted_clusters"] != -1
+    }
+    assert len(got) == len(rows)
     assert set(got) == set(per_size)
     for size, cluster_ppms in per_size.items():
         r = got[size]
@@ -381,3 +387,47 @@ def test_cluster_drift_matches_bruteforce_and_ties_to_d9(spark):
         assert r["drifted_clusters"] == sum(
             1 for p in cluster_ppms if min(p) < _J_THRESH_PPM
         )
+
+
+def test_cluster_drift_discloses_over_cap_clusters(spark, tmp_path):
+    """VERDICT r9 #5: a cluster bigger than D59_MAX_CLUSTER must NOT
+    vanish from the audit — it appears as a row whose audit columns
+    are the -1 sentinel and whose n_clusters counts it. Built on a
+    synthetic corpus where one 70-member exact-duplicate cluster
+    exceeds the cap and a handful of distinct docs ride along."""
+    import pandas as pd
+
+    from risk_dashboard_database_spark.plans.dedup import (
+        D59_MAX_CLUSTER,
+        d59_cluster_drift,
+    )
+
+    n_dup = D59_MAX_CLUSTER + 6
+    dup_text = " ".join(f"w{i % 17}" for i in range(60))
+    rows = [
+        {"doc_id": i, "text": dup_text, "lang": "en",
+         "source": "synthetic", "n_chars": len(dup_text)}
+        for i in range(n_dup)
+    ] + [
+        {"doc_id": 1000 + i,
+         "text": " ".join(f"u{i}x{j}" for j in range(40)),
+         "lang": "en", "source": "synthetic", "n_chars": 200}
+        for i in range(5)
+    ]
+    ds = tmp_path / "overcap_ds"
+    ds.mkdir()
+    pd.DataFrame(rows).to_parquet(ds / "documents.parquet")
+
+    out = d59_cluster_drift(spark, str(ds)).collect()
+    over = [r for r in out if r["cluster_size"] == n_dup]
+    assert over, f"over-cap cluster missing from the audit output: {out}"
+    assert over[0]["n_clusters"] == 1
+    assert over[0]["worst_pair_ppm"] == -1
+    assert over[0]["mean_pair_ppm"] == -1
+    assert over[0]["drifted_clusters"] == -1
+    # nothing under the cap is sentinel-marked
+    assert all(
+        r["drifted_clusters"] != -1
+        for r in out
+        if r["cluster_size"] <= D59_MAX_CLUSTER
+    )
