@@ -846,10 +846,51 @@ def _d3_fold_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- d5
+# Corpus-scaled sign-LSH width (VERDICT r9 #6): the bucket is the
+# sign-bit string of the first `nbits` embedding dimensions, and
+# `nbits` GROWS with the corpus — nbits = clamp(8, bitlen(n-1) - 6,
+# dim) keeps mean bucket occupancy in (32, 64], so within-bucket
+# pairwise work stays O(1) per vector and total candidate volume
+# linear in n (the fixed 256 buckets saturated: occupancy ~ n/256 made
+# the bucket join ~n^2/256 — named term #3, BENCH_NOTES r9, retired
+# here). The width is integer-derived on BOTH engines (bit length of
+# n-1, no float log), so bucket strings stay engine-identical; at the
+# driver's test SFs (n <= 5000) the formula floors at the historical
+# 8 bits, so small-corpus outputs are unchanged.
 _BUCKET_SQL = """
-  list_reduce(list_transform(range(1, 9),
+  list_reduce(list_transform(range(1, nb.nbits + 1),
     i -> CASE WHEN {e}[i] >= 0 THEN '1' ELSE '0' END), (a, x) -> a || x)
 """
+_NBITS_CTE_SQL = """nb AS (
+      SELECT GREATEST(8, LEAST(64, length(bin(COUNT(*) - 1)) - 6)) AS nbits
+      FROM embeddings
+    )"""
+
+_SIGN_BITS_MEMO: dict[str, int] = {}
+
+
+def _sign_bits(spark: SparkSession, sf_dir: str) -> int:
+    """nbits for this dataset — one metadata-cheap count per dataset
+    path per process (datasets are immutable-by-convention: new data
+    lands in a new dir, the relcache contract)."""
+    import os
+
+    key = os.path.realpath(sf_dir)
+    if key not in _SIGN_BITS_MEMO:
+        n = load_table(spark, sf_dir, "embeddings").count()
+        _SIGN_BITS_MEMO[key] = max(8, min(64, (max(n, 2) - 1).bit_length() - 6))
+    return _SIGN_BITS_MEMO[key]
+
+
+def _sign_bucket_spark(nbits: int) -> F.Column:
+    """The Spark twin of _BUCKET_SQL for a resolved width."""
+    return F.array_join(
+        F.transform(
+            F.slice(F.col("embedding"), 1, nbits),
+            lambda x: F.when(x >= 0, "1").otherwise("0"),
+        ),
+        "",
+    )
 
 
 def _ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1007,10 +1048,11 @@ def d8_ann_ivf(
 @query(
     "d7_embedding_dedup",
     oracle=f"""
-    WITH b AS (
+    WITH {{nbcte}},
+    b AS (
       SELECT vec_id, embedding,
              {{bucket}} AS bucket
-      FROM embeddings
+      FROM embeddings, nb
     )
     SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, a.bucket,
            {{dot}}
@@ -1019,6 +1061,7 @@ def d8_ann_ivf(
     WHERE {{dot}}
              / (sqrt({{na}}) * sqrt({{nb}})) >= 0.40
     """.format(
+        nbcte=_NBITS_CTE_SQL,
         bucket=_BUCKET_SQL.format(e="embedding"),
         dot=_DOT_SQL.format(a="a.embedding", b="c.embedding"),
         na=_DOT_SQL.format(a="a.embedding", b="a.embedding"),
@@ -1029,19 +1072,15 @@ def d7_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: sign-LSH bucket join
     (same bucketing as d5) then exact cosine on candidates — the
     embedding-space twin of d2's text near-dup path. Shuffles on the
-    bucket key only; at 100 TB the bucket width (here 8 sign bits) is
-    the recall/cost dial. The 0.40 threshold is calibrated to this
-    corpus (random synthetic embeddings top out at cosine ~0.51; real
+    bucket key only; the bucket width scales with the corpus
+    (_sign_bits — constant occupancy, linear candidate volume), so at
+    100 TB the join stays bucket-local instead of saturating 256
+    fixed buckets. The 0.40 threshold is calibrated to this corpus
+    (random synthetic embeddings top out at cosine ~0.51; real
     near-dup corpora would use ~0.95+) — the operator shape, not the
     cutoff, is what transfers."""
     emb = _normed_embeddings(spark, sf_dir)
-    bucket = F.array_join(
-        F.transform(
-            F.slice(F.col("embedding"), 1, 8),
-            lambda x: F.when(x >= 0, "1").otherwise("0"),
-        ),
-        "",
-    )
+    bucket = _sign_bucket_spark(_sign_bits(spark, sf_dir))
     b = emb.select("vec_id", "embedding", "norm", bucket.alias("bucket"))
     a = b.select(
         F.col("vec_id").alias("vec_a"),
@@ -1068,12 +1107,15 @@ def d7_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "d5_ann_lsh_bucket",
     oracle=f"""
-    WITH b AS (
+    WITH {_NBITS_CTE_SQL},
+    b AS (
       SELECT vec_id, label, embedding,
              {_BUCKET_SQL.format(e='embedding')} AS bucket
-      FROM embeddings
+      FROM embeddings, nb
     ),
-    q AS (SELECT * FROM b WHERE vec_id % 50 = 0),
+    q AS (SELECT * FROM b
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT {IVF_PROBES}),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS candidate_id, c.label, q.bucket,
              {_DOT_SQL.format(a='q.embedding', b='c.embedding')}
@@ -1092,20 +1134,16 @@ def d7_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d5_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN (the scale path): bucket = sign bits of
-    the first 8 dimensions (a deterministic random-projection stand-in:
-    the basis vectors are axis-aligned), probes only score candidates
-    in their own bucket. Trades recall for a bucket-local join — the
-    shuffle key is the bucket, so 100 TB of vectors never cross-join."""
+    the first _sign_bits dimensions (a deterministic random-projection
+    stand-in: the basis vectors are axis-aligned; width scales with
+    the corpus so occupancy stays constant), bounded md5-rank probes
+    only score candidates in their own bucket. Trades recall for a
+    bucket-local join — the shuffle key is the bucket, so 100 TB of
+    vectors never cross-join."""
     emb = load_table(spark, sf_dir, "embeddings")
-    bucket = F.array_join(
-        F.transform(
-            F.slice(F.col("embedding"), 1, 8),
-            lambda x: F.when(x >= 0, "1").otherwise("0"),
-        ),
-        "",
-    )
+    bucket = _sign_bucket_spark(_sign_bits(spark, sf_dir))
     b = emb.select("vec_id", "label", "embedding", bucket.alias("bucket"))
-    q = b.where(F.col("vec_id") % 50 == 0).select(
+    q = _ivf_probe_set(b).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("bucket").alias("qbucket"),
@@ -1116,7 +1154,7 @@ def d5_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("ce"),
         "bucket",
     )
-    scored = q.join(
+    scored = F.broadcast(q).join(
         c,
         (F.col("bucket") == F.col("qbucket")) & (F.col("candidate_id") != F.col("query_id")),
     ).select(
@@ -2167,10 +2205,11 @@ def d18_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------- d19
 def _d19_oracle() -> str:
     return f"""
-    WITH RECURSIVE b AS (
+    WITH RECURSIVE {_NBITS_CTE_SQL},
+    b AS (
       SELECT vec_id, embedding,
              {_BUCKET_SQL.format(e='embedding')} AS bucket
-      FROM embeddings
+      FROM embeddings, nb
     ),
     prs AS (
       SELECT a.vec_id AS va, c.vec_id AS vb
@@ -2214,7 +2253,10 @@ def d19_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .relcache import cached_relation
 
     return cached_relation(
-        "d19_clusters", sf_dir, lambda: _build_d19_clusters(spark, sf_dir)
+        # key bumped (v2) when the sign-LSH width became corpus-scaled:
+        # identical at test SFs, but a store written by the fixed-8-bit
+        # build must not be reused for a large dataset.
+        "d19_clusters_v2", sf_dir, lambda: _build_d19_clusters(spark, sf_dir)
     )
 
 
@@ -4538,11 +4580,12 @@ D42_TAU = 0.40  # d7's threshold
 @query(
     "d42_embed_recall",
     oracle=f"""
-    WITH n AS (
+    WITH {_NBITS_CTE_SQL},
+    n AS (
       SELECT vec_id, embedding,
              {_BUCKET_SQL.format(e='embedding')} AS bucket,
              sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS nrm
-      FROM embeddings
+      FROM embeddings, nb
     ),
     exact AS (
       SELECT CAST(floor(({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
@@ -4580,13 +4623,7 @@ def d42_embed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d42_embed_recall",
         "d7_embedding_dedup (sign-LSH bucket join)",
     )
-    bucket = F.array_join(
-        F.transform(
-            F.slice(F.col("embedding"), 1, 8),
-            lambda x: F.when(x >= 0, "1").otherwise("0"),
-        ),
-        "",
-    )
+    bucket = _sign_bucket_spark(_sign_bits(spark, sf_dir))
     b = emb.select("vec_id", "embedding", "norm", bucket.alias("bucket"))
     a_side = b.select(
         F.col("vec_id").alias("vec_a"),

@@ -94,7 +94,7 @@ MV_STORE_DAG: list[tuple[str, tuple[str, ...], tuple[str, ...]]] = [
     ("d2_sigs",       ("d2_toks", "d2_sigs"),             ("layouts",)),
     ("d9_clusters",   ("d9_clusters",),                   ("d2_sigs",)),
     ("d3_normed",     ("d3_normed",),                     ()),
-    ("d19_clusters",  ("d19_clusters",),                  ("d3_normed",)),
+    ("d19_clusters",  ("d19_clusters_v2",),               ("d3_normed",)),
     # d8_assigned stays warmed for its remaining registry consumers
     # (d44/d47 cell-local ops + the codebook="stub" flag paths); the
     # old d23_codes step dropped out with the trained default (r10) —

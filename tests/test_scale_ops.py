@@ -275,3 +275,53 @@ def test_salted_agg_salt_on_keeps_distinct_partials_disjoint(spark):
         ).collect()
     }
     assert salted == plain
+
+
+def test_sign_lsh_width_scales_with_corpus(spark, tmp_path):
+    """VERDICT r9 #6: the sign-LSH bucket width grows with the corpus
+    (constant occupancy, linear candidate volume) instead of
+    saturating 256 fixed buckets. Pins (a) the integer width formula
+    against DuckDB's bin()-length twin over a sweep of corpus sizes,
+    (b) the historical 8-bit floor at test SFs, and (c) that a corpus
+    past the 2^14 boundary actually emits 9-bit buckets."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from risk_dashboard_database_spark.plans.dedup import (
+        _sign_bits,
+        _sign_bucket_spark,
+    )
+
+    con = duckdb.connect()
+    for n in (1, 2, 500, 5000, 16384, 16385, 50_000, 500_000, 10**9):
+        py = max(8, min(64, (max(n, 2) - 1).bit_length() - 6))
+        sql = con.execute(
+            f"SELECT GREATEST(8, LEAST(64, length(bin({n} - 1)) - 6))"
+        ).fetchone()[0]
+        assert py == sql, (n, py, sql)
+
+    assert _sign_bits(spark, "/root/testdata/sf0.001") == 8
+
+    rng = np.random.default_rng(7)
+    n_big = 20_000  # bitlen(19999)=15 -> 9 sign bits
+    ds = tmp_path / "bigvec_ds"
+    ds.mkdir()
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(n_big, dtype=np.int64),
+            "embedding": list(
+                rng.standard_normal((n_big, 64)).astype(np.float32)
+            ),
+            "label": np.zeros(n_big, dtype=np.int32),
+        }
+    ).to_parquet(ds / "embeddings.parquet")
+    bits = _sign_bits(spark, str(ds))
+    assert bits == 9
+    buckets = (
+        spark.read.parquet(str(ds / "embeddings.parquet"))
+        .limit(50)
+        .select(_sign_bucket_spark(bits).alias("b"))
+        .collect()
+    )
+    assert buckets and all(len(r["b"]) == 9 for r in buckets)
