@@ -131,6 +131,8 @@ HEADLINE = [
     "d58_source_quota_rebalance",
     "t_simpson",
     "d59_cluster_drift",
+    "t_burstiness",
+    "d60_dsir_select",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
@@ -453,6 +455,12 @@ BUDGET_R10 = {
     "t_ngram_docfreq": 1.1,   # 0.71 measured
     "t_tfidf": 0.75,          # 0.47 measured
     "t_ttr": 1.1,             # 0.70 measured
+    # r10 additions, same recipe off their arrival measurements:
+    "t_burstiness": 1.15,     # 0.75 measured (the planted md5-per-token
+                              # schedule IS the cost; plant=False is
+                              # plain scan-rate)
+    "d60_dsir_select": 1.95,  # 1.30 measured (corpus bigram fold vs
+                              # broadcast target LM + base-MV join)
 }
 BUDGET = {**BUDGET_GENERATED, **BUDGET, **BUDGET_R10}
 
@@ -484,7 +492,12 @@ PINS_ABOVE_WORKING_BUDGET = {
                       "rebuild over d30's gram agg)",
     "t_ngram_docfreq": "corpus trigram doc-frequency profile",
     "t_ttr": "scan-rate per-row array exprs over full text",
+    # per-row expression cost, not shuffle volume
+    "t_burstiness": "planted md5-per-token sentence schedule (registry "
+                    "form only; plant=False is scan-rate)",
     # plan-depth (many small broadcast joins) rather than data volume
+    "d60_dsir_select": "corpus bigram stream folded against the broadcast "
+                       "target LM + base-MV join",
     "d24_ann_ivfpq": "~5 broadcast joins (PQ ADC pipeline); jitter not data",
     "d14_ann_ivf_nprobe2": "d8 + second probe cell",
     "d31_split_leakage": "d2 pair MVs + 2 assignment joins",

@@ -6882,3 +6882,180 @@ def d59_cluster_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return audited.unionByName(unaudited)
+
+
+# ---------------------------------------------------------------- d60
+# Importance-weighted data selection (the DSIR recipe, Xie et al. 2023,
+# "Data Selection for Language Models via Importance Resampling"): to
+# grow a TARGET domain's training slice, score every candidate
+# document by how much more predictable it is under a target-domain LM
+# than under the general-corpus LM, and take the top of that
+# importance ranking. Both LMs here are the repo's integer-ppm bigram
+# models (d43's no-log discipline: the weight is the DIFFERENCE of the
+# two mean bigram-probability ppms — the integer-exact monotone
+# analog of DSIR's log-likelihood ratio, so Spark and DuckDB
+# hash-match bit-for-bit). The base score comes from the stored
+# d43_doc_lm_score MV (trained on the full corpus, every doc's bigram
+# is in-vocabulary there, so the MV's inner-join mean equals the
+# left-join mean the target side uses); the target LM is trained on
+# the DSIR_TARGET source's slice and unseen bigrams contribute 0.
+
+DSIR_TARGET = "src0"  # the domain being grown
+DSIR_K = 50           # selection size — a LIMIT in the plan, corpus-independent
+
+
+@query(
+    "d60_dsir_select",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source, lang, string_split(text, ' ') AS t FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source, lang,
+             unnest(list_transform(generate_series(1, len(t)-1),
+                                   i -> t[i])) AS w1,
+             unnest(list_transform(generate_series(1, len(t)-1),
+                                   i -> t[i+1])) AS w2
+      FROM w WHERE len(t) >= 2
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM g GROUP BY 1, 2),
+    c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+    p AS (
+      SELECT c2.w1, c2.w2, (c2.c2 * {LM_PPM}) // c1.c1 AS p_ppm
+      FROM c2 JOIN c1 USING (w1)
+    ),
+    base AS (
+      SELECT g.doc_id, SUM(p.p_ppm) // COUNT(*) AS base_ppm
+      FROM g JOIN p USING (w1, w2) GROUP BY g.doc_id
+    ),
+    c2t AS (SELECT w1, w2, COUNT(*) AS c2 FROM g
+            WHERE source = '{DSIR_TARGET}' GROUP BY 1, 2),
+    c1t AS (SELECT w1, SUM(c2) AS c1 FROM c2t GROUP BY 1),
+    pt AS (
+      SELECT c2t.w1, c2t.w2, (c2t.c2 * {LM_PPM}) // c1t.c1 AS pt_ppm
+      FROM c2t JOIN c1t USING (w1)
+    ),
+    tgt AS (
+      SELECT g.doc_id, any_value(g.source) AS source,
+             any_value(g.lang) AS lang,
+             SUM(COALESCE(pt.pt_ppm, 0)) // COUNT(*) AS target_ppm
+      FROM g LEFT JOIN pt USING (w1, w2) GROUP BY g.doc_id
+    ),
+    weighted AS (
+      SELECT t.doc_id, t.source, t.lang,
+             CAST(b.base_ppm AS BIGINT) AS base_ppm,
+             CAST(t.target_ppm AS BIGINT) AS target_ppm,
+             CAST(t.target_ppm - b.base_ppm AS BIGINT) AS weight_ppm
+      FROM tgt t JOIN base b USING (doc_id)
+      WHERE t.source <> '{DSIR_TARGET}'
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY weight_ppm DESC, md5(CAST(doc_id AS VARCHAR)), doc_id
+      ) AS rank
+      FROM weighted
+    )
+    SELECT doc_id, source, lang, base_ppm, target_ppm, weight_ppm,
+           CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {DSIR_K}
+    """,
+)
+def d60_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance selection: the DSIR_K candidate documents
+    (outside the target source) whose target-LM score most exceeds
+    their general-corpus LM score.
+
+    Spark shape:
+      1. the base score is a SCAN of the stored d43_doc_lm_score MV
+         (train-once/score-once — the expensive general LM is never
+         re-derived here);
+      2. the target LM trains on the target slice only: one
+         (w1, w2)-keyed agg over the SLICE's bigram stream (map-side
+         combined; slice-sized, not corpus-sized) + a dictionary-grain
+         prefix agg/join — the d43 build shape at 1/|sources| cost;
+      3. every candidate's bigram stream probes the target probability
+         table through a BROADCAST left join (target LMs are
+         domain-sized; were the target huge, the join keys on (w1,w2)
+         — d43's exchange — with no shape change) and folds to one
+         integer mean per doc;
+      4. the importance ranking is TakeOrderedAndProject on (weight
+         desc, md5 tie-break) with the corpus-independent DSIR_K LIMIT
+         — never a global sort — and the final rank window sees
+         exactly DSIR_K rows.
+    Documents with < 2 tokens have no bigrams and no score under
+    either LM; they are outside the selection universe by definition
+    (d43 accounts for them in its 'short' branch)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", F.split(F.col("text"), " ").alias("__w")
+    )
+    stream = (
+        docs.where(F.size(F.col("__w")) >= 2)
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.explode(
+                F.expr(
+                    "zip_with("
+                    "  slice(__w, 1, size(__w) - 1),"
+                    "  slice(__w, 2, size(__w) - 1),"
+                    "  (a, b) -> struct(a AS w1, b AS w2))"
+                )
+            ).alias("__g"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.col("__g.w1").alias("w1"),
+            F.col("__g.w2").alias("w2"),
+        )
+    )
+    c2t = (
+        stream.where(F.col("source") == DSIR_TARGET)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+    )
+    c1t = c2t.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    pt = c2t.join(c1t, "w1").select(
+        "w1", "w2", F.expr(f"(c2 * {LM_PPM}) div c1").alias("pt_ppm")
+    )
+    tgt = (
+        stream.join(F.broadcast(pt), ["w1", "w2"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("source").alias("source"),
+            F.any_value("lang").alias("lang"),
+            F.expr("sum(coalesce(pt_ppm, 0L)) div count(*)").alias(
+                "target_ppm"
+            ),
+        )
+    )
+    base = _d43_doc_scores(spark, sf_dir).select(
+        "doc_id", F.col("score").alias("base_ppm")
+    )
+    weighted = (
+        tgt.join(base, "doc_id")
+        .where(F.col("source") != DSIR_TARGET)
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.col("base_ppm").cast("long"),
+            F.col("target_ppm").cast("long"),
+            (F.col("target_ppm") - F.col("base_ppm"))
+            .cast("long")
+            .alias("weight_ppm"),
+        )
+    )
+    top = weighted.orderBy(
+        F.col("weight_ppm").desc(),
+        F.md5(F.col("doc_id").cast("string")),
+        "doc_id",
+    ).limit(DSIR_K)
+    w = Window.orderBy(
+        F.col("weight_ppm").desc(),
+        F.md5(F.col("doc_id").cast("string")),
+        "doc_id",
+    )
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -1375,3 +1375,150 @@ def t_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("simpson_ppm"),
     )
+
+
+# --------------------------------------------------------- t_burstiness
+# Sentence-length burstiness — the texture stat that separates uniform
+# template/boilerplate prose (near-constant sentence length, ratio -> 0)
+# from natural writing (bursty lengths) and from degenerate
+# concatenations (huge variance). Reported as the integer
+# variance-to-mean ratio of per-sentence token counts in ppm:
+# var/mean = (n*S2 - S1^2) / (n*S1) with S1 = sum(len), S2 = sum(len^2)
+# — the n^2-free Fano-factor form, exact in bigint arithmetic (no
+# float mean, no subtraction of rounded quantities; n*S2 >= S1^2 by
+# Cauchy-Schwarz so the numerator is non-negative). Sentence split is
+# d46's convention ([.!?]+, trim, drop empties), so the two operators
+# agree on what a sentence IS.
+#
+# The synthetic corpus carries no punctuation (every doc parses as ONE
+# sentence, variance identically 0), so like t_code_detect /
+# t_html_strip the registry query DETERMINISTICALLY plants sentence
+# breaks — a period after token i iff the first hex digit of
+# md5(doc_id:i) is < '4' (P = 1/4, geometric-ish gaps => real
+# within-doc length variance) — and the parser then runs on the
+# planted text. plant=False is the real-ingest form; on this corpus it
+# proves the single-sentence miss path (burst exactly 0 everywhere).
+
+_BURST_PLANT_SQL = """
+      SELECT doc_id, lang,
+             array_to_string(
+               list_transform(
+                 list_zip(string_split(text, ' '),
+                          range(1, len(string_split(text, ' ')) + 1)),
+                 p -> p[1] ||
+                      CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                            || CAST(p[2] AS VARCHAR)), 1, 1)
+                                < '4'
+                           THEN '.' ELSE '' END),
+               ' ') AS text
+      FROM documents
+"""
+
+
+@query(
+    "t_burstiness",
+    oracle=f"""
+    WITH planted AS ({_BURST_PLANT_SQL}),
+    s AS (
+      SELECT doc_id, lang,
+             list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+                                        x -> trim(x)),
+                         x -> len(x) > 0) AS ss
+      FROM planted
+    ),
+    m AS (
+      SELECT doc_id, lang,
+             CAST(len(ss) AS BIGINT) AS n_sentences,
+             list_transform(ss,
+               x -> CAST(len(string_split(x, ' ')) AS BIGINT)) AS ls
+      FROM s
+    ),
+    f AS (
+      SELECT doc_id, lang, n_sentences,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), ls),
+                              (a, x) -> a + x) AS BIGINT) AS s1,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), ls),
+                              (a, x) -> a + x * x) AS BIGINT) AS s2
+      FROM m
+    )
+    SELECT doc_id, lang, n_sentences,
+           CASE WHEN n_sentences = 0 THEN 0
+                ELSE (s1 * 1000000) // n_sentences END AS mean_len_ppm,
+           CASE WHEN n_sentences = 0 OR s1 = 0 THEN 0
+                ELSE ((n_sentences * s2 - s1 * s1) * 1000000)
+                     // (n_sentences * s1) END AS burst_ppm
+    FROM f
+    """,
+)
+def t_burstiness(
+    spark: SparkSession, sf_dir: str, plant: bool = True
+) -> DataFrame:
+    """Per-document sentence-length burstiness (variance-to-mean of
+    sentence token counts, integer ppm) plus the mean length.
+
+    Spark shape: pure per-row array expressions (split -> trim ->
+    filter -> two left folds) — zero exchange, zero UDF, scan-rate at
+    100 TB (t_simpson's class). The variance numerator n*S2 - S1^2 is
+    guarded against bigint-multiply overflow the d58 way: a document
+    long enough to overflow raises loudly instead of wrapping.
+    ``plant`` mirrors the deterministic sentence-break schedule (see
+    the module comment); False is the real-ingest form."""
+    from .dedup import _guarded_ppm_sql
+
+    base = load_table(spark, sf_dir, "documents")
+    if plant:
+        planted = F.expr(
+            "array_join("
+            "  zip_with(split(text, ' '),"
+            "           sequence(1, size(split(text, ' '))),"
+            "    (t, i) -> concat(t,"
+            "      IF(substring(md5(concat(CAST(doc_id AS STRING), ':',"
+            "                              CAST(i AS STRING))), 1, 1) < '4',"
+            "         '.', ''))),"
+            "  ' ')"
+        )
+        docs = base.select("doc_id", "lang", planted.alias("text"))
+    else:
+        docs = base
+    ss = F.expr(
+        "filter(transform(split(text, '[.!?]+'), x -> trim(x)),"
+        " x -> length(x) > 0)"
+    )
+    lens = F.expr(
+        "transform(filter(transform(split(text, '[.!?]+'), x -> trim(x)),"
+        " x -> length(x) > 0), s -> CAST(size(split(s, ' ')) AS BIGINT))"
+    )
+    m = docs.select(
+        "doc_id",
+        "lang",
+        F.size(ss).cast("long").alias("n_sentences"),
+        lens.alias("ls"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_sentences",
+        F.expr("aggregate(ls, 0L, (a, x) -> a + x)").alias("s1"),
+        F.expr("aggregate(ls, 0L, (a, x) -> a + x * x)").alias("s2"),
+    )
+    return m.select(
+        "doc_id",
+        "lang",
+        "n_sentences",
+        F.when(F.col("n_sentences") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("(s1 * 1000000) div n_sentences"))
+        .cast("long")
+        .alias("mean_len_ppm"),
+        F.when(
+            (F.col("n_sentences") == 0) | (F.col("s1") == 0),
+            F.lit(0).cast("long"),
+        )
+        .otherwise(
+            F.expr(
+                _guarded_ppm_sql(
+                    "n_sentences * s2 - s1 * s1", "n_sentences * s1"
+                )
+            )
+        )
+        .cast("long")
+        .alias("burst_ppm"),
+    )

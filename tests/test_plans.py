@@ -108,6 +108,13 @@ EXCH_BUDGET = {
                                     # 2x|langs|-row phase-share window —
                                     # only the first touches the scored
                                     # MV, map-side combined (d43's class)
+    "d60_dsir_select": 4,           # target-slice bigram agg + its
+                                    # dictionary prefix agg + the
+                                    # corpus-stream doc-grain fold +
+                                    # the doc-keyed base-MV join; the
+                                    # target LM broadcasts, the
+                                    # selection is TakeOrdered (never
+                                    # a global sort)
     "d39_split_gram_overlap": 4,    # gram-flag agg (map-side min/max),
                                     # per-(split,doc) hit agg, 2-row
                                     # split rollup, 2-row totals agg —

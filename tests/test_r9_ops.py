@@ -431,3 +431,98 @@ def test_cluster_drift_discloses_over_cap_clusters(spark, tmp_path):
         for r in out
         if r["cluster_size"] <= D59_MAX_CLUSTER
     )
+
+
+def test_burstiness_matches_python_reference(spark):
+    """Per-doc Fano factor of sentence lengths recomputed in plain
+    Python (including the planted sentence-break schedule); ppm-exact.
+    plant=False on this punctuation-free corpus must read exactly one
+    sentence per doc with burst 0 — the miss path."""
+    import hashlib
+    import re
+
+    from risk_dashboard_database_spark.plans.textstats import t_burstiness
+
+    want = {}
+    for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect():
+        toks = r["text"].split(" ")
+        planted = " ".join(
+            t
+            + (
+                "."
+                if hashlib.md5(f"{r['doc_id']}:{i}".encode()).hexdigest()[0]
+                < "4"
+                else ""
+            )
+            for i, t in enumerate(toks, start=1)
+        )
+        ss = [s.strip() for s in re.split(r"[.!?]+", planted)]
+        ls = [len(s.split(" ")) for s in ss if s]
+        n, s1, s2 = len(ls), sum(ls), sum(x * x for x in ls)
+        mean = (s1 * 1_000_000) // n if n else 0
+        burst = (
+            ((n * s2 - s1 * s1) * 1_000_000) // (n * s1) if n and s1 else 0
+        )
+        want[r["doc_id"]] = (n, mean, burst)
+    got = {
+        r["doc_id"]: (r["n_sentences"], r["mean_len_ppm"], r["burst_ppm"])
+        for r in t_burstiness(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert any(v[2] > 0 for v in got.values())
+
+    raw = t_burstiness(spark, SF_DIR, plant=False).collect()
+    assert raw and all(
+        r["n_sentences"] == 1 and r["burst_ppm"] == 0 for r in raw
+    )
+
+
+def test_dsir_selection_laws(spark):
+    """d60: exactly DSIR_K rows, none from the target source, ranks
+    dense 1..K, weight non-increasing in rank order, and every
+    weight equals the recomputed target-minus-base score difference
+    for that document."""
+    from risk_dashboard_database_spark.plans.dedup import (
+        DSIR_K,
+        DSIR_TARGET,
+        _d43_doc_scores,
+        d60_dsir_select,
+    )
+
+    rows = sorted(d60_dsir_select(spark, SF_DIR).collect(), key=lambda r: r["rank"])
+    assert len(rows) == DSIR_K
+    assert [r["rank"] for r in rows] == list(range(1, DSIR_K + 1))
+    assert all(r["source"] != DSIR_TARGET for r in rows)
+    ws = [r["weight_ppm"] for r in rows]
+    assert all(a >= b for a, b in zip(ws, ws[1:]))
+    assert all(
+        r["weight_ppm"] == r["target_ppm"] - r["base_ppm"] for r in rows
+    )
+
+    # base scores tie to the stored d43 MV
+    base = {
+        r["doc_id"]: r["score"] for r in _d43_doc_scores(spark, SF_DIR).collect()
+    }
+    assert all(r["base_ppm"] == base[r["doc_id"]] for r in rows)
+
+    # target LM recomputed in python for the top row's documents:
+    # bigram counts over the target slice, left-join mean over the doc
+    docs = {
+        r["doc_id"]: (r["source"], r["text"].split(" "))
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    from collections import Counter
+
+    c2, c1 = Counter(), Counter()
+    for src, tk in docs.values():
+        if src == DSIR_TARGET and len(tk) >= 2:
+            for a, b in zip(tk, tk[1:]):
+                c2[(a, b)] += 1
+                c1[a] += 1
+    for r in rows[:5]:
+        tk = docs[r["doc_id"]][1]
+        grams = list(zip(tk, tk[1:]))
+        total = sum(
+            (c2[g] * 1_000_000) // c1[g[0]] if g in c2 else 0 for g in grams
+        )
+        assert r["target_ppm"] == total // len(grams)
