@@ -477,10 +477,11 @@ BUDGET = {**BUDGET_GENERATED, **BUDGET, **BUDGET_R10}
 # cut), and main() reports the registry size + names in the bench
 # JSON so every round's artifact carries the audit.
 WORKING_BUDGET_SEC = 1.0
-# Trimmed to 13 in r10 (VERDICT r9 #2): the regenerated 1.5x-median
-# pins dropped 14 former members under the line; every survivor's pin
-# is within 1.5x (rounded) of its measured calm-box median, so a real
-# ~1.6x regression now trips the guard instead of hiding in headroom.
+# Trimmed to 14 in r10 (VERDICT r9 #2): the regenerated 1.5x-median
+# pins dropped 14 former members under the line (13 survivors + the
+# new d60 joined on arrival); every entry's pin is within 1.5x
+# (rounded) of its measured calm-box median, so a real ~1.6x
+# regression now trips the guard instead of hiding in headroom.
 PINS_ABOVE_WORKING_BUDGET = {
     # training / build passes (run once per dataset, consumers read MVs)
     "d49_kmeans_codebook": "one assignment pass over the stored trained-codebook MV",

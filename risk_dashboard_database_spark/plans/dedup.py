@@ -3190,6 +3190,40 @@ def d29_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_L = 8
 
 
+def span_gram_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, ...) -> positional SPAN_L-gram rows
+    (doc_id, pos, g) — THE gram convention of the span-dedup family
+    (one definition; the d30_grams MV build and the streaming
+    span-strip gate both call this, so the hash/window rule can never
+    fork). Works identically on batch and streaming DataFrames."""
+    tk = F.split(F.col("text"), " ")
+    n = F.size("tk")
+    gram_starts = F.when(
+        n >= SPAN_L,
+        F.sequence(F.lit(0), n - SPAN_L),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        docs.select("doc_id", tk.alias("tk"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    gram_starts,
+                    lambda s: F.struct(
+                        s.alias("pos"),
+                        F.md5(
+                            F.array_join(F.slice("tk", s + 1, SPAN_L), " ")
+                        ).alias("g"),
+                    ),
+                )
+            ).alias("pg"),
+        )
+        .select(
+            "doc_id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g")
+        )
+    )
+
+
 def _span_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The positional SPAN_L-gram inverted relation (doc_id, pos, g),
     through the MV seam (VERDICT r8 #3; the t_word_tf precedent cut
@@ -3203,36 +3237,23 @@ def _span_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .relcache import cached_relation
 
     docs = load_table(spark, sf_dir, "documents")
+    return cached_relation(
+        "d30_grams", sf_dir, lambda: span_gram_rows(docs)
+    )
 
-    def _build() -> DataFrame:
-        tk = F.split(F.col("text"), " ")
-        n = F.size("tk")
-        gram_starts = F.when(
-            n >= SPAN_L,
-            F.sequence(F.lit(0), n - SPAN_L),
-        ).otherwise(F.array().cast("array<int>"))
-        return (
-            docs.select("doc_id", tk.alias("tk"))
-            .select(
-                "doc_id",
-                F.explode(
-                    F.transform(
-                        gram_starts,
-                        lambda s: F.struct(
-                            s.alias("pos"),
-                            F.md5(
-                                F.array_join(F.slice("tk", s + 1, SPAN_L), " ")
-                            ).alias("g"),
-                        ),
-                    )
-                ).alias("pg"),
-            )
-            .select(
-                "doc_id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g")
-            )
-        )
 
-    return cached_relation("d30_grams", sf_dir, _build)
+def shared_span_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grams appearing in >= 2 distinct documents (g) — the
+    cross-document dictionary, as ONE map-side-combinable min!=max agg
+    over the stored gram MV. Shared by batch d57 and the streaming
+    span-strip gate (one definition of 'duplicated span')."""
+    grams = _span_grams(spark, sf_dir)
+    return (
+        grams.groupBy("g")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .where(F.col("lo") != F.col("hi"))
+        .select("g")
+    )
 
 
 @query(
@@ -6510,12 +6531,7 @@ def d57_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (usually sparse) dup-starts relation back to the corpus."""
     docs = load_table(spark, sf_dir, "documents")
     grams = _span_grams(spark, sf_dir)
-    shared = (
-        grams.groupBy("g")
-        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
-        .where(F.col("lo") != F.col("hi"))
-        .select("g")
-    )
+    shared = shared_span_grams(spark, sf_dir)
     dup = (
         grams.join(shared, "g")
         .groupBy("doc_id")
@@ -7020,8 +7036,12 @@ def d60_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     pt = c2t.join(c1t, "w1").select(
         "w1", "w2", F.expr(f"(c2 * {LM_PPM}) div c1").alias("pt_ppm")
     )
+    # candidates only: the target slice can never be selected (the
+    # WHERE in the oracle), so its bigram stream is filtered out
+    # BEFORE the broadcast join + per-doc fold, not after.
     tgt = (
-        stream.join(F.broadcast(pt), ["w1", "w2"], "left")
+        stream.where(F.col("source") != DSIR_TARGET)
+        .join(F.broadcast(pt), ["w1", "w2"], "left")
         .groupBy("doc_id")
         .agg(
             F.any_value("source").alias("source"),
@@ -7036,7 +7056,6 @@ def d60_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     weighted = (
         tgt.join(base, "doc_id")
-        .where(F.col("source") != DSIR_TARGET)
         .select(
             "doc_id",
             "source",

@@ -1513,10 +1513,22 @@ def t_burstiness(
             F.lit(0).cast("long"),
         )
         .otherwise(
+            # the _guarded_ppm_sql CASE only covers the final *1e6
+            # step; the INNER products n*s2 and s1*s1 must also be
+            # proven in-range first, or an ANSI-off session could wrap
+            # them silently before the guard evaluates (DuckDB errors
+            # on the same overflow, so raising here keeps the two
+            # engines degrading identically). All three < 2^31 =>
+            # every product < 2^62.
             F.expr(
-                _guarded_ppm_sql(
+                "IF(n_sentences < 2147483647 AND s1 < 2147483647 "
+                "AND s2 < 2147483647, "
+                + _guarded_ppm_sql(
                     "n_sentences * s2 - s1 * s1", "n_sentences * s1"
                 )
+                + ", CAST(raise_error('burstiness overflow: sentence "
+                "sums exceed 2^31; re-unit this report before running "
+                "at this document size') AS BIGINT))"
             )
         )
         .cast("long")

@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..plans.dedup import SPAN_L, _span_grams
+from ..plans.dedup import SPAN_L, shared_span_grams, span_gram_rows
 
 OUTPUT_SCHEMA = (
     "doc_id long, n_tokens long, kept_tokens long, removed_tokens long, "
@@ -56,46 +56,12 @@ STATE_SCHEMA = "done int"
 
 
 def shared_gram_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The static cross-document gram dictionary (g) from the stored
-    d30_grams MV — the identical min!=max agg batch d57 runs. Persist
-    it (or re-materialize via the MV seam) before a long-running
-    stream so micro-batches re-scan parquet, not recompute."""
-    grams = _span_grams(spark, sf_dir)
-    return (
-        grams.groupBy("g")
-        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
-        .where(F.col("lo") != F.col("hi"))
-        .select("g")
-    )
-
-
-def _gram_rows(docs: DataFrame) -> DataFrame:
-    """(doc_id, text, ...) -> positional SPAN_L-gram rows
-    (doc_id, pos, g) — the same expression tree as the d30_grams MV
-    build, usable on a streaming DataFrame."""
-    tk = F.split(F.col("text"), " ")
-    n = F.size("tk")
-    gram_starts = F.when(
-        n >= SPAN_L, F.sequence(F.lit(0), n - SPAN_L)
-    ).otherwise(F.array().cast("array<int>"))
-    return (
-        docs.select("doc_id", tk.alias("tk"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    gram_starts,
-                    lambda s: F.struct(
-                        s.alias("pos"),
-                        F.md5(
-                            F.array_join(F.slice("tk", s + 1, SPAN_L), " ")
-                        ).alias("g"),
-                    ),
-                )
-            ).alias("pg"),
-        )
-        .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
-    )
+    """The static cross-document gram dictionary (g): exactly batch
+    d57's `shared_span_grams` — ONE definition of 'duplicated span'
+    for both paths. Persist it (or re-materialize via the MV seam)
+    before a long-running stream so micro-batches re-scan parquet,
+    not recompute."""
+    return shared_span_grams(spark, sf_dir)
 
 
 def _strip(text: str, starts: list[int]) -> tuple[int, int, str]:
@@ -144,13 +110,12 @@ def _fold(
 
 def with_span_strip(docs: DataFrame, shared: DataFrame) -> DataFrame:
     """(streaming docs, static dictionary) -> per-document cleaned
-    text + accounting, batch-d57 schema. Works on batch DataFrames
-    too (used by the parity test)."""
+    text + accounting, batch-d57 schema."""
     sentinel = docs.select(
         "doc_id", F.lit(-1).cast("int").alias("pos"), F.col("text")
     )
     hits = (
-        _gram_rows(docs)
+        span_gram_rows(docs)
         .join(shared, "g", "left_semi")
         .select("doc_id", "pos", F.lit(None).cast("string").alias("text"))
     )

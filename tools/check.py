@@ -188,16 +188,20 @@ def _record_py_oracle_evidence(name: str, sf_dir: str, nrows: int) -> None:
         head, _, tail = text.partition(_LEDGER_MARK)
         if f"- {day}: `{name}`" in tail:
             return  # one entry per day is plenty
-        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".covtmp")
+        tmp = None
         try:
+            fd, tmp = tempfile.mkstemp(
+                dir=os.path.dirname(path), suffix=".covtmp"
+            )
             with os.fdopen(fd, "w") as f:
                 f.write(head + _LEDGER_MARK + "\n" + line + "\n\n" + tail.lstrip("\n"))
             os.replace(tmp, path)
         except OSError:
-            try:
-                os.unlink(tmp)  # don't leak the temp on a failed replace
-            except OSError:
-                pass
+            if tmp is not None:
+                try:
+                    os.unlink(tmp)  # don't leak the temp on a failed replace
+                except OSError:
+                    pass
     finally:
         os.close(lock_fd)  # releases the flock
 
