@@ -38,18 +38,20 @@ from pyspark.sql.types import LongType
 from ..plans.dedup import LM_PPM, _d43_doc_scores
 
 
-def lm_artifacts(
-    spark: SparkSession, sf_dir: str
-) -> tuple[dict[tuple[str, str], int], dict[str, tuple[int, int]]]:
-    """Collect the two bounded artifacts the gate ships to workers:
-    the bigram->ppm table and the per-language (t1, t2) tertile cuts
-    (derived from the stored per-doc score MV, as in batch d43)."""
-    scored = _d43_doc_scores(spark, sf_dir)
+def bigram_ppm_table(
+    spark: SparkSession, sf_dir: str, source: str | None = None
+) -> dict[tuple[str, str], int]:
+    """The trained bigram->ppm probability table as a driver-side dict
+    (bounded by vocabulary, the ship-the-model-file artifact). With
+    ``source`` set, trains on that source's slice only — the target LM
+    of the DSIR gate (streaming/dsirgate.py); None is the full-corpus
+    LM d43 scores with."""
     from ..tables import load_table
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.col("text"), " ").alias("__w")
-    )
+    docs = load_table(spark, sf_dir, "documents")
+    if source is not None:
+        docs = docs.where(F.col("source") == source)
+    docs = docs.select("doc_id", F.split(F.col("text"), " ").alias("__w"))
     stream = (
         docs.where(F.size(F.col("__w")) >= 2)
         .select(
@@ -71,7 +73,17 @@ def lm_artifacts(
         .select("w1", "w2", F.expr(f"(c2 * {LM_PPM}) div c1").alias("p_ppm"))
         .collect()
     )
-    lm = {(r.w1, r.w2): r.p_ppm for r in prob_rows}
+    return {(r.w1, r.w2): r.p_ppm for r in prob_rows}
+
+
+def lm_artifacts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[dict[tuple[str, str], int], dict[str, tuple[int, int]]]:
+    """Collect the two bounded artifacts the gate ships to workers:
+    the bigram->ppm table and the per-language (t1, t2) tertile cuts
+    (derived from the stored per-doc score MV, as in batch d43)."""
+    scored = _d43_doc_scores(spark, sf_dir)
+    lm = bigram_ppm_table(spark, sf_dir)
 
     from pyspark.sql import Window
 
