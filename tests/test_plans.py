@@ -222,3 +222,37 @@ def test_pushdown_and_pruning_reach_the_scans():
         if "FileScan" in ln and "t_tri_grams" in ln and "ReadSchema: struct<gram:string>" in ln
     ]
     assert gram_scans, "docfreq branch must scan only the gram column"
+
+
+def test_bounded_probe_sets_never_sort_globally():
+    """The ANN family's md5-rank+LIMIT probe selection (the r9/r10
+    bounded-probe contract) must compile to TakeOrderedAndProject —
+    per-partition heads merged on the driver — never a global Sort of
+    the corpus feeding a limit. Pinned on the executed plan so a
+    refactor that breaks the limit pushdown fails CI."""
+    from risk_dashboard_database_spark.session import get_spark
+
+    spark = get_spark(shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    # (d3's bounded probe set is a LIMIT-pushed driver collect that
+    # feeds its Arrow kernel — bounded at plan-build time and pinned
+    # by its own test, so it has no TakeOrdered in the RESULT plan.)
+    for name in (
+        "d5_ann_lsh_bucket",
+        "d8_ann_ivf",
+        "d14_ann_ivf_nprobe2",
+        "d24_ann_ivfpq",
+        "d25_ann_recall",
+        "d25b_ann_recall_trained",
+    ):
+        p = (
+            QUERIES[name](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in p, f"{name}: probe LIMIT not pushed"
+        globals_ = [
+            ln for ln in p.splitlines() if "Sort " in ln and "global=true" in ln
+        ]
+        assert not globals_, f"{name}: global sort crept in: {globals_}"
