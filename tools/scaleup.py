@@ -15,11 +15,13 @@ and the ANN corpus (embeddings) are copied 1:1:
 - dims: at 100 TB the fact:dim ratio grows, not shrinks — scaling the
   facts against fixed dims is exactly the production growth law, and
   it keeps broadcast-ability assumptions honest;
-- embeddings: every ANN query derives its probe set from the corpus
-  (vec_id % 50), so scaling the corpus scales probes with it and ANY
-  top-k plan — even a perfect index — does K^2 the work. That measures
-  the workload definition, not the plan; the ANN scale story is the
-  d3 (brute) vs d5/d8/d14 (bucketed) comparison at fixed SF instead.
+- embeddings: kept 1:1 in the default modes; use --mode=vec for honest
+  vector-volume growth. (Historical note: before r10 the ANN probe
+  sets were `vec_id % 50` corpus fractions, so K x vectors implied
+  K^2 probe work by WORKLOAD definition; the family now uses the
+  bounded md5-rank+LIMIT probe set, so --mode=vec rows measure the
+  PLANS — and the r10 table shows the trained family near-flat at
+  100x vectors.)
 
 Document text gets a per-copy suffix (and n_chars is kept consistent)
 so the near-dup family sees mostly-distinct shingles rather than a
