@@ -432,3 +432,141 @@ def test_span_dedup_and_strip_match_bruteforce(spark, tmp_path_factory, texts):
             w for p, w in enumerate(tk) if p not in covered[i]
         )
         assert got57[i]["clean_text"] == want_clean
+
+
+# ---------------------------------------------------------------------------
+# r10 conventions on RANDOM corpora: the span-strip removal and the
+# burstiness fold are pinned end-to-end against plain-Python references
+# over hypothesis-generated documents (tiny vocab => spans genuinely
+# repeat across docs), not just the fixed synthetic corpus.
+
+_tok = st.sampled_from([f"w{i}" for i in range(6)])
+
+
+@st.composite
+def _span_corpus(draw):
+    docs = []
+    n_docs = draw(st.integers(3, 7))
+    for d in range(n_docs):
+        toks = draw(st.lists(_tok, min_size=0, max_size=24))
+        docs.append((d, " ".join(toks)))
+    return docs
+
+
+def _write_docs(tmpdir, docs):
+    import pandas as pd
+
+    pd.DataFrame(
+        [
+            {
+                "doc_id": d,
+                "text": t,
+                "lang": "en",
+                "source": f"src{d % 3}",
+                "n_chars": len(t),
+            }
+            for d, t in docs
+        ]
+    ).to_parquet(f"{tmpdir}/documents.parquet")
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(_span_corpus())
+def test_span_strip_matches_python_on_random_corpora(spark, tmp_path_factory, docs):
+    """Batch d57 vs a from-scratch Python implementation of the
+    convention (SPAN_L-gram shared across >= 2 docs => every covered
+    position of every instance stripped) on random small-vocab docs."""
+    from risk_dashboard_database_spark.plans.dedup import (
+        SPAN_L,
+        d57_span_strip,
+    )
+
+    tmpdir = tmp_path_factory.mktemp("spanprop")
+    _write_docs(tmpdir, docs)
+
+    grams: dict[str, set] = {}
+    toks = {d: (t.split(" ") if t else [""]) for d, t in docs}
+    for d, tk in toks.items():
+        for s in range(max(len(tk) - SPAN_L + 1, 0)):
+            g = " ".join(tk[s : s + SPAN_L])
+            grams.setdefault(g, set()).add(d)
+    shared = {g for g, ds in grams.items() if len(ds) >= 2}
+    want = {}
+    for d, tk in toks.items():
+        starts = [
+            s
+            for s in range(max(len(tk) - SPAN_L + 1, 0))
+            if " ".join(tk[s : s + SPAN_L]) in shared
+        ]
+        keep = [
+            t
+            for p, t in enumerate(tk)
+            if not any(s <= p < s + SPAN_L for s in starts)
+        ]
+        want[d] = (len(tk), len(keep), " ".join(keep))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["kept_tokens"], r["clean_text"])
+        for r in d57_span_strip(spark, str(tmpdir)).collect()
+    }
+    assert got == want
+
+
+@st.composite
+def _punct_corpus(draw):
+    docs = []
+    for d in range(draw(st.integers(2, 5))):
+        pieces = draw(
+            st.lists(
+                st.one_of(_tok, st.sampled_from([".", "!", "?", "..", "!?"])),
+                min_size=0,
+                max_size=20,
+            )
+        )
+        docs.append((d, " ".join(pieces)))
+    return docs
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(_punct_corpus())
+def test_burstiness_matches_python_on_random_punctuated_docs(
+    spark, tmp_path_factory, docs
+):
+    """t_burstiness(plant=False) vs the Python Fano-factor reference on
+    random docs that DO carry punctuation (incl. standalone marks,
+    empty fragments, multi-punct runs)."""
+    import re
+
+    from risk_dashboard_database_spark.plans.textstats import t_burstiness
+
+    tmpdir = tmp_path_factory.mktemp("burstprop")
+    _write_docs(tmpdir, docs)
+
+    want = {}
+    for d, text in docs:
+        ss = [s.strip() for s in re.split(r"[.!?]+", text)]
+        ls = [len(s.split(" ")) for s in ss if s]
+        n, s1, s2 = len(ls), sum(ls), sum(x * x for x in ls)
+        mean = (s1 * 1_000_000) // n if n else 0
+        burst = (
+            ((n * s2 - s1 * s1) * 1_000_000) // (n * s1) if n and s1 else 0
+        )
+        want[d] = (n, mean, burst)
+    got = {
+        r["doc_id"]: (r["n_sentences"], r["mean_len_ppm"], r["burst_ppm"])
+        for r in t_burstiness(spark, str(tmpdir), plant=False).collect()
+    }
+    assert got == want
