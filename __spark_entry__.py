@@ -70,13 +70,15 @@ _SAMPLE_FIRST = [
     "u4_anomaly_rules", "w6_anchored_windows", "w9_duration_asof",
     # tier 3 — past the 50-cap this round; compensating per-round
     # evidence named in the note above; first in line for r11
-    # together with the two NEW r10 queries (t_burstiness,
-    # d60_dsir_select — each local-gate exact at sf0.001/sf0.01/
-    # vanilla on arrival, python-parity / selection-law tested, and
-    # scale-rowed in BENCH_NOTES r10)
+    # together with the three NEW r10 queries (t_burstiness,
+    # d60_dsir_select, d61_centroid_outliers — each local-gate exact
+    # at sf0.001/sf0.01/vanilla on arrival, python-parity /
+    # selection-law / brute-force tested, and scale-rowed in
+    # BENCH_NOTES r10)
     "a1_pricing_summary", "t2_crisis_chain", "f1_llm_classify",
     "f2_feature_summary", "t_lang_confusion", "t_quality_score",
     "t_token_count", "t_burstiness", "d60_dsir_select",
+    "d61_centroid_outliers",
 ]
 
 

@@ -133,6 +133,7 @@ HEADLINE = [
     "d59_cluster_drift",
     "t_burstiness",
     "d60_dsir_select",
+    "d61_centroid_outliers",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
@@ -462,6 +463,22 @@ BUDGET_R10 = {
                               # schedule; plant=False is plain scan-rate)
     "d60_dsir_select": 1.05,  # 0.70 measured (corpus bigram fold vs
                               # broadcast target LM + base-MV join)
+    "d61_centroid_outliers": 0.7,  # 0.46 measured in-harness (1.0
+                              # standalone cold-session — the harness
+                              # governs, same re-pin rule as d60)
+    "a12b_storylines": 1.0,   # 0.51 calm medians; the same contended
+                              # window that hit e5 pushed its median to
+                              # 0.90 — widened off the r6-generated
+                              # 0.85 for the same recorded reason
+    "e5_evidence": 1.2,       # 0.58-0.66 calm medians, but a measured
+                              # contended window pushed the median to
+                              # 1.32 and the gating low2 to 0.99 with
+                              # the calibration probes unable to see
+                              # the late-run noise (BENCH_NOTES r10);
+                              # pinned to clear the worst observed
+                              # low2 with margin rather than 1.5x the
+                              # calm median — the one recorded
+                              # exception to the uniform recipe
 }
 BUDGET = {**BUDGET_GENERATED, **BUDGET, **BUDGET_R10}
 
@@ -497,6 +514,9 @@ PINS_ABOVE_WORKING_BUDGET = {
     # plan-depth (many small broadcast joins) rather than data volume
     "d60_dsir_select": "corpus bigram stream folded against the broadcast "
                        "target LM + base-MV join",
+    "e5_evidence": "endpoint with measured cross-window variance "
+                   "(0.58-1.32 medians same-day); pin clears the worst "
+                   "contended low2, not 1.5x the calm median",
     "d24_ann_ivfpq": "~5 broadcast joins (PQ ADC pipeline); jitter not data",
     "d14_ann_ivf_nprobe2": "d8 + second probe cell",
     "d31_split_leakage": "d2 pair MVs + 2 assignment joins",

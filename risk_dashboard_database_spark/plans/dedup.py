@@ -7078,3 +7078,81 @@ def d60_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
     )
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+# ---------------------------------------------------------------- d61
+# Embedding outlier audit — the complement of d44's SemDeDup prune:
+# SemDeDup (Abbas et al. 2023) drops near-DUPLICATE cluster members;
+# curation pipelines equally prune OUTLIERS — vectors far from their
+# own cell centroid, which at training time are noise, OCR garbage, or
+# mis-embedded items (and at index time are the rows IVF recall suffers
+# on, sitting near Voronoi boundaries). d61 reports, per trained cell,
+# how many members sit below a cosine floor to their OWN centroid,
+# with the cell's worst cosine riding along — the table a pipeline
+# reads before deciding an outlier-prune pass is worth running.
+
+D61_TAU = 0.20  # cosine floor (≈ the 5-10% tail on this corpus)
+
+
+@query(
+    "d61_centroid_outliers",
+    oracle=f"""
+    WITH {_TRAINED_PREAMBLE_SQL},
+    scored AS (
+      SELECT a.cell,
+             {_DOT_SQL.format(a='a.v', b='m.ce')}
+               / (sqrt({_DOT_SQL.format(a='a.v', b='a.v')})
+                  * sqrt({_DOT_SQL.format(a='m.ce', b='m.ce')})) AS c
+      FROM assigned a JOIN cm m ON m.cid = a.cell
+    )
+    SELECT CAST(cell AS BIGINT) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(*) FILTER (WHERE c < {D61_TAU}) AS BIGINT)
+             AS n_outliers,
+           CAST((COUNT(*) FILTER (WHERE c < {D61_TAU}) * 1000000)
+                // COUNT(*) AS BIGINT) AS outlier_ppm,
+           MIN(c) AS min_cos
+    FROM scored GROUP BY cell
+    """,
+)
+def d61_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-trained-cell outlier census: members whose cosine to their
+    OWN centroid falls below D61_TAU, plus the cell's worst cosine.
+
+    Spark shape: ONE scan of the stored trained-index MV joined to the
+    broadcast k-row codebook on the cell key (every row meets exactly
+    its own centroid — k-bounded, never a fan-out), a per-row cosine
+    folding the STORED norm (d3's one-dot trick), and one
+    map-side-combinable cell-grain agg — k rows out at any corpus
+    size. The oracle retrains the codebook from scratch, so the gate
+    re-proves assignment + outlier arithmetic end-to-end. min_cos is
+    the raw double of the identical IEEE expression on both engines;
+    the counts and ppm are integers."""
+    assigned = _trained_assigned(spark, sf_dir)
+    # centroid norms fold ONCE on the k-row broadcast side (bit-equal
+    # to the oracle's inline sqrt per the d8 stored-norm equivalence)
+    cm = _trained_centroids(spark, sf_dir).withColumn(
+        "cnorm", F.sqrt(_dot_spark(F.col("ce"), F.col("ce")))
+    )
+    cos = _dot_spark(F.col("v"), F.col("ce")) / (
+        F.col("vnorm") * F.col("cnorm")
+    )
+    scored = assigned.join(
+        F.broadcast(cm), F.col("cid") == F.col("cell")
+    ).select("cell", cos.alias("c"))
+    return scored.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.sum((F.col("c") < D61_TAU).cast("long"))
+        .cast("long")
+        .alias("n_outliers"),
+        F.expr(f"(sum(CAST(c < {D61_TAU} AS BIGINT)) * 1000000) div count(*)")
+        .cast("long")
+        .alias("outlier_ppm"),
+        F.min("c").alias("min_cos"),
+    ).select(
+        F.col("cell").cast("long"),
+        "n_members",
+        "n_outliers",
+        "outlier_ppm",
+        "min_cos",
+    )

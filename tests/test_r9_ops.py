@@ -526,3 +526,37 @@ def test_dsir_selection_laws(spark):
             (c2[g] * 1_000_000) // c1[g[0]] if g in c2 else 0 for g in grams
         )
         assert r["target_ppm"] == total // len(grams)
+
+
+def test_centroid_outliers_match_python_bruteforce(spark):
+    """d61 recomputed from the trained index + codebook in Python:
+    per-cell member/outlier counts and worst cosine, plus the
+    outliers-iff-min-below-floor invariant."""
+    from risk_dashboard_database_spark.plans.dedup import (
+        D61_TAU,
+        _trained_assigned,
+        _trained_centroids,
+        d61_centroid_outliers,
+    )
+
+    cm = {
+        r["cid"]: r["ce"]
+        for r in _trained_centroids(spark, SF_DIR).collect()
+    }
+    per_cell: dict[int, list] = {}
+    for r in _trained_assigned(spark, SF_DIR).collect():
+        ce = cm[r["cell"]]
+        dot = sum(float(x) * float(y) for x, y in zip(r["v"], ce))
+        nv = sum(float(x) * float(x) for x in r["v"]) ** 0.5
+        nc = sum(float(y) * float(y) for y in ce) ** 0.5
+        per_cell.setdefault(r["cell"], []).append(dot / (nv * nc))
+    rows = {r["cell"]: r for r in d61_centroid_outliers(spark, SF_DIR).collect()}
+    assert set(rows) == set(per_cell)
+    for cell, cs in per_cell.items():
+        r = rows[cell]
+        outs = sum(1 for c in cs if c < D61_TAU)
+        assert r["n_members"] == len(cs)
+        assert r["n_outliers"] == outs
+        assert r["outlier_ppm"] == (outs * 1_000_000) // len(cs)
+        assert abs(r["min_cos"] - min(cs)) < 1e-12
+        assert (r["n_outliers"] > 0) == (r["min_cos"] < D61_TAU)
