@@ -452,7 +452,6 @@ BUDGET_R10 = {
     "d59_cluster_drift": 0.85,    # 0.53 measured (incl. the r10
                               # over-cap disclosure branch)
     "e3_storylines": 0.75,    # 0.47 measured
-    "e5_evidence": 0.9,       # 0.58 measured
     "t_ngram_docfreq": 1.1,   # 0.71 measured
     "t_tfidf": 0.75,          # 0.47 measured
     "t_ttr": 1.1,             # 0.70 measured

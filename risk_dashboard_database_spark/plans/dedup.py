@@ -5608,15 +5608,23 @@ def d48_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shared vector-fragments block near the top of the module.)
 
 
+def ppb_vector(embedding: F.Column) -> F.Column:
+    """THE fixed-point quantization of the trained-index family:
+    floor(x * D49_PPB) per coordinate. One definition — the d49
+    training chain and the streaming assignment gate
+    (streaming/ivfgate.py) both call this, so the quantization recipe
+    can never fork between index build and index maintenance."""
+    return F.transform(
+        embedding,
+        lambda x: F.floor(x.cast("double") * F.lit(float(D49_PPB))),
+    )
+
+
 def _d49_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings projected to exact ppb integers — the fixed-point
     space the whole d49 family trains and assigns in."""
     emb = load_table(spark, sf_dir, "embeddings")
-    to_ppb = F.transform(
-        F.col("embedding"),
-        lambda x: F.floor(x.cast("double") * F.lit(float(D49_PPB))),
-    )
-    return emb.select("vec_id", "label", to_ppb.alias("v"))
+    return emb.select("vec_id", "label", ppb_vector(F.col("embedding")).alias("v"))
 
 
 def _d49_assign(vecs: DataFrame, codebook: DataFrame) -> DataFrame:
@@ -7145,14 +7153,14 @@ def d61_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("c") < D61_TAU).cast("long"))
         .cast("long")
         .alias("n_outliers"),
-        F.expr(f"(sum(CAST(c < {D61_TAU} AS BIGINT)) * 1000000) div count(*)")
-        .cast("long")
-        .alias("outlier_ppm"),
         F.min("c").alias("min_cos"),
     ).select(
         F.col("cell").cast("long"),
         "n_members",
         "n_outliers",
-        "outlier_ppm",
+        # derived from the agg outputs — one spelling of the predicate
+        F.expr("(n_outliers * 1000000) div n_members")
+        .cast("long")
+        .alias("outlier_ppm"),
         "min_cos",
     )

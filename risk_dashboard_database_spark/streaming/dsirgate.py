@@ -37,10 +37,9 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
 
 from ..plans.dedup import DSIR_TARGET
-from .lmgate import bigram_ppm_table
+from .lmgate import bigram_ppm_table, score_tokens
 
 
 def dsir_artifacts(
@@ -56,14 +55,25 @@ def dsir_artifacts(
 def stream_dsir_weights(
     spark: SparkSession,
     docs_dir: str,
+    sf_dir: str | None = None,
     base_lm: dict[tuple[str, str], int] | None = None,
     target_lm: dict[tuple[str, str], int] | None = None,
     schema=None,
 ) -> DataFrame:
     """readStream over a documents directory -> (doc_id, source, lang,
-    base_ppm, target_ppm, weight_ppm, route) per arriving document."""
+    base_ppm, target_ppm, weight_ppm, route) per arriving document.
+
+    Pass either precomputed LM dicts or ``sf_dir`` (the CORPUS dataset
+    the models train on — NOT the arrivals directory, whose partial
+    slice would silently break batch-d60 parity)."""
     if base_lm is None or target_lm is None:
-        a_base, a_target = dsir_artifacts(spark, docs_dir)
+        if sf_dir is None:
+            raise ValueError(
+                "stream_dsir_weights needs sf_dir (the training corpus) "
+                "or explicit base_lm/target_lm model tables — the "
+                "arrivals directory is not the corpus"
+            )
+        a_base, a_target = dsir_artifacts(spark, sf_dir)
         base_lm = base_lm if base_lm is not None else a_base
         target_lm = target_lm if target_lm is not None else a_target
     if schema is None:
@@ -71,35 +81,29 @@ def stream_dsir_weights(
     bb = spark.sparkContext.broadcast(base_lm)
     bt = spark.sparkContext.broadcast(target_lm)
 
-    def _scorer(model_bc):
-        @F.pandas_udf(LongType())
-        def score(texts: pd.Series) -> pd.Series:
-            model = model_bc.value
-            out = []
-            for t in texts:
-                w = (t or "").split(" ")
-                if len(w) < 2:
-                    out.append(-1)
-                    continue
-                total = 0
-                n = len(w) - 1
-                for i in range(n):
-                    total += model.get((w[i], w[i + 1]), 0)
-                out.append(total // n)
-            return pd.Series(out, dtype="int64")
-
-        return score
-
-    base_score = _scorer(bb)
-    target_score = _scorer(bt)
+    # ONE Arrow batch pass, ONE tokenize per document, both models
+    # folded through the shared lmgate.score_tokens convention
+    @F.pandas_udf("base_ppm long, target_ppm long")
+    def both_scores(texts: pd.Series) -> pd.DataFrame:
+        base, tgt = bb.value, bt.value
+        rows = []
+        for t in texts:
+            w = (t or "").split(" ")
+            rows.append((score_tokens(w, base), score_tokens(w, tgt)))
+        return pd.DataFrame(rows, columns=["base_ppm", "target_ppm"])
 
     docs = spark.readStream.schema(schema).parquet(docs_dir)
     scored = docs.select(
         "doc_id",
         "source",
         "lang",
-        base_score(F.col("text")).alias("base_ppm"),
-        target_score(F.col("text")).alias("target_ppm"),
+        both_scores(F.col("text")).alias("__s"),
+    ).select(
+        "doc_id",
+        "source",
+        "lang",
+        F.col("__s.base_ppm").alias("base_ppm"),
+        F.col("__s.target_ppm").alias("target_ppm"),
     )
     route = (
         F.when(F.col("base_ppm") < 0, "short")

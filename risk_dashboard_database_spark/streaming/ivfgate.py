@@ -31,12 +31,12 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.dedup import (
-    D49_PPB,
     PQ_M,
     PQ_SUBDIM,
     _dot_spark,
     _sql2_spark,
     _trained_centroids,
+    ppb_vector,
 )
 from .semdecontam import _argmax_fold
 
@@ -64,10 +64,18 @@ def _argmin_fold(arr: Column, dist_of, id_of) -> Column:
 
 def codebook_side(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-row static side carrying the trained mean centroids as a
-    sorted (cid, ce) struct array — the shipped model artifact."""
+    sorted (cid, ce, cnorm) struct array — the shipped model artifact.
+    Norms fold once here (k rows), never per arriving vector."""
     return (
         _trained_centroids(spark, sf_dir)
-        .agg(F.sort_array(F.collect_list(F.struct("cid", "ce"))).alias("cents"))
+        .withColumn(
+            "cnorm", F.sqrt(_dot_spark(F.col("ce"), F.col("ce")))
+        )
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("cid", "ce", "cnorm"))
+            ).alias("cents")
+        )
         .withColumn("one", F.lit(1))
     )
 
@@ -79,12 +87,10 @@ def with_trained_assignment(
     each vector: (vec_id, label, cell, code_1..code_PQ_M, vnorm) —
     batch `_trained_assigned`'s schema minus the stored v array.
     Works identically on batch and streaming DataFrames."""
-    to_ppb = F.transform(
-        F.col("embedding"),
-        lambda x: F.floor(x.cast("double") * F.lit(float(D49_PPB))),
-    )
     df = (
-        vecs.select("vec_id", "label", to_ppb.alias("v"))
+        vecs.select(
+            "vec_id", "label", ppb_vector(F.col("embedding")).alias("v")
+        )
         .withColumn("one", F.lit(1))
         .join(static_side, "one")
         .withColumn("vnorm", F.sqrt(_dot_spark(F.col("v"), F.col("v"))))
@@ -92,10 +98,7 @@ def with_trained_assignment(
     cell_pick = _argmax_fold(
         F.col("cents"),
         lambda x: _dot_spark(F.col("v"), x.getField("ce"))
-        / (
-            F.col("vnorm")
-            * F.sqrt(_dot_spark(x.getField("ce"), x.getField("ce")))
-        ),
+        / (F.col("vnorm") * x.getField("cnorm")),
         lambda x: x.getField("cid"),
     )
     codes = [

@@ -38,6 +38,22 @@ from pyspark.sql.types import LongType
 from ..plans.dedup import LM_PPM, _d43_doc_scores
 
 
+def score_tokens(w: list[str], model: dict[tuple[str, str], int]) -> int:
+    """THE per-document bigram scoring convention — one definition,
+    shared by this gate and the DSIR gate (streaming/dsirgate.py):
+    -1 sentinel for < 2 tokens; bigrams the model has never seen
+    contribute 0 ppm (maximally surprising — the conservative choice
+    for novel ingest text); integer mean (sum div n), matching the
+    batch d43/d60 arithmetic exactly."""
+    if len(w) < 2:
+        return -1
+    total = 0
+    n = len(w) - 1
+    for i in range(n):
+        total += model.get((w[i], w[i + 1]), 0)
+    return total // n
+
+
 def bigram_ppm_table(
     spark: SparkSession, sf_dir: str, source: str | None = None
 ) -> dict[tuple[str, str], int]:
@@ -135,18 +151,10 @@ def stream_lm_gate(
     @F.pandas_udf(LongType())
     def lm_score(texts: pd.Series) -> pd.Series:
         model = blm.value
-        out = []
-        for t in texts:
-            w = (t or "").split(" ")
-            if len(w) < 2:
-                out.append(-1)
-                continue
-            total = 0
-            n = len(w) - 1
-            for i in range(n):
-                total += model.get((w[i], w[i + 1]), 0)
-            out.append(total // n)
-        return pd.Series(out, dtype="int64")
+        return pd.Series(
+            [score_tokens((t or "").split(" "), model) for t in texts],
+            dtype="int64",
+        )
 
     cut_items = sorted(cuts.items())
     bucket = F.lit("unknown")

@@ -252,7 +252,12 @@ def test_bounded_probe_sets_never_sort_globally():
             .toString()
         )
         assert "TakeOrderedAndProject" in p, f"{name}: probe LIMIT not pushed"
+        # SortExec prints as "Sort [keys], true, 0" — the bare boolean
+        # after the ordering IS the global flag (there is no
+        # "global=true" token in executed-plan strings)
         globals_ = [
-            ln for ln in p.splitlines() if "Sort " in ln and "global=true" in ln
+            ln
+            for ln in p.splitlines()
+            if "Sort [" in ln and "], true," in ln
         ]
         assert not globals_, f"{name}: global sort crept in: {globals_}"
