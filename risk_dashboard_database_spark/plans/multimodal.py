@@ -244,9 +244,7 @@ def m4_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "m5_frame_dedup",
-    oracle="""
+_M5_ORACLE = """
     WITH meta AS (
       SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
     ),
@@ -283,8 +281,63 @@ def m4_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((COALESCE(h.dup_frames, 0) * 1000000) // d.ns AS BIGINT)
              AS dup_ppm
     FROM dims d LEFT JOIN hits h USING (doc_id)
-    """,
-)
+    """
+
+
+def _video_dims(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, nf, ns): the deterministic fake codec's frame
+    count and m3's sample count per video. One definition for batch m5
+    and the streaming frame gate."""
+    payload = F.encode(F.col("text"), "utf-8")
+    n = F.octet_length(payload)
+    nf = (F.lit(1) + n % 30).cast("long")
+    ns = F.least(F.lit(4).cast("long"), nf)
+    return docs.select("doc_id", "text", nf.alias("nf"), ns.alias("ns"))
+
+
+def frame_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, ns, fp): one fingerprint row per sampled frame — THE
+    frame-identity convention of the m-family (m3's sampling plan, the
+    fake codec's 12-byte payload slice, md5 fingerprint; a real
+    deployment swaps in a pHash at the decode seam). Works identically
+    on batch and streaming DataFrames; shared by batch m5 and
+    streaming/framegate.py so the convention can never fork."""
+    dims = _video_dims(docs)
+    src_frame = F.expr("i * nf div ns")
+    off = (
+        F.lit(1)
+        + (src_frame * 17) % F.greatest(F.length("text") - 11, F.lit(1))
+    ).cast("int")
+    return (
+        dims.select(
+            "doc_id",
+            "text",
+            "nf",
+            "ns",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("ns") - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "ns",
+            F.md5(F.col("text").substr(off, F.lit(12))).alias("fp"),
+        )
+    )
+
+
+def shared_frame_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprints appearing in >= 2 distinct videos (fp) — the
+    cross-video dictionary, ONE map-side-combinable min!=max agg.
+    Shared by batch m5 and the streaming frame gate."""
+    fps = frame_fingerprints(load_table(spark, sf_dir, "documents"))
+    return (
+        fps.groupBy("fp")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .where(F.col("lo") != F.col("hi"))
+        .select("fp")
+    )
+
+
+@query("m5_frame_dedup", oracle=_M5_ORACLE)
 def m5_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-video frame-level dedup (m5): the video-pipeline analog of
     d30's span dedup — sample frames with m3's plan, fingerprint each
@@ -304,41 +357,13 @@ def m5_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB of video the fingerprint relation is frames x 48 bytes —
     the only corpus-scale exchange."""
     docs = load_table(spark, sf_dir, "documents")
-    payload = F.encode(F.col("text"), "utf-8")
-    n = F.octet_length(payload)
-    nf = (F.lit(1) + n % 30).cast("long")
-    ns = F.least(F.lit(4).cast("long"), nf)
-    dims = docs.select("doc_id", "text", nf.alias("nf"), ns.alias("ns"))
-    src_frame = F.expr("i * nf div ns")
-    off = (
-        F.lit(1)
-        + (src_frame * 17) % F.greatest(F.length("text") - 11, F.lit(1))
-    ).cast("int")
-    fps = (
-        dims.select(
-            "doc_id",
-            "text",
-            "nf",
-            "ns",
-            F.explode(F.sequence(F.lit(0).cast("long"), F.col("ns") - 1)).alias("i"),
-        )
-        .select(
-            "doc_id",
-            "ns",
-            F.md5(F.col("text").substr(off, F.lit(12))).alias("fp"),
-        )
-    )
-    shared = (
-        fps.groupBy("fp")
-        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
-        .where(F.col("lo") != F.col("hi"))
-        .select("fp")
-    )
+    fps = frame_fingerprints(docs)
+    shared = shared_frame_fps(spark, sf_dir)
     hits = fps.join(shared, "fp").groupBy("doc_id").agg(
         F.count("*").cast("long").alias("dup_frames")
     )
     return (
-        dims.select("doc_id", "ns")
+        _video_dims(docs).select("doc_id", "ns")
         .join(hits, "doc_id", "left")
         .select(
             "doc_id",
