@@ -903,3 +903,30 @@ def test_trained_assigned_is_a_corpus_partition(spark):
         assert r["cell"] in cb_ids
         for s in range(1, PQ_M + 1):
             assert r[f"code_{s}"] in cb_ids
+
+
+def test_stub_codebook_flag_paths_still_work(spark):
+    """The codebook="stub" recall-comparability flag (r10) must keep
+    working for every family member — d14's stub branch has no other
+    caller, and a rotted flag would silently break the before/after
+    recall story. Checks structural laws only (values are the
+    trained-default oracle's job)."""
+    from risk_dashboard_database_spark.plans.dedup import (
+        IVF_PROBES,
+        d8_ann_ivf,
+        d14_ann_ivf_nprobe2,
+    )
+
+    for fn, nprobe_cells in ((d8_ann_ivf, 1), (d14_ann_ivf_nprobe2, 2)):
+        rows = fn(spark, SF_DIR, codebook="stub").collect()
+        assert rows, fn.__name__
+        by_probe: dict[int, list] = {}
+        for r in rows:
+            by_probe.setdefault(r["query_id"], []).append(r)
+        assert len(by_probe) <= IVF_PROBES
+        for qid, rs in by_probe.items():
+            # top-3 per probed cell, ranks dense from 1
+            assert len(rs) <= 3 * nprobe_cells
+            ranks = sorted(r["rank"] for r in rs)
+            assert ranks == list(range(1, len(rs) + 1))
+            assert all(r["candidate_id"] != qid for r in rs)
