@@ -866,17 +866,25 @@ _NBITS_CTE_SQL = """nb AS (
       FROM embeddings
     )"""
 
-_SIGN_BITS_MEMO: dict[str, int] = {}
+_SIGN_BITS_MEMO: dict[tuple[str, str], int] = {}
 
 
 def _sign_bits(spark: SparkSession, sf_dir: str) -> int:
     """nbits for this dataset — one metadata-cheap count per dataset
-    path per process (datasets are immutable-by-convention: new data
-    lands in a new dir, the relcache contract)."""
+    CONTENT per process. Keyed on (realpath, stat signature of the
+    dir's parquet files — the same microseconds-cheap name/size/mtime
+    probe relcache revalidates with), so a dataset regenerated IN
+    PLACE with a different row count recounts immediately instead of
+    silently reusing a stale width while the oracle recomputes
+    COUNT(*) (ADVICE r10)."""
     import os
 
-    key = os.path.realpath(sf_dir)
+    from .relcache import _stat_sig
+
+    key = (os.path.realpath(sf_dir), _stat_sig(sf_dir))
     if key not in _SIGN_BITS_MEMO:
+        if len(_SIGN_BITS_MEMO) >= 16:  # stale prints of rewritten dirs
+            _SIGN_BITS_MEMO.clear()
         n = load_table(spark, sf_dir, "embeddings").count()
         _SIGN_BITS_MEMO[key] = max(8, min(64, (max(n, 2) - 1).bit_length() - 6))
     return _SIGN_BITS_MEMO[key]

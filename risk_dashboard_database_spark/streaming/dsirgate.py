@@ -73,9 +73,13 @@ def stream_dsir_weights(
                 "or explicit base_lm/target_lm model tables — the "
                 "arrivals directory is not the corpus"
             )
-        a_base, a_target = dsir_artifacts(spark, sf_dir)
-        base_lm = base_lm if base_lm is not None else a_base
-        target_lm = target_lm if target_lm is not None else a_target
+        # Train only the missing table(s): a caller supplying one dict
+        # (e.g. a cached base LM) must not pay a second full corpus
+        # pass for the other it already has (ADVICE r10).
+        if base_lm is None:
+            base_lm = bigram_ppm_table(spark, sf_dir)
+        if target_lm is None:
+            target_lm = bigram_ppm_table(spark, sf_dir, source=DSIR_TARGET)
     if schema is None:
         schema = spark.read.parquet(docs_dir).schema
     bb = spark.sparkContext.broadcast(base_lm)

@@ -59,7 +59,10 @@ def _fold(
     out = []
     if ns is not None:  # sentinel always arrives with its hit rows
         out.append((int(key[0]), ns, dup, (dup * 1_000_000) // ns))
-    state.update((1,))
+    # Same single-micro-batch completeness argument as spanstrip._fold:
+    # the group never recurs, so remove the state entry rather than
+    # growing the store unboundedly under NoTimeout (ADVICE r10).
+    state.remove()
     yield pd.DataFrame(
         out, columns=["doc_id", "sampled_frames", "dup_frames", "dup_ppm"]
     )

@@ -94,7 +94,13 @@ def _fold(
         out.append(
             (int(key[0]), n, kept, n - kept, int(kept == 0), clean)
         )
-    state.update((1,))
+    # Every document's rows (sentinel + gram hits) are produced from the
+    # same arrival file, so they land in ONE micro-batch and the group is
+    # complete the moment this fold runs: drop the state entry instead of
+    # parking a tombstone forever (ADVICE r10 — with NoTimeout an
+    # update() here would grow the state store by one row per document
+    # for the life of the stream).
+    state.remove()
     yield pd.DataFrame(
         out,
         columns=[

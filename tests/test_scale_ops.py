@@ -325,3 +325,41 @@ def test_sign_lsh_width_scales_with_corpus(spark, tmp_path):
         .collect()
     )
     assert buckets and all(len(r["b"]) == 9 for r in buckets)
+
+
+def test_sign_lsh_width_recounts_on_inplace_rewrite(spark, tmp_path):
+    """ADVICE r10 #2: the per-process width memo must notice a dataset
+    directory regenerated IN PLACE with a different row count (the
+    oracle recomputes COUNT(*) every run, so a stale memoized width
+    would produce a silent engine-vs-oracle bucket mismatch). The memo
+    keys on the same stat signature relcache revalidates with."""
+    import os
+    import time
+
+    import numpy as np
+    import pandas as pd
+
+    from risk_dashboard_database_spark.plans.dedup import _sign_bits
+
+    rng = np.random.default_rng(11)
+
+    def write(n):
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(n, dtype=np.int64),
+                "embedding": list(
+                    rng.standard_normal((n, 16)).astype(np.float32)
+                ),
+                "label": np.zeros(n, dtype=np.int32),
+            }
+        ).to_parquet(ds / "embeddings.parquet")
+
+    ds = tmp_path / "rewrite_ds"
+    ds.mkdir()
+    write(500)  # floors at 8 bits
+    assert _sign_bits(spark, str(ds)) == 8
+    write(20_000)  # bitlen(19999)=15 -> 9 bits
+    # same-second rewrites can collide on coarse mtime filesystems;
+    # force a distinct mtime like relcache's own revalidation relies on
+    os.utime(ds / "embeddings.parquet", (time.time() + 2, time.time() + 2))
+    assert _sign_bits(spark, str(ds)) == 9
