@@ -420,11 +420,20 @@ BUDGET_GENERATED = {
 # enough for a genuine 2x regression to pass silently. Every pin that
 # was above the 1 s working line (plus the newly bench-guarded
 # d25/d25b, VERDICT r9 #3, and the r10-rewritten trained-ANN family)
-# is regenerated with the uniform recipe: 1.5x the calibration-
-# normalized median of the full r10 calm-box run (guard_scale 1.119,
-# BENCH_NOTES r10), rounded UP to 0.05, floor 0.35. Entries here
-# override the per-round values above; the old values stay in place
-# as history.
+# is regenerated with the uniform recipe (one contention term folded
+# in per VERDICT r10 #4, replacing the two r10 per-query exceptions):
+#
+#   pin = roundup05(max(1.5 x calm-box normalized median,
+#                       1.1 x worst OBSERVED contended-window gating
+#                             observation)),
+#   floor 0.35
+#
+# The contention term exists only for queries where a contended window
+# has actually been measured and recorded in BENCH_NOTES (currently e5
+# low2 0.99 and a12b median 0.90, both r10 run c); for everything else
+# the calm median governs, so the recipe is uniform and no pin is an
+# exception. Entries here override the per-round values above; the old
+# values stay in place as history.
 BUDGET_R10 = {
     "d8_ann_ivf": 0.7,        # 0.45 measured (trained index MV +
                               # broadcast 40-probe set; was SMJ+BNLJ)
@@ -433,19 +442,44 @@ BUDGET_R10 = {
     "d17_pretrain_build": 1.0,    # 0.66 measured
     "d23_pq_codes": 0.35,     # 0.20 measured (trained index MV scan)
     "d24_ann_ivfpq": 1.2,     # 0.78 measured
-    "d25_ann_recall": 1.9,    # 1.26 measured (composes d24 + d8)
+    "d25_ann_recall": 1.9,    # 1.26 measured. Audit class: recall
+                              # measurement composes BOTH parent
+                              # searches (d24 IVF-PQ + d8 exact-in-cell)
+                              # per probe by definition; its
+                              # single-pipeline twin d25b is the
+                              # standing plan-shape A/B (BENCH_NOTES
+                              # r9/r10) — the compose overhead is the
+                              # measured delta, not waste
     "d25b_ann_recall_trained": 1.65,  # 1.10 measured (single-pipeline twin)
     "d30_span_dedup": 1.0,    # 0.65 measured
     "d31_split_leakage": 1.2,     # 0.77 measured
     "d37_minhash_calibration": 0.75,  # 0.48 measured
-    "d39_split_gram_overlap": 1.65,   # 1.07 measured
+    "d39_split_gram_overlap": 1.65,   # 1.07 measured. Audit class:
+                              # gram-grain agg is stage-latency-bound
+                              # at sf0.1 and gram-volume-linear at
+                              # scale; the MV-read alternative was
+                              # A/B-measured and REJECTED — reading
+                              # d30_grams costs the same gram-grain
+                              # exchange without saving the agg
+                              # (BENCH_NOTES r9)
     "d40_vocab_growth": 0.6,  # 0.39 measured
-    "d44_semantic_prune": 1.6,    # 1.06 measured
+    "d44_semantic_prune": 1.6,    # 1.06 measured. Audit class:
+                              # cell-local pairwise BY CONSTRUCTION on
+                              # the stored IVF assignment — the
+                              # pairwise work is the operator's output,
+                              # bounded by cell occupancy, 0.92x at
+                              # 100x vectors (BENCH_NOTES r10)
     "d46_sentence_dedup": 0.95,   # 0.61 measured
     "d47_semantic_decontam": 0.6,     # 0.40 measured
     "d48_retention_curve": 1.2,   # 0.80 measured
     "d49_kmeans_codebook": 1.75,  # 1.16 measured
-    "d50_dup_centrality": 1.6,    # 1.06 measured
+    "d50_dup_centrality": 0.6,   # r11: round-1 rank + edge table moved
+                              # behind the dup_edges/d50_rank1 MVs
+                              # (VERDICT r10 #2, the d30/d49 precedent)
+                              # — live plan is two MV scans + ONE
+                              # PageRank round; 0.38 measured warm
+                              # (was 1.06 paying both rounds +
+                              # checkpoint live)
     "d51_curation_funnel": 1.0,   # 0.65 measured
     "d57_span_strip": 1.15,   # 0.76 measured
     "d58_source_quota_rebalance": 0.65,  # 0.42 measured
@@ -465,19 +499,16 @@ BUDGET_R10 = {
     "d61_centroid_outliers": 0.7,  # 0.46 measured in-harness (1.0
                               # standalone cold-session — the harness
                               # governs, same re-pin rule as d60)
-    "a12b_storylines": 1.0,   # 0.51 calm medians; the same contended
-                              # window that hit e5 pushed its median to
-                              # 0.90 — widened off the r6-generated
-                              # 0.85 for the same recorded reason
-    "e5_evidence": 1.2,       # 0.58-0.66 calm medians, but a measured
-                              # contended window pushed the median to
-                              # 1.32 and the gating low2 to 0.99 with
-                              # the calibration probes unable to see
-                              # the late-run noise (BENCH_NOTES r10);
-                              # pinned to clear the worst observed
-                              # low2 with margin rather than 1.5x the
-                              # calm median — the one recorded
-                              # exception to the uniform recipe
+    "a12b_storylines": 1.0,   # recipe contention term: 0.51 calm
+                              # median (1.5x -> 0.77) vs contended
+                              # median 0.90 (1.1x -> 0.99 -> 1.0,
+                              # BENCH_NOTES r10 run c) — max governs
+    "e5_evidence": 1.1,       # recipe contention term: 0.58-0.66 calm
+                              # medians (1.5x -> 0.99) vs contended
+                              # gating low2 0.99 (1.1x -> 1.09 -> 1.1,
+                              # BENCH_NOTES r10 run c: median hit 1.32
+                              # while the start-of-run calibration
+                              # probes read calm) — max governs
 }
 BUDGET = {**BUDGET_GENERATED, **BUDGET, **BUDGET_R10}
 
@@ -495,9 +526,10 @@ BUDGET = {**BUDGET_GENERATED, **BUDGET, **BUDGET_R10}
 WORKING_BUDGET_SEC = 1.0
 # Trimmed to 14 in r10 (VERDICT r9 #2): the regenerated 1.5x-median
 # pins dropped 14 former members under the line (13 survivors + the
-# new d60 joined on arrival); every entry's pin is within 1.5x
-# (rounded) of its measured calm-box median, so a real ~1.6x
-# regression now trips the guard instead of hiding in headroom.
+# new d60 joined on arrival); every entry's pin is within the uniform
+# recipe of its measured medians, so a real ~1.6x regression now trips
+# the guard instead of hiding in headroom. r11: d50 left the registry
+# (round-1 rank moved behind the MV seam, 1.06 -> 0.38 measured).
 PINS_ABOVE_WORKING_BUDGET = {
     # training / build passes (run once per dataset, consumers read MVs)
     "d49_kmeans_codebook": "one assignment pass over the stored trained-codebook MV",
@@ -514,14 +546,13 @@ PINS_ABOVE_WORKING_BUDGET = {
     "d60_dsir_select": "corpus bigram stream folded against the broadcast "
                        "target LM + base-MV join",
     "e5_evidence": "endpoint with measured cross-window variance "
-                   "(0.58-1.32 medians same-day); pin clears the worst "
-                   "contended low2, not 1.5x the calm median",
+                   "(0.58-1.32 medians same-day); recipe's contention "
+                   "term governs (1.1x the worst contended gating low2)",
     "d24_ann_ivfpq": "~5 broadcast joins (PQ ADC pipeline); jitter not data",
     "d14_ann_ivf_nprobe2": "d8 + second probe cell",
     "d31_split_leakage": "d2 pair MVs + 2 assignment joins",
     "d44_semantic_prune": "cell-local pairwise on stored IVF assignment",
     "d48_retention_curve": "one combinable agg over the d2 pair relation",
-    "d50_dup_centrality": "checkpointed edge table + 2 PageRank rounds",
 }
 _over_line = {n for n, b in BUDGET.items() if b > WORKING_BUDGET_SEC}
 assert _over_line == set(PINS_ABOVE_WORKING_BUDGET), (

@@ -93,6 +93,8 @@ MV_STORE_DAG: list[tuple[str, tuple[str, ...], tuple[str, ...]]] = [
     ("u3",            ("u3_evidence", "u3_codes", "u3_enc"), ("layouts",)),
     ("d2_sigs",       ("d2_toks", "d2_sigs"),             ("layouts",)),
     ("d9_clusters",   ("d9_clusters",),                   ("d2_sigs",)),
+    ("dup_edges",     ("dup_edges",),                     ("d2_sigs",)),
+    ("d50_rank1",     ("d50_rank1",),                     ("dup_edges",)),
     ("d3_normed",     ("d3_normed",),                     ()),
     ("d19_clusters",  ("d19_clusters_v2",),               ("d3_normed",)),
     # d8_assigned stays warmed for its remaining registry consumers
@@ -131,6 +133,8 @@ def _mv_warmer(step: str):
         "u3": unions.u3_evidence_union,
         "d2_sigs": dedup.d2_minhash_pairs,
         "d9_clusters": dedup.d9_dedup_clusters,
+        "dup_edges": dedup._dup_edges,
+        "d50_rank1": dedup._d50_rank1,
         "d19_clusters": dedup.d19_embedding_clusters,
         "d3_normed": dedup._normed_embeddings,
         "d8_assigned": dedup._ivf_assigned,
