@@ -134,6 +134,9 @@ HEADLINE = [
     "t_burstiness",
     "d60_dsir_select",
     "d61_centroid_outliers",
+    "t_novelty",
+    "d62_quantization_error",
+    "m6_modality_mix",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
@@ -499,6 +502,16 @@ BUDGET_R10 = {
     "d61_centroid_outliers": 0.7,  # 0.46 measured in-harness (1.0
                               # standalone cold-session — the harness
                               # governs, same re-pin rule as d60)
+    # r11 additions, pinned off their first in-harness calm run
+    # (guard 1.041: medians 0.71 / 0.60 / 0.28 -> normalized
+    # 0.68 / 0.58 / 0.27; the standalone-session probes read
+    # 0.93 / 0.87 / 0.33 — the harness governs, the d60/d61 rule):
+    "t_novelty": 1.05,        # gram-grain inverted-index profile,
+                              # t_ngram_docfreq's class (shares the
+                              # t_tri_grams MV + one gram exchange)
+    "d62_quantization_error": 0.9,  # d61's topology (stored index MV +
+                              # broadcast codebook + one cell agg)
+    "m6_modality_mix": 0.45,  # one narrow metadata scan + tiny agg
     "a12b_storylines": 1.0,   # recipe contention term: 0.51 calm
                               # median (1.5x -> 0.77) vs contended
                               # median 0.90 (1.1x -> 0.99 -> 1.0,
@@ -545,6 +558,8 @@ PINS_ABOVE_WORKING_BUDGET = {
     # plan-depth (many small broadcast joins) rather than data volume
     "d60_dsir_select": "corpus bigram stream folded against the broadcast "
                        "target LM + base-MV join",
+    "t_novelty": "gram-grain first-occurrence profile, t_ngram_docfreq's "
+                 "class (one gram-keyed exchange over the t_tri_grams MV)",
     "e5_evidence": "endpoint with measured cross-window variance "
                    "(0.58-1.32 medians same-day); recipe's contention "
                    "term governs (1.1x the worst contended gating low2)",

@@ -7201,3 +7201,93 @@ def d61_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("outlier_ppm"),
         "min_cos",
     )
+
+
+# ---------------------------------------------------------------- d62
+# Codebook quantization-error audit — the third leg of the trained-
+# index QA trio: d49 proves the codebook equals a from-scratch retrain,
+# d61 censuses hard OUTLIERS below a cosine floor, d62 measures the
+# continuous DISTORTION the quantizer imposes per cell — mean and worst
+# (1 - cosine-to-own-centroid) in integer ppm, plus each cell's fill
+# share. This is the table an IVF/PQ tuning loop actually reads when
+# deciding whether k is too small (high mean distortion everywhere),
+# a cell should split (one cell dominates fill with high distortion),
+# or another Lloyd round pays for itself (compare before/after mean).
+
+
+@query(
+    "d62_quantization_error",
+    oracle=f"""
+    WITH {_TRAINED_PREAMBLE_SQL},
+    scored AS (
+      SELECT a.cell,
+             CAST(floor(greatest(0.0,
+               1.0 - {_DOT_SQL.format(a='a.v', b='m.ce')}
+                 / (sqrt({_DOT_SQL.format(a='a.v', b='a.v')})
+                    * sqrt({_DOT_SQL.format(a='m.ce', b='m.ce')}))
+             ) * 1000000.0) AS BIGINT) AS err
+      FROM assigned a JOIN cm m ON m.cid = a.cell
+    ),
+    cells AS (
+      SELECT CAST(cell AS BIGINT) AS cell,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(SUM(err) AS BIGINT) AS s_err,
+             CAST(MAX(err) AS BIGINT) AS max_err_ppm
+      FROM scored GROUP BY cell
+    )
+    SELECT cell, n_members,
+           CAST((n_members * 1000000) // SUM(n_members) OVER () AS BIGINT)
+             AS fill_ppm,
+           CAST(s_err // n_members AS BIGINT) AS mean_err_ppm,
+           max_err_ppm
+    FROM cells
+    """,
+)
+def d62_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-trained-cell quantization distortion: mean and max
+    (1 - cosine to OWN centroid) in integer ppm, plus the cell's fill
+    share of the corpus.
+
+    Spark shape: d61's exact topology — ONE scan of the stored trained
+    index MV joined to the broadcast k-row codebook on the cell key
+    (k-bounded, never a fan-out), a per-row distortion folding the
+    STORED vnorm, one map-side-combinable cell agg, and the fill share
+    via a window over the k-row result frame (the d54 tiny-frame
+    discipline — no second corpus pass for the total). Distortion is
+    floored to ppm PER MEMBER, so the sums are integer-exact and
+    order-independent on both engines; greatest(0, ..) clamps the
+    -1-ppm artifact a cosine of 1+eps would floor to. k rows out at
+    any corpus size."""
+    assigned = _trained_assigned(spark, sf_dir)
+    cm = _trained_centroids(spark, sf_dir).withColumn(
+        "cnorm", F.sqrt(_dot_spark(F.col("ce"), F.col("ce")))
+    )
+    cos = _dot_spark(F.col("v"), F.col("ce")) / (
+        F.col("vnorm") * F.col("cnorm")
+    )
+    err = F.floor(
+        F.greatest(F.lit(0.0), F.lit(1.0) - cos) * 1000000.0
+    ).cast("long")
+    cells = (
+        assigned.join(F.broadcast(cm), F.col("cid") == F.col("cell"))
+        .select("cell", err.alias("err"))
+        .groupBy("cell")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum("err").cast("long").alias("s_err"),
+            F.max("err").cast("long").alias("max_err_ppm"),
+        )
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    return (
+        cells.withColumn("__total", F.sum("n_members").over(w_all))
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "n_members",
+            F.expr("(n_members * 1000000) div __total")
+            .cast("long")
+            .alias("fill_ppm"),
+            F.expr("s_err div n_members").cast("long").alias("mean_err_ppm"),
+            "max_err_ppm",
+        )
+    )

@@ -374,3 +374,84 @@ def m5_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_ppm"),
         )
     )
+
+
+# ----------------------------------------------------------------- m6
+# Modality-mix dataset card — the multimodal twin of d33's text card:
+# per (source, media type), item and byte budgets plus each modality's
+# byte share within its source. A multimodal training build reads this
+# table to set modality sampling ratios (and to catch a feed that
+# silently stopped delivering one modality) BEFORE paying for decode.
+
+
+@query(
+    "m6_modality_mix",
+    oracle="""
+    WITH typed AS (
+      SELECT source,
+             CASE WHEN substr(text, 1, 4) = 'key ' THEN 'KEY0'
+                  WHEN octet_length(encode(text)) % 3 = 0 THEN 'IMG'
+                  WHEN octet_length(encode(text)) % 3 = 1 THEN 'AUD'
+                  ELSE 'VID' END AS media_type,
+             octet_length(encode(text)) AS b
+      FROM documents
+    ),
+    g AS (
+      SELECT source, media_type,
+             CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(b) AS BIGINT) AS total_bytes
+      FROM typed GROUP BY source, media_type
+    )
+    SELECT source, media_type, n_items, total_bytes,
+           CAST((total_bytes * 1000000)
+                // SUM(total_bytes) OVER (PARTITION BY source) AS BIGINT)
+             AS byte_share_ppm
+    FROM g
+    """,
+)
+def m6_modality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (source, media type): item count, byte budget, and the
+    modality's byte share (integer ppm) within its source — m1's
+    magic-byte classification aggregated into the sampling-ratio card.
+
+    Spark shape: ONE narrow scan (source + byte length + the m1
+    media-type CASE — no payload decode), one map-side-combinable
+    (source, media_type) agg to a sources-x-4 frame, and the share via
+    a window over that tiny frame (the d54 discipline). Byte sums are
+    integer-exact; at 100 TB this is a metadata-column scan with a
+    dictionary-sized shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    byte_len = F.octet_length(payload)
+    media_type = (
+        F.when(F.substring(F.col("text"), 1, 4) == "key ", "KEY0")
+        .when(byte_len % 3 == 0, "IMG")
+        .when(byte_len % 3 == 1, "AUD")
+        .otherwise("VID")
+    )
+    g = (
+        docs.select(
+            "source",
+            media_type.alias("media_type"),
+            byte_len.cast("long").alias("b"),
+        )
+        .groupBy("source", "media_type")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum("b").cast("long").alias("total_bytes"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w_src = Window.partitionBy("source")
+    return g.withColumn(
+        "__src_bytes", F.sum("total_bytes").over(w_src)
+    ).select(
+        "source",
+        "media_type",
+        "n_items",
+        "total_bytes",
+        F.expr("(total_bytes * 1000000) div __src_bytes")
+        .cast("long")
+        .alias("byte_share_ppm"),
+    )

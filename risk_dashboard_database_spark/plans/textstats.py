@@ -442,6 +442,31 @@ def t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tri_gram_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, distinct word trigram) rows — the `t_tri_grams` MV
+    build, shared by t_ngram_docfreq and t_novelty so both profile the
+    identical gram relation."""
+    return docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("__w")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                # greatest(.., 0): slice() raises on negative
+                # length (1-token docs; tests/test_textstats_edges)
+                F.expr(
+                    "zip_with(zip_with("
+                    "  slice(__w, 1, greatest(size(__w) - 2, 0)),"
+                    "  slice(__w, 2, greatest(size(__w) - 2, 0)),"
+                    "  (a, b) -> concat(a, ' ', b)),"
+                    "  slice(__w, 3, greatest(size(__w) - 2, 0)),"
+                    "  (ab, c) -> concat(ab, ' ', c))"
+                )
+            )
+        ).alias("gram"),
+    )
+
+
 @query(
     "t_ngram_docfreq",
     oracle="""
@@ -491,29 +516,7 @@ def t_ngram_docfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .relcache import cached_relation
 
     docs = load_table(spark, sf_dir, "documents")
-
-    def _build_grams() -> DataFrame:
-        return docs.select(
-            "doc_id", F.split(F.col("text"), " ").alias("__w")
-        ).select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    # greatest(.., 0): slice() raises on negative
-                    # length (1-token docs; tests/test_textstats_edges)
-                    F.expr(
-                        "zip_with(zip_with("
-                        "  slice(__w, 1, greatest(size(__w) - 2, 0)),"
-                        "  slice(__w, 2, greatest(size(__w) - 2, 0)),"
-                        "  (a, b) -> concat(a, ' ', b)),"
-                        "  slice(__w, 3, greatest(size(__w) - 2, 0)),"
-                        "  (ab, c) -> concat(ab, ' ', c))"
-                    )
-                )
-            ).alias("gram"),
-        )
-
-    grams = cached_relation("t_tri_grams", sf_dir, _build_grams)
+    grams = cached_relation("t_tri_grams", sf_dir, lambda: _tri_gram_rows(docs))
     freq = grams.groupBy("gram").agg(F.count("*").alias("docfreq"))
     per_doc = (
         grams.join(freq, "gram")
@@ -1534,3 +1537,91 @@ def t_burstiness(
         .cast("long")
         .alias("burst_ppm"),
     )
+
+
+# --------------------------------------------------------- t_novelty
+# Incremental novelty — the "what does this document ADD" curve a
+# streaming corpus build watches (reference analog: the dashboard's
+# per-day new-narrative counts, `narrative_runtime.py` first-seen
+# logic, generalized to content grain). A document whose trigrams all
+# appeared in earlier documents (by doc_id ingest order) is pure
+# boilerplate; a high-novelty document extends the corpus. The same
+# first-occurrence relation is what dedup pipelines use to cheaply
+# pre-rank candidates before the expensive MinHash leg.
+
+
+@query(
+    "t_novelty",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(generate_series(1, len(t)-2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    ),
+    first_seen AS (
+      SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram
+    ),
+    per_doc AS (
+      SELECT g.doc_id,
+             COUNT(*) AS n_grams,
+             COUNT(*) FILTER (WHERE f.first_doc = g.doc_id) AS n_novel
+      FROM grams g JOIN first_seen f USING (gram)
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_novel AS BIGINT) AS n_novel,
+           CAST((n_novel * 1000000) // n_grams AS BIGINT) AS novel_ppm
+    FROM per_doc
+    UNION ALL
+    SELECT doc_id, 0, 0, 0
+    FROM documents WHERE len(string_split(text, ' ')) < 3
+    """,
+)
+def t_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document first-occurrence novelty: the share (integer ppm)
+    of its DISTINCT word trigrams whose corpus-wide FIRST occurrence
+    (min doc_id — doc_id is ingest order on this corpus) is this
+    document.
+
+    Spark shape: t_ngram_docfreq's inverted-index topology verbatim —
+    scan the stored `t_tri_grams` MV, ONE gram-keyed shuffle builds
+    the first-occurrence relation (MIN is map-side combinable, same
+    cost class as the docfreq COUNT), join back on the SAME gram
+    partitioning (exchange reused), one doc_id-keyed agg. Docs too
+    short for a trigram enter via a scan-only UNION branch, never a
+    corpus-wide left join. Integer ppm via `div` (truncation == floor
+    on non-negatives, both engines). At 100 TB this is the inverted-
+    index profile build: nothing beyond (gram, first_doc) pairs
+    crosses a shuffle boundary."""
+    from .relcache import cached_relation
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = cached_relation(
+        "t_tri_grams", sf_dir, lambda: _tri_gram_rows(docs)
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    main = per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        F.expr("(n_novel * 1000000) div n_grams").cast("long").alias("novel_ppm"),
+    )
+    short = docs.where(F.size(F.split("text", " ")) < 3).select(
+        "doc_id",
+        F.lit(0).cast("long").alias("n_grams"),
+        F.lit(0).cast("long").alias("n_novel"),
+        F.lit(0).cast("long").alias("novel_ppm"),
+    )
+    return main.unionByName(short)

@@ -1,0 +1,121 @@
+"""Round-11 operators: t_novelty, d62_quantization_error,
+m6_modality_mix — python brute-force parity + structural invariants."""
+
+from __future__ import annotations
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _tri_grams(text: str) -> set[str]:
+    t = text.split(" ")
+    return {
+        " ".join(t[i : i + 3]) for i in range(len(t) - 2)
+    } if len(t) >= 3 else set()
+
+
+def test_novelty_matches_python_first_occurrence(spark):
+    """t_novelty recomputed in plain Python: per doc, distinct
+    trigrams whose corpus-wide min doc_id is this doc."""
+    from risk_dashboard_database_spark.plans.textstats import t_novelty
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    first: dict[str, int] = {}
+    for doc_id in sorted(docs):
+        for g in _tri_grams(docs[doc_id]):
+            first.setdefault(g, doc_id)
+    rows = {r["doc_id"]: r for r in t_novelty(spark, SF_DIR).collect()}
+    assert set(rows) == set(docs)
+    total_novel = 0
+    for doc_id, text in docs.items():
+        gs = _tri_grams(text)
+        r = rows[doc_id]
+        novel = sum(1 for g in gs if first[g] == doc_id)
+        total_novel += novel
+        assert r["n_grams"] == len(gs)
+        assert r["n_novel"] == novel
+        if gs:
+            assert r["novel_ppm"] == (novel * 1_000_000) // len(gs)
+        else:
+            assert r["novel_ppm"] == 0
+    # every gram is novel in exactly one document
+    assert total_novel == len(first)
+    # the earliest gram-bearing document is 100% novel by construction
+    first_doc = min(d for d in docs if _tri_grams(docs[d]))
+    assert rows[first_doc]["novel_ppm"] == 1_000_000
+
+
+def test_quantization_error_matches_python_bruteforce(spark):
+    """d62 recomputed from the trained index + codebook in Python:
+    per-cell member counts, fill share, mean/max floored-ppm
+    distortion."""
+    from risk_dashboard_database_spark.plans.dedup import (
+        _trained_assigned,
+        _trained_centroids,
+        d62_quantization_error,
+    )
+    import math
+
+    cm = {
+        r["cid"]: r["ce"]
+        for r in _trained_centroids(spark, SF_DIR).collect()
+    }
+    per_cell: dict[int, list[int]] = {}
+    for r in _trained_assigned(spark, SF_DIR).collect():
+        ce = cm[r["cell"]]
+        dot = sum(float(x) * float(y) for x, y in zip(r["v"], ce))
+        nv = sum(float(x) * float(x) for x in r["v"]) ** 0.5
+        nc = sum(float(y) * float(y) for y in ce) ** 0.5
+        err = math.floor(max(0.0, 1.0 - dot / (nv * nc)) * 1_000_000.0)
+        per_cell.setdefault(r["cell"], []).append(err)
+    total = sum(len(v) for v in per_cell.values())
+    rows = {
+        r["cell"]: r
+        for r in d62_quantization_error(spark, SF_DIR).collect()
+    }
+    assert set(rows) == set(per_cell)
+    for cell, errs in per_cell.items():
+        r = rows[cell]
+        assert r["n_members"] == len(errs)
+        assert r["fill_ppm"] == (len(errs) * 1_000_000) // total
+        assert r["mean_err_ppm"] == sum(errs) // len(errs)
+        assert r["max_err_ppm"] == max(errs)
+        # distortion is a [0, 2e6] ppm quantity by construction
+        assert 0 <= r["mean_err_ppm"] <= r["max_err_ppm"] <= 2_000_000
+
+
+def test_modality_mix_matches_python(spark):
+    """m6 recomputed in plain Python off m1's classification rule;
+    byte shares within a source sum to 1e6 within div truncation."""
+    from risk_dashboard_database_spark.plans.multimodal import m6_modality_mix
+
+    agg: dict[tuple[str, str], list[int]] = {}
+    for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect():
+        b = len(r["text"].encode("utf-8"))
+        if r["text"][:4] == "key ":
+            mt = "KEY0"
+        else:
+            mt = {0: "IMG", 1: "AUD"}.get(b % 3, "VID")
+        cur = agg.setdefault((r["source"], mt), [0, 0])
+        cur[0] += 1
+        cur[1] += b
+    src_bytes: dict[str, int] = {}
+    for (src, _), (_, tb) in agg.items():
+        src_bytes[src] = src_bytes.get(src, 0) + tb
+    rows = {
+        (r["source"], r["media_type"]): r
+        for r in m6_modality_mix(spark, SF_DIR).collect()
+    }
+    assert set(rows) == set(agg)
+    shares: dict[str, int] = {}
+    for key, (n, tb) in agg.items():
+        r = rows[key]
+        assert r["n_items"] == n
+        assert r["total_bytes"] == tb
+        assert r["byte_share_ppm"] == (tb * 1_000_000) // src_bytes[key[0]]
+        shares[key[0]] = shares.get(key[0], 0) + r["byte_share_ppm"]
+    for src, s in shares.items():
+        n_types = sum(1 for k in agg if k[0] == src)
+        assert 1_000_000 - n_types < s <= 1_000_000
