@@ -570,3 +570,122 @@ def test_burstiness_matches_python_on_random_punctuated_docs(
         for r in t_burstiness(spark, str(tmpdir), plant=False).collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(_span_corpus())
+def test_novelty_matches_python_on_random_corpora(
+    spark, tmp_path_factory, docs
+):
+    """Batch t_novelty vs a from-scratch Python implementation of the
+    first-occurrence convention on random small-vocab docs (tiny vocab
+    => trigrams genuinely recur across docs, exercising both the novel
+    and the seen path; short/empty docs exercise the union branch)."""
+    from risk_dashboard_database_spark.plans.textstats import t_novelty
+
+    tmpdir = tmp_path_factory.mktemp("novprop")
+    _write_docs(tmpdir, docs)
+
+    def tri(text):
+        tk = text.split(" ")
+        return {
+            " ".join(tk[i : i + 3]) for i in range(len(tk) - 2)
+        } if len(tk) >= 3 else set()
+
+    first: dict[str, int] = {}
+    for d, t in sorted(docs):
+        for g in tri(t):
+            first.setdefault(g, d)
+    want = {}
+    for d, t in docs:
+        gs = tri(t)
+        novel = sum(1 for g in gs if first[g] == d)
+        want[d] = (
+            len(gs),
+            novel,
+            (novel * 1_000_000) // len(gs) if gs else 0,
+        )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novel_ppm"])
+        for r in t_novelty(spark, str(tmpdir)).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(_span_corpus())
+def test_budget_threshold_matches_python_on_random_corpora(
+    spark, tmp_path_factory, docs
+):
+    """d63 vs a from-scratch Python bigram-LM + value-grain budget
+    fill on random small-vocab docs — re-derives the scores (not the
+    stored MV) so the whole chain is pinned, including langs whose top
+    bucket exceeds the budget (NULL-cut sentinel)."""
+    from risk_dashboard_database_spark.plans.dedup import (
+        D63_BUDGET_PPM,
+        LM_PPM,
+        d63_budget_threshold,
+    )
+
+    tmpdir = tmp_path_factory.mktemp("budgetprop")
+    _write_docs(tmpdir, docs)
+
+    c2: dict[tuple[str, str], int] = {}
+    per_doc = {}
+    for d, t in docs:
+        tk = t.split(" ") if t else [""]
+        if len(tk) < 2:
+            continue
+        bgs = list(zip(tk, tk[1:]))
+        per_doc[d] = bgs
+        for bg in bgs:
+            c2[bg] = c2.get(bg, 0) + 1
+    c1: dict[str, int] = {}
+    for (w1, _), c in c2.items():
+        c1[w1] = c1.get(w1, 0) + c
+    dom: dict[int, list[int]] = {}
+    for d, bgs in per_doc.items():
+        score = sum((c2[bg] * LM_PPM) // c1[bg[0]] for bg in bgs) // len(bgs)
+        cur = dom.setdefault(score, [0, 0])
+        cur[0] += 1
+        cur[1] += len(bgs) + 1
+    got = {r["lang"]: r for r in d63_budget_threshold(spark, str(tmpdir)).collect()}
+    if not dom:
+        assert got == {}
+        return
+    total = sum(t for _, t in dom.values())
+    budget = (total * D63_BUDGET_PPM) // 1_000_000
+    cum = 0
+    cut = None
+    docs_kept = 0
+    tokens_kept = 0
+    for score in sorted(dom, reverse=True):
+        cum += dom[score][1]
+        if cum <= budget:
+            cut = score
+            docs_kept += dom[score][0]
+            tokens_kept = cum
+        else:
+            break
+    r = got["en"]
+    assert r["cut_score"] == cut
+    assert r["docs_kept"] == docs_kept
+    assert r["tokens_kept"] == tokens_kept
+    assert r["budget_tokens"] == budget
+    assert r["fill_ppm"] == (
+        (tokens_kept * 1_000_000) // budget if budget else 0
+    )
