@@ -138,6 +138,7 @@ HEADLINE = [
     "d62_quantization_error",
     "m6_modality_mix",
     "d63_budget_threshold",
+    "o8_keyset_pagination",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
@@ -520,6 +521,11 @@ BUDGET_R10 = {
                               # floored at 0.35). The corpus pass
                               # lives in the d43 score MV; the query
                               # touches only (lang, score)-domain rows
+    "o8_keyset_pagination": 0.9,  # provisional off the 0.57 standalone
+                              # probe median (cursor TakeOrdered(100) +
+                              # 1-row anchor scan + TakeOrdered(50));
+                              # in-harness re-pin on the next calm run,
+                              # the d60/d61 rule
     "a12b_storylines": 1.0,   # recipe contention term: 0.51 calm
                               # median (1.5x -> 0.77) vs contended
                               # median 0.90 (1.1x -> 0.99 -> 1.0,

@@ -282,3 +282,77 @@ def o7_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     candidates = cust.select(F.col("c_name").alias("candidate"))
     return fuzzy_resolve(probes, candidates)
+
+
+# ----------------------------------------------------------------- o8
+# Keyset (seek) pagination — the scale-correct form of o1. OFFSET N
+# pagination is an anti-pattern at warehouse scale: the engine must
+# produce and DISCARD the first N rows of the global order on every
+# page (page 10,000 of a 100 TB leaderboard scans half a million rows
+# to throw them away). The seek method replaces the offset with a
+# cursor — the compound sort key of the last row of the previous page
+# — so the next page compiles to a pushable range predicate + top-k.
+# o8 computes o1's exact third page (rows 101-150) this way and shares
+# o1's OFFSET oracle, so the driver gate asserts seek == offset
+# semantics bit-for-bit.
+
+
+@query(
+    "o8_keyset_pagination",
+    oracle="""
+    SELECT o_orderkey,
+           STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS date,
+           o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS total_price
+    FROM orders
+    ORDER BY CAST(o_orderdate AS DATE) DESC, o_orderkey
+    LIMIT 50 OFFSET 100
+    """,
+)
+def o8_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """o1's page 3 via the seek method: derive the cursor (the
+    compound key of ordered row 100 — in a live API the client echoes
+    it back, here it derives deterministically), then fetch the page
+    as WHERE key-after-cursor ORDER BY LIMIT 50.
+
+    Spark shape: the cursor is TakeOrdered(100) -> a row_number window
+    over that 100-row frame -> ONE row (sanctioned tiny-relation
+    class); the page is the base scan joined to the broadcast 1-row
+    cursor on the strict after-in-sort-order predicate (the e4/e7/e8
+    1-row anchor pattern — a BroadcastNestedLoopJoin of corpus x 1)
+    followed by TakeOrderedAndProject(50). No row is produced just to
+    be discarded: at 100 TB the page cost is one filtered scan + a
+    top-50, independent of how deep the page sits — OFFSET's linear
+    discard is exactly what this operator exists to retire."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.date_format(F.col("o_orderdate").cast("date"), DATE_FMT).alias("date"),
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("total_price"),
+    )
+    order_cols = [F.col("date").desc(), F.col("o_orderkey")]
+    cursor = (
+        base.orderBy(*order_cols)
+        .limit(100)
+        .withColumn(
+            "__rn", F.row_number().over(Window.orderBy(*order_cols))
+        )
+        .where(F.col("__rn") == 100)
+        .select(
+            F.col("date").alias("__cur_date"),
+            F.col("o_orderkey").alias("__cur_key"),
+        )
+    )
+    after_cursor = (F.col("date") < F.col("__cur_date")) | (
+        (F.col("date") == F.col("__cur_date"))
+        & (F.col("o_orderkey") > F.col("__cur_key"))
+    )
+    return (
+        base.join(F.broadcast(cursor), after_cursor)
+        .select("o_orderkey", "date", "o_orderpriority", "total_price")
+        .orderBy(*order_cols)
+        .limit(50)
+    )

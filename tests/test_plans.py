@@ -36,6 +36,9 @@ BNLJ_OK = {
     "e12_narrative_tags",  # 1-row anchor-date scalar crossJoin
     "e13_feature_series",  # 1-row anchor-date scalar crossJoin
     "t_keyword_topk",   # 1-row docfreq/weight aggregate crossJoin
+    "o8_keyset_pagination",  # 1-row cursor anchor (the seek-method
+                             # after-cursor OR predicate against the
+                             # broadcast page cursor — e4's class)
     "d35_oov_rate",     # 1-row vocab-array crossJoin (same anchor pattern)
     "d36_hard_negatives",  # broadcast probe set w/ <> residual (d3's layout)
     "d42_embed_recall",  # deliberate quadratic exact-audit pair join

@@ -166,3 +166,21 @@ def test_budget_threshold_matches_python(spark):
             )
             if next_lower is not None:
                 assert tokens_kept + dom[next_lower][1] > budget
+
+
+def test_keyset_page_equals_offset_page(spark):
+    """o8 (seek method) must produce o1's third page exactly — same
+    rows, same order — while compiling to a cursor anchor + top-50
+    instead of an OFFSET discard."""
+    from risk_dashboard_database_spark.plans.toporder import (
+        o1_pagination,
+        o8_keyset_pagination,
+    )
+
+    def rows(df):
+        return [tuple(r) for r in df.collect()]
+
+    base = rows(o1_pagination(spark, SF_DIR))
+    seek = rows(o8_keyset_pagination(spark, SF_DIR))
+    assert seek == base
+    assert len(seek) == 50
