@@ -26,17 +26,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # Sampling order for correctness runs: queries whose driver evidence is
 # oldest first, so a bounded per-round sample keeps every registry row's
 # latest green driver evidence at most two rounds old. Rotated each
-# round. Round 11 (VERDICT r10 #1): demand is 65 rows for the 50-cap —
+# round. Round 11 (VERDICT r10 #1): demand is 66 rows for the 50-cap —
 # tier 1 = the 7 rows whose latest driver green is r07 (three rounds,
 # the oldest any row has ever been), the 3 r10 additions that have
 # never had a driver row (t_burstiness / d60 / d61 — each local-gate
 # exact on arrival AND re-proven exact by the r10 judge's own full
-# 156-query oracle run), and the 5 NEW r11 queries (t_novelty /
+# 156-query oracle run), and the 6 NEW r11 queries (t_novelty /
 # d62_quantization_error / m6_modality_mix / d63_budget_threshold /
-# o8_keyset_pagination —
+# o8_keyset_pagination / w12_session_windows —
 # never-sampled rows outrank stale-green ones, the r10 tier-1a
 # precedent; each oracle-exact at sf0.01 and sf0.001 on arrival with
-# python brute-force parity tests); tier 2 = 35 of the 50 r08-green rows now
+# python brute-force parity tests); tier 2 = 34 of the 50 r08-green rows now
 # hitting the 2-round staleness edge. The 14 r08 rows past the cap
 # (tier 3) are those with the strongest compensating evidence, each
 # re-proven exact by the local full gate this round; they lead the r12
@@ -62,7 +62,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #   p5_ilike_match — plans/scalars.py family, in-sample sibling
 #     s_json_array_math; golden-fixture pytest;
 #   u2_key_union_dedup — plans/unions.py shared with in-sample u3;
-#   j11_unmatched_anti — plans/joins.py shared with in-sample j1/j6/j10.
+#   j11_unmatched_anti — plans/joins.py shared with in-sample j1/j6/j10;
+#   e12_narrative_tags — reads the same stored narrative-rows MV as
+#     in-sample e3/e6/e11 (endpoints.py family; anchor-date pattern
+#     driver-proved wholesale in r10 via e14/e15/e7/e8).
 _SAMPLE_FIRST = [
     # tier 1a — latest driver green is r07 (compensating per-round
     # evidence: a1 runs EVERY round as entry() + bench headline;
@@ -78,6 +81,7 @@ _SAMPLE_FIRST = [
     # tier 1c — never driver-sampled (landed r11)
     "t_novelty", "d62_quantization_error", "m6_modality_mix",
     "d63_budget_threshold", "o8_keyset_pagination",
+    "w12_session_windows",
     # tier 2 — latest driver green is r08 (d50's parents d2/d9 early:
     # the r11 MV-seam rework moved d50's round-1 rank behind the
     # store, so re-prove the pair/cluster relations it derives from)
@@ -85,7 +89,7 @@ _SAMPLE_FIRST = [
     "d12_token_stream_pack", "d13_stratified_sample",
     "d18_temperature_mix", "d19_embedding_clusters",
     "d20_decontam_spans", "e10_processed_articles",
-    "e11_industry_durations", "e12_narrative_tags",
+    "e11_industry_durations",
     "e13_feature_series", "e3_storylines", "e6_sector_baseline",
     "j10_scope_semi", "j1_star_join",
     "j6_conditional_join", "j9_asof_freshness", "o2_topk_compound",
@@ -103,6 +107,7 @@ _SAMPLE_FIRST = [
     "o1_pagination", "u1_entity_branches", "j5_branch_union",
     "a13_distinct_dates", "w10_lag_delta", "o3_nulls_last",
     "p5_ilike_match", "u2_key_union_dedup", "j11_unmatched_anti",
+    "e12_narrative_tags",
 ]
 
 

@@ -139,6 +139,7 @@ HEADLINE = [
     "m6_modality_mix",
     "d63_budget_threshold",
     "o8_keyset_pagination",
+    "w12_session_windows",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
@@ -521,11 +522,16 @@ BUDGET_R10 = {
                               # floored at 0.35). The corpus pass
                               # lives in the d43 score MV; the query
                               # touches only (lang, score)-domain rows
-    "o8_keyset_pagination": 0.9,  # provisional off the 0.57 standalone
-                              # probe median (cursor TakeOrdered(100) +
-                              # 1-row anchor scan + TakeOrdered(50));
-                              # in-harness re-pin on the next calm run,
-                              # the d60/d61 rule
+    "o8_keyset_pagination": 0.4,  # 0.32 in-harness median, normalized
+                              # 0.26 (run e, guard 1.234) -> 1.5x =
+                              # 0.39 -> 0.40 (cursor TakeOrdered(100) +
+                              # 1-row anchor scan + TakeOrdered(50);
+                              # the 0.57 standalone probe was the usual
+                              # cold-session overhead — harness governs)
+    "w12_session_windows": 0.65,  # 0.458 in-harness median, normalized
+                              # 0.41 (run f, guard 1.114) -> 1.5x =
+                              # 0.62 -> 0.65 (native session_window
+                              # agg: one user-keyed exchange)
     "a12b_storylines": 1.0,   # recipe contention term: 0.51 calm
                               # median (1.5x -> 0.77) vs contended
                               # median 0.90 (1.1x -> 0.99 -> 1.0,

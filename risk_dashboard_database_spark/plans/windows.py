@@ -283,3 +283,76 @@ def w10_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("errors") - F.col("prior_errors")).cast("long").alias("errors_delta"),
         )
     )
+
+
+# ---------------------------------------------------------------- w12
+# Timestamp session windows — w8's gaps-and-islands at event-time
+# grain, expressed through Spark's NATIVE session_window aggregate
+# (the Structured-Streaming session primitive run in batch mode, so
+# the batch and streaming forms of "a session" are one definition).
+# The oracle derives the identical sessions the classical way: a LAG
+# break flag + running-sum island id — so the driver gate pins
+# Spark's built-in merge semantics (events closer than the gap fuse;
+# window end = last event + gap) against first-principles SQL.
+
+W12_GAP_S = 28_800  # 8 hours; the corpus has no exact-boundary gap
+W12_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+W12_TS_FMT_SQL = "%Y-%m-%d %H:%M:%S.%f"
+
+
+@query(
+    "w12_session_windows",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL {W12_GAP_S} SECOND
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    i AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM o
+    )
+    SELECT user_id,
+           STRFTIME(MIN(ts), '{W12_TS_FMT_SQL}') AS session_start,
+           STRFTIME(MAX(ts) + INTERVAL {W12_GAP_S} SECOND,
+                    '{W12_TS_FMT_SQL}') AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM i GROUP BY user_id, island
+    """,
+)
+def w12_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time sessions per user (gap {8h}): start, end (last event
+    + gap — Spark's session_window convention), event count.
+
+    Spark shape: ONE groupBy(user_id, session_window(ts, gap)) — the
+    native session aggregate plans a single user-keyed exchange with
+    map-side partial merging of adjacent windows; no self-join, no LAG
+    materialization, no island running sum (those live in the ORACLE,
+    proving the built-in's semantics from first principles). Because
+    session_window is the same operator Structured Streaming uses for
+    watermarked session aggs, this query IS the batch twin of a
+    streaming sessionizer — one definition of 'session' across both
+    modes. At 100 TB: the one exchange is keyed on user_id (high
+    cardinality, no skewed mega-key in this domain), and the window
+    merge is per-user local after the shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    sw = F.session_window(F.col("ts"), f"{W12_GAP_S} seconds")
+    return (
+        ev.groupBy(F.col("user_id"), sw.alias("w"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), W12_TS_FMT_SPARK).alias(
+                "session_start"
+            ),
+            F.date_format(F.col("w.end"), W12_TS_FMT_SPARK).alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )

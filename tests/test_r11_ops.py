@@ -184,3 +184,47 @@ def test_keyset_page_equals_offset_page(spark):
     seek = rows(o8_keyset_pagination(spark, SF_DIR))
     assert seek == base
     assert len(seek) == 50
+
+
+def test_session_windows_match_python_islands(spark):
+    """w12 recomputed via plain-Python gaps-and-islands over the raw
+    events: Spark's native session_window merge semantics (fuse under
+    the gap; end = last event + gap) from first principles."""
+    import datetime as dt
+
+    from risk_dashboard_database_spark.plans.windows import (
+        W12_GAP_S,
+        w12_session_windows,
+    )
+
+    per_user: dict[int, list] = {}
+    for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect():
+        per_user.setdefault(r["user_id"], []).append(r["ts"])
+    gap = dt.timedelta(seconds=W12_GAP_S)
+    want = {}
+    for u, tss in per_user.items():
+        tss.sort()
+        start = prev = tss[0]
+        n = 1
+        for ts in tss[1:]:
+            if ts - prev >= gap:
+                want[(u, str(start))] = (str(prev + gap), n)
+                start, n = ts, 0
+            n += 1
+            prev = ts
+        want[(u, str(start))] = (str(prev + gap), n)
+    got = {
+        (
+            r["user_id"],
+            r["session_start"].replace(".000000", "")
+            if r["session_start"].endswith(".000000")
+            else r["session_start"],
+        ): (
+            r["session_end"].replace(".000000", "")
+            if r["session_end"].endswith(".000000")
+            else r["session_end"],
+            r["n_events"],
+        )
+        for r in w12_session_windows(spark, SF_DIR).collect()
+    }
+    assert got == want
