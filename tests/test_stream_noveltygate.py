@@ -104,3 +104,40 @@ def test_stream_novelty_new_document_scores_unseen_grams(spark, tmp_path):
     # grams are in the dictionary with an older first_doc => not novel
     assert 0 < got[1] < n_grams
     assert got[2] == (got[1] * 1_000_000) // n_grams
+
+
+def test_stream_novelty_state_store_stays_empty(spark, tmp_path):
+    """ADVICE r10 regression, pinned behaviorally: the per-document
+    fold removes its state entry after emitting, so a completed replay
+    reports ZERO rows in the state store (with update()-style
+    tombstones it would report one row per document for the stream's
+    life)."""
+    import shutil
+
+    from risk_dashboard_database_spark.streaming.noveltygate import (
+        stream_novelty,
+    )
+
+    docs_dir = tmp_path / "docs_novelty_state"
+    docs_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", docs_dir / "part-0.parquet")
+
+    q = (
+        stream_novelty(spark, str(docs_dir), SF_DIR)
+        .writeStream.format("memory")
+        .queryName("t_stream_novelty_state")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state_rows = [
+        op["numRowsTotal"]
+        for p in q.recentProgress
+        for op in (p.get("stateOperators") or [])
+    ]
+    assert state_rows, "expected a stateful operator in the progress log"
+    assert state_rows[-1] == 0, state_rows
+    # and the emission itself is complete (every document emitted)
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert spark.table("t_stream_novelty_state").count() == n_docs

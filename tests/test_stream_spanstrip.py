@@ -78,3 +78,31 @@ def test_stream_span_strip_single_file_batches(spark, tmp_path):
         output_mode="append",
     )
     assert _rows(streamed) == _rows(d57_span_strip(spark, SF_DIR))
+
+
+def test_stream_span_strip_state_store_stays_empty(spark, tmp_path):
+    """ADVICE r10 regression, pinned behaviorally: the span-strip fold
+    removes its per-document state entry after emitting, so a finished
+    replay reports ZERO state-store rows (update()-style tombstones
+    would report one per document for the stream's life)."""
+    import shutil
+
+    docs_dir = tmp_path / "docs_spanstrip_state"
+    docs_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", docs_dir / "part-0.parquet")
+
+    q = (
+        stream_span_strip(spark, str(docs_dir), SF_DIR)
+        .writeStream.format("memory")
+        .queryName("t_stream_spanstrip_state")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state_rows = [
+        op["numRowsTotal"]
+        for p in q.recentProgress
+        for op in (p.get("stateOperators") or [])
+    ]
+    assert state_rows and state_rows[-1] == 0, state_rows
