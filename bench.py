@@ -140,6 +140,9 @@ HEADLINE = [
     "d63_budget_threshold",
     "o8_keyset_pagination",
     "w12_session_windows",
+    "d64_doremi_mix",
+    "d65_cluster_purity",
+    "d66_nprobe_sweep",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the

@@ -7398,3 +7398,518 @@ def d63_budget_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fill_ppm"),
     )
+
+
+# ---------------------------------------------------------------- d64
+# DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+# Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+# domains the proxy LM finds HARD (low LM score = high excess loss)
+# get their sampling weight multiplied UP each round, then the weight
+# vector renormalizes. The paper's form is per-batch Group DRO; d64 is
+# the corpus-level discretization an offline recipe build runs — T=2
+# unrolled multiplicative-weights rounds (d50's unrolled-iteration
+# discipline) in exact integer ppm over the stored d43 score MV.
+#
+# Per source s (scores are the d43 integer-ppm bigram LM scores):
+#   score_mean_s = sum(doc score) div docs         (integer mean)
+#   excess_s     = max(0, corpus_mean - score_mean_s)
+#   w_0          = natural token share, ppm
+#   w_t_raw      = w_{t-1} * (1e6 + excess_s) div 1e6
+#   w_t          = w_t_raw * 1e6 div sum(w_t_raw)  (renormalize, ppm)
+# The update factor is bounded in [1e6, 2e6] (scores are ppm
+# probabilities), and every step is integer division on non-negative
+# values, where truncation == floor — so Spark and DuckDB agree
+# bit-for-bit, the d49/d50 no-float discipline applied to a mixture
+# optimizer. Docs under 2 tokens have no LM score and sit outside the
+# reweighting universe (d60's 'short' routing).
+
+
+@query(
+    "d64_doremi_mix",
+    oracle=f"""
+    WITH {_D43_SCORED_CTES},
+    ds AS (
+      SELECT s.doc_id, d.source, s.score, s.n_bigrams + 1 AS toks
+      FROM scored s JOIN documents d USING (doc_id)
+    ),
+    src AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS docs,
+             CAST(SUM(toks) AS BIGINT) AS toks,
+             CAST(SUM(score) // COUNT(*) AS BIGINT) AS score_mean
+      FROM ds GROUP BY source
+    ),
+    ex AS (
+      SELECT *,
+             CAST(GREATEST(0,
+               (SELECT SUM(score) // COUNT(*) FROM ds) - score_mean)
+               AS BIGINT) AS excess_ppm,
+             CAST((toks * 1000000) // SUM(toks) OVER () AS BIGINT)
+               AS w0_ppm
+      FROM src
+    ),
+    r1 AS (
+      SELECT *, (w0_ppm * (1000000 + excess_ppm)) // 1000000 AS w1_raw
+      FROM ex
+    ),
+    n1 AS (
+      SELECT *, CAST((w1_raw * 1000000) // SUM(w1_raw) OVER ()
+                     AS BIGINT) AS w1_ppm
+      FROM r1
+    ),
+    r2 AS (
+      SELECT *, (w1_ppm * (1000000 + excess_ppm)) // 1000000 AS w2_raw
+      FROM n1
+    )
+    SELECT source, docs, toks, score_mean, excess_ppm, w0_ppm, w1_ppm,
+           CAST((w2_raw * 1000000) // SUM(w2_raw) OVER () AS BIGINT)
+             AS w2_ppm
+    FROM r2
+    """,
+)
+def d64_doremi_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source DoReMi-style mixture weights: natural token share
+    w0, then two integer multiplicative-weights rounds that upweight
+    sources whose documents score BELOW the corpus mean under the
+    stored d43 bigram LM (high excess loss = hard domain), each round
+    renormalized to ppm.
+
+    Complements the existing mixture planners: d18 reshapes by corpus
+    COUNTS (temperature), d21/d54/d63 budget by SCORE CUTS within a
+    language; d64 is the loss-FEEDBACK reweighting across sources —
+    the third mixture law a recipe build consults.
+
+    Spark shape: the per-doc score relation is the stored
+    `d43_doc_lm_score` MV, joined doc-grain to the narrow (doc_id,
+    source) projection (one co-keyed exchange — the d56 parent-join
+    class); ONE source-grain agg collapses the corpus; everything
+    after runs on dictionary-sized source-domain rows (20 here, a few
+    hundred in production), where the corpus totals ride a 1-row
+    broadcast anchor and the renormalization windows are whole-frame
+    windows over the source domain — the sanctioned tiny-relation
+    class (d60's post-LIMIT precedent). At 100 TB the only corpus-
+    volume work is the MV scan + the doc-grain join."""
+    scored = _d43_doc_scores(spark, sf_dir)
+    docs_src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ds = scored.join(docs_src, "doc_id").select(
+        "source", "score", (F.col("n_bigrams") + 1).alias("toks")
+    )
+    src = ds.groupBy("source").agg(
+        F.count("*").cast("long").alias("docs"),
+        F.sum("toks").cast("long").alias("toks"),
+        F.expr("sum(score) div count(*)").cast("long").alias("score_mean"),
+        F.sum("score").alias("__ssum"),
+    )
+    tot = src.agg(
+        F.expr("sum(__ssum) div sum(docs)").alias("__cmean"),
+        F.sum("toks").alias("__ttot"),
+    )
+    ex = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "docs",
+        "toks",
+        "score_mean",
+        F.greatest(F.lit(0).cast("long"), F.col("__cmean") - F.col("score_mean"))
+        .cast("long")
+        .alias("excess_ppm"),
+        F.expr("(toks * 1000000) div __ttot").cast("long").alias("w0_ppm"),
+    )
+    wall = Window.partitionBy()
+    r1 = ex.withColumn(
+        "w1_raw", F.expr("(w0_ppm * (1000000 + excess_ppm)) div 1000000")
+    ).withColumn("__s1", F.sum("w1_raw").over(wall))
+    n1 = r1.withColumn(
+        "w1_ppm", F.expr("(w1_raw * 1000000) div __s1").cast("long")
+    )
+    r2 = n1.withColumn(
+        "w2_raw", F.expr("(w1_ppm * (1000000 + excess_ppm)) div 1000000")
+    ).withColumn("__s2", F.sum("w2_raw").over(wall))
+    return r2.select(
+        "source",
+        "docs",
+        "toks",
+        "score_mean",
+        "excess_ppm",
+        "w0_ppm",
+        "w1_ppm",
+        F.expr("(w2_raw * 1000000) div __s2").cast("long").alias("w2_ppm"),
+    )
+
+
+# ---------------------------------------------------------------- d65
+# Cluster-purity audit against EXTERNAL labels: d49 trains the
+# codebook, d61/d62 audit it geometrically (outliers, distortion);
+# d65 is the third QA leg — does the learned cell structure agree
+# with the ground-truth `label` column that rides the embeddings
+# table? Per trained cell: member count, distinct labels, the
+# majority label (argmax count, smaller label wins ties — a11's
+# convention), and purity in ppm (majority share). The standard
+# external clustering-quality census (purity is NMI's cheap exact
+# cousin) every embedding-space curation recipe checks before
+# trusting cell-local dedup decisions (d44's SemDeDup prunes WITHIN
+# cells — low-purity cells mean it would prune across true classes).
+
+
+@query(
+    "d65_cluster_purity",
+    oracle=f"""
+    WITH {_TRAINED_PREAMBLE_SQL},
+    cl AS (
+      SELECT cell, label, COUNT(*) AS c FROM assigned GROUP BY cell, label
+    ),
+    top AS (
+      SELECT cell, label AS top_label, c AS top_n FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
+                                     ORDER BY c DESC, label) AS rn
+        FROM cl) WHERE rn = 1
+    ),
+    per AS (
+      SELECT cell, CAST(SUM(c) AS BIGINT) AS members,
+             CAST(COUNT(*) AS BIGINT) AS n_labels
+      FROM cl GROUP BY cell
+    )
+    SELECT p.cell, p.members, p.n_labels,
+           CAST(t.top_label AS BIGINT) AS top_label,
+           CAST(t.top_n AS BIGINT) AS top_n,
+           CAST((t.top_n * 1000000) // p.members AS BIGINT) AS purity_ppm
+    FROM per p JOIN top t USING (cell)
+    """,
+)
+def d65_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-trained-cell label purity: members, distinct labels, the
+    majority label and its count, purity in ppm.
+
+    Spark shape: ONE scan of the stored `ivf_trained_assigned` index
+    MV -> (cell, label) agg (map-side combined; at most k x |labels|
+    rows survive the exchange) -> k-row cell agg where the majority
+    label is a single max_by over (count, -label) — no window, no
+    join-back, no second scan. The oracle re-derives the same census
+    through the full Lloyd unroll, so the driver gate re-proves the
+    stored index against retraining from scratch (the d25/d61/d62
+    contract). At 100x vectors the only growing stage is the map-side
+    first agg — d61's 0.92x class."""
+    assigned = _trained_assigned(spark, sf_dir)
+    cl = assigned.groupBy("cell", "label").agg(F.count("*").alias("c"))
+    return (
+        cl.groupBy("cell")
+        .agg(
+            F.sum("c").cast("long").alias("members"),
+            F.count("*").cast("long").alias("n_labels"),
+            F.max_by(
+                F.col("label"), F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+            )
+            .cast("long")
+            .alias("top_label"),
+            F.max("c").cast("long").alias("top_n"),
+        )
+        .select(
+            "cell",
+            "members",
+            "n_labels",
+            "top_label",
+            "top_n",
+            F.expr("(top_n * 1000000) div members").cast("long").alias("purity_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- d66
+# nprobe sweep — the IVF tuning curve: recall@3 of exact in-cell
+# search when each probe visits its nprobe NEAREST cells (by centroid
+# cosine), for nprobe in {1, 2, 4}, against the global exact top-3
+# ground truth. d25/d25b measure ONE operating point (nprobe=1, the
+# PQ approximation); d66 is the table an operator actually reads to
+# pick nprobe for a latency budget — the recall-vs-fanout law of the
+# trained index. Ground-truth leg is the d42 exact-audit class:
+# probes x corpus, bounded by the family's fixed IVF_PROBES count.
+
+D66_NPROBES = (1, 2, 4)
+
+
+def _fold_dot_py(a, b) -> float:
+    """Sequential left-fold dot product — the same IEEE float64 op
+    order as `_dot_spark` / the oracle's list_reduce, so driver-side
+    norms are bit-identical to the engine-side ones."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+@query(
+    "d66_nprobe_sweep",
+    oracle=f"""
+    WITH {_TRAINED_PREAMBLE_SQL},
+    cr AS (
+      SELECT query_id, cid, crank FROM (
+        SELECT q.vec_id AS query_id, m.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_DOT_SQL.format(a='q.v', b='m.ce')}
+                          / (sqrt({_DOT_SQL.format(a='q.v', b='q.v')})
+                             * sqrt({_DOT_SQL.format(a='m.ce', b='m.ce')}))
+                          DESC, m.cid) AS crank
+        FROM q, cm m)
+    ),
+    np AS (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS nprobe),
+    sc AS (
+      SELECT n.nprobe, c.query_id, a.vec_id AS candidate_id,
+             {_DOT_SQL.format(a='q.v', b='a.v')}
+               / (sqrt({_DOT_SQL.format(a='q.v', b='q.v')})
+                  * sqrt({_DOT_SQL.format(a='a.v', b='a.v')})) AS cosine
+      FROM np n
+      JOIN cr c ON c.crank <= n.nprobe
+      JOIN q ON q.vec_id = c.query_id
+      JOIN assigned a ON a.cell = c.cid AND a.vec_id <> c.query_id
+    ),
+    swept AS (
+      SELECT nprobe, query_id, candidate_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+                                     ORDER BY cosine DESC, candidate_id) AS rn
+        FROM sc) WHERE rn <= 3
+    ),
+    gts AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS candidate_id,
+             {_DOT_SQL.format(a='q.v', b='a.v')}
+               / (sqrt({_DOT_SQL.format(a='q.v', b='q.v')})
+                  * sqrt({_DOT_SQL.format(a='a.v', b='a.v')})) AS cosine
+      FROM q JOIN assigned a ON a.vec_id <> q.vec_id
+    ),
+    gtt AS (
+      SELECT query_id, candidate_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, candidate_id) AS rn
+        FROM gts) WHERE rn <= 3
+    ),
+    perq AS (
+      SELECT s.nprobe, s.query_id,
+             COUNT(*) AS k_ret, COUNT(g.candidate_id) AS hits
+      FROM swept s
+      LEFT JOIN gtt g ON g.query_id = s.query_id
+                     AND g.candidate_id = s.candidate_id
+      GROUP BY 1, 2
+    )
+    SELECT nprobe,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(k_ret) AS BIGINT) AS k_returned,
+           CAST(SUM(hits) AS BIGINT) AS hits,
+           CAST((SELECT COUNT(*) FROM gtt) AS BIGINT) AS true_k,
+           CAST((SUM(hits) * 1000000)
+                // (SELECT COUNT(*) FROM gtt) AS BIGINT) AS recall_ppm
+    FROM perq GROUP BY nprobe
+    """,
+)
+def d66_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 vs nprobe over the stored trained IVF index: for each
+    nprobe in {1,2,4}, every bounded probe searches its nprobe
+    centroid-nearest cells exactly and the top-3 is scored against
+    the global exact top-3 ground truth.
+
+    Spark shape — ONE Arrow-kernel pass over the index MV computes
+    BOTH legs (d3's brute-force discipline: the probes x corpus pair
+    relation is never materialized or shuffled; each Arrow batch
+    emits at most (4 + maxnp x 3) rows per probe):
+      1. the cell ranking is a probes x broadcast k-row codebook
+         window (IVF_PROBES x k rows), collected as the bounded
+         routing table (<= probes x maxnp rows, the sanctioned
+         fixed-size collect class) and broadcast into the kernel;
+      2. the kernel scores each batch against all probes with the
+         dimension-at-a-time float64 FMA sweep — bit-identical to the
+         oracle's list_reduce left fold (the d3 kernel contract) —
+         and keeps shard-local top-4 global candidates (cell = -1
+         sentinel) plus shard-local top-3 within each PROBED cell;
+      3. tiny windows merge shard-local tops into the global exact
+         top-3 truth and the per-(query, cell) top-3; the nprobe
+         sweep is a 3-row explode whose top-3-of-union merge runs on
+         <= maxnp x 3 rows per query. The 3-row result carries the
+         truth count via a 1-row anchor.
+    First formulation (declarative fold joins + full windows) was
+    measured 5.6x at 100x vectors / 2.8 s at sf0.1 and REJECTED; the
+    kernel form is d3's measured ~1.7x class (BENCH_NOTES r11).
+    All counts integer; recall_ppm is integer div."""
+    import numpy as np
+    import pandas as pd
+
+    maxnp = max(D66_NPROBES)
+    cm = _trained_centroids(spark, sf_dir)
+    assigned = _trained_assigned(spark, sf_dir)
+    probes = _ivf_probe_set(assigned).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("vnorm").alias("qnorm"),
+    )
+    # bounded collects: IVF_PROBES probe rows + the k-row codebook at
+    # ANY corpus size (the probe bound lives in the plan as a LIMIT;
+    # the codebook is the fixed-k trained MV). The cell ranking runs
+    # driver-side on the probes x k frame with the SAME dimension-at-
+    # a-time float64 fold as the kernel below, so it is bit-identical
+    # to the oracle's list_reduce cosine ordering — one Spark job
+    # fewer than a window formulation over the same 40 x k rows.
+    qpd = probes.toPandas()
+    cmr = cm.collect()
+    qids = qpd["query_id"].to_numpy().astype(np.int64)
+    Q = (
+        np.stack(qpd["qv"].to_numpy()).astype(np.float64)
+        if len(qpd)
+        else np.zeros((0, 0))
+    )
+    qn = qpd["qnorm"].to_numpy()
+    cm_ids = np.array([int(r["cid"]) for r in cmr], dtype=np.int64)
+    CE = (
+        np.stack([np.array(r["ce"], dtype=np.float64) for r in cmr])
+        if cmr
+        else np.zeros((0, 0))
+    )
+    route = {}
+    if len(qids) and len(cm_ids):
+        cen = np.sqrt(
+            np.array(
+                [_fold_dot_py(CE[j], CE[j]) for j in range(len(cm_ids))]
+            )
+        )
+        acc0 = np.zeros((len(qids), len(cm_ids)))
+        tmp0 = np.empty_like(acc0)
+        for i in range(Q.shape[1]):
+            np.multiply(Q[:, i][:, None], CE[:, i][None, :], out=tmp0)
+            np.add(acc0, tmp0, out=acc0)
+        ccos = acc0 / (qn[:, None] * cen[None, :])
+        corder = np.argsort(cm_ids, kind="stable")
+        for qi in range(len(qids)):
+            row = ccos[qi, corder]
+            top = np.argsort(-row, kind="stable")[:maxnp]
+            route[int(qids[qi])] = [
+                (rank + 1, int(cm_ids[corder[t]])) for rank, t in enumerate(top)
+            ]
+    bq = spark.sparkContext.broadcast((qids, Q, qn, route))
+    K = 3
+
+    def score(batches):
+        qids, Q, qn, route = bq.value
+        nq = len(qids)
+        for pdf in batches:
+            if len(pdf) == 0 or nq == 0:
+                continue
+            order = np.argsort(pdf["candidate_id"].to_numpy(), kind="stable")
+            cids = pdf["candidate_id"].to_numpy()[order].astype(np.int64)
+            C = np.stack(pdf["cv"].to_numpy()[order]).astype(np.float64)
+            cn = pdf["cnorm"].to_numpy()[order]
+            cells = pdf["cell"].to_numpy()[order].astype(np.int64)
+            # dimension-at-a-time FMA sweep (d3's bit-exactness
+            # contract: same IEEE op order as the left fold)
+            acc = np.zeros((nq, len(cids)))
+            tmp = np.empty_like(acc)
+            for i in range(Q.shape[1]):
+                np.multiply(Q[:, i][:, None], C[:, i][None, :], out=tmp)
+                np.add(acc, tmp, out=acc)
+            cos = acc / (qn[:, None] * cn[None, :])
+            cos[cids[None, :] == qids[:, None]] = -np.inf
+            out_q, out_cell, out_rk, out_cand, out_cos = [], [], [], [], []
+
+            def emit(qi, mask_cols, cell_val, crank_val, k):
+                row = cos[qi, mask_cols]
+                kk = min(k, len(mask_cols))
+                top = np.argsort(-row, kind="stable")[:kk]
+                for t in top:
+                    c = row[t]
+                    if not np.isfinite(c):
+                        continue
+                    out_q.append(qids[qi])
+                    out_cell.append(cell_val)
+                    out_rk.append(crank_val)
+                    out_cand.append(cids[mask_cols[t]])
+                    out_cos.append(c)
+
+            all_cols = np.arange(len(cids))
+            for qi in range(nq):
+                # global leg: top-(K+1) so a sunk self can't displace
+                emit(qi, all_cols, -1, 0, K + 1)
+                for crank, cid in route.get(int(qids[qi]), ()):
+                    emit(qi, all_cols[cells == cid], cid, crank, K + 1)
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.array(out_q, dtype=np.int64),
+                        "cell": np.array(out_cell, dtype=np.int64),
+                        "crank": np.array(out_rk, dtype=np.int32),
+                        "candidate_id": np.array(out_cand, dtype=np.int64),
+                        "cosine": np.array(out_cos, dtype=np.float64),
+                    }
+                )
+
+    local = assigned.select(
+        F.col("vec_id").alias("candidate_id"),
+        F.col("cell"),
+        F.col("v").alias("cv"),
+        F.col("vnorm").alias("cnorm"),
+    ).mapInPandas(
+        score,
+        schema=(
+            "query_id bigint, cell bigint, crank int, "
+            "candidate_id bigint, cosine double"
+        ),
+    )
+    wg = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("candidate_id")
+    )
+    gtt = (
+        local.where(F.col("cell") == -1)
+        .withColumn("rn", F.row_number().over(wg))
+        .where(F.col("rn") <= 3)
+        .select(
+            F.col("query_id").alias("true_qid"),
+            F.col("candidate_id").alias("true_id"),
+        )
+    )
+    wc = Window.partitionBy("query_id", "cell").orderBy(
+        F.col("cosine").desc(), F.col("candidate_id")
+    )
+    percell = (
+        local.where(F.col("cell") >= 0)
+        .withColumn("rn", F.row_number().over(wc))
+        .where(F.col("rn") <= 3)
+        .select("query_id", "crank", "candidate_id", "cosine")
+    )
+    nps = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(p).cast("long") for p in D66_NPROBES])
+        ).alias("nprobe")
+    )
+    ws = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("candidate_id")
+    )
+    swept = (
+        nps.join(percell, F.col("crank") <= F.col("nprobe"))
+        .withColumn("rn", F.row_number().over(ws))
+        .where(F.col("rn") <= 3)
+        .select("nprobe", "query_id", "candidate_id")
+    )
+    perq = (
+        swept.join(
+            F.broadcast(gtt),
+            (F.col("query_id") == F.col("true_qid"))
+            & (F.col("candidate_id") == F.col("true_id")),
+            "left",
+        )
+        .groupBy("nprobe", "query_id")
+        .agg(
+            F.count("*").alias("k_ret"),
+            F.count("true_id").alias("hits"),
+        )
+    )
+    tk = gtt.agg(F.count("*").cast("long").alias("true_k"))
+    return (
+        perq.groupBy("nprobe")
+        .agg(
+            F.count("*").cast("long").alias("n_queries"),
+            F.sum("k_ret").cast("long").alias("k_returned"),
+            F.sum("hits").cast("long").alias("hits"),
+        )
+        .crossJoin(F.broadcast(tk))
+        .select(
+            "nprobe",
+            "n_queries",
+            "k_returned",
+            "hits",
+            "true_k",
+            F.expr("(hits * 1000000) div true_k").cast("long").alias("recall_ppm"),
+        )
+    )

@@ -53,6 +53,11 @@ BNLJ_OK = {
                             # training lives in the d49_codebook MV)
     "t_tfidf",          # 1-row corpus-count scalar crossJoin (the
                         # t_keyword_topk anchor pattern)
+    "d64_doremi_mix",   # 1-row corpus-mean/total-tokens anchor
+                        # crossJoin (t_tfidf's pattern)
+    "d66_nprobe_sweep",  # the 3-row nprobe routing non-equi join over
+                         # the kernel's bounded per-cell tops, and a
+                         # 1-row true_k anchor crossJoin
 }
 
 # Intentional statically-planned SortMergeJoins: both sides large at
@@ -118,6 +123,21 @@ EXCH_BUDGET = {
                                     # target LM broadcasts, the
                                     # selection is TakeOrdered (never
                                     # a global sort)
+    "d64_doremi_mix": 4,            # doc-grain MV+source join + source
+                                    # agg move the corpus; the 1-row
+                                    # anchor agg and the two whole-frame
+                                    # renormalization windows shuffle
+                                    # only source-domain rows (20 here,
+                                    # hundreds at most in production)
+    "d66_nprobe_sweep": 6,          # every exchange moves kernel-bounded
+                                    # rows (<= (4 + maxnp*3) x probes per
+                                    # Arrow batch): ground-truth top-3
+                                    # window, per-(query,cell) top-3
+                                    # window, swept top-3-of-union
+                                    # window, per-(nprobe,query) agg,
+                                    # 3-row final agg, 1-row anchor —
+                                    # the corpus never shuffles (d3's
+                                    # shard-local-top-k discipline)
     "d39_split_gram_overlap": 4,    # gram-flag agg (map-side min/max),
                                     # per-(split,doc) hit agg, 2-row
                                     # split rollup, 2-row totals agg —

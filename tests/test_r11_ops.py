@@ -228,3 +228,170 @@ def test_session_windows_match_python_islands(spark):
         for r in w12_session_windows(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_doremi_mix_matches_python(spark):
+    """d64 recomputed in plain Python off the same stored score MV +
+    (doc_id, source) projection: integer means, excess, two
+    multiplicative-weights rounds with renormalization."""
+    from risk_dashboard_database_spark.plans.dedup import (
+        _d43_doc_scores,
+        d64_doremi_mix,
+    )
+
+    src_of = {
+        r["doc_id"]: r["source"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    per: dict[str, list[int]] = {}  # source -> [docs, toks, score_sum]
+    csum = cdocs = 0
+    for r in _d43_doc_scores(spark, SF_DIR).collect():
+        s = per.setdefault(src_of[r["doc_id"]], [0, 0, 0])
+        s[0] += 1
+        s[1] += r["n_bigrams"] + 1
+        s[2] += r["score"]
+        csum += r["score"]
+        cdocs += 1
+    cmean = csum // cdocs
+    ttot = sum(v[1] for v in per.values())
+    exp = {}
+    for src, (docs, toks, ssum) in per.items():
+        mean = ssum // docs
+        excess = max(0, cmean - mean)
+        w0 = (toks * 1_000_000) // ttot
+        exp[src] = [docs, toks, mean, excess, w0]
+    s1 = sum((v[4] * (1_000_000 + v[3])) // 1_000_000 for v in exp.values())
+    for v in exp.values():
+        v.append(((v[4] * (1_000_000 + v[3])) // 1_000_000) * 1_000_000 // s1)
+    s2 = sum((v[5] * (1_000_000 + v[3])) // 1_000_000 for v in exp.values())
+    for v in exp.values():
+        v.append(((v[5] * (1_000_000 + v[3])) // 1_000_000) * 1_000_000 // s2)
+
+    rows = {r["source"]: r for r in d64_doremi_mix(spark, SF_DIR).collect()}
+    assert set(rows) == set(exp)
+    for src, (docs, toks, mean, excess, w0, w1, w2) in exp.items():
+        r = rows[src]
+        assert (r["docs"], r["toks"], r["score_mean"]) == (docs, toks, mean)
+        assert r["excess_ppm"] == excess
+        assert (r["w0_ppm"], r["w1_ppm"], r["w2_ppm"]) == (w0, w1, w2)
+    # weights renormalize: each round's ppm column sums to 1e6 minus
+    # at most one truncated unit per source
+    n = len(exp)
+    for col in ("w0_ppm", "w1_ppm", "w2_ppm"):
+        tot = sum(r[col] for r in rows.values())
+        assert 1_000_000 - n < tot <= 1_000_000
+    # the hardest source (max excess) never loses share to the update
+    hardest = max(exp, key=lambda s: (exp[s][3], s))
+    if exp[hardest][3] > 0:
+        assert rows[hardest]["w2_ppm"] >= rows[hardest]["w0_ppm"] - 1
+
+
+def test_cluster_purity_matches_python(spark):
+    """d65 recomputed from the stored trained index in Python:
+    per-cell label census, majority argmax with smaller-label
+    tie-break, floored-ppm purity."""
+    from collections import Counter
+
+    from risk_dashboard_database_spark.plans.dedup import (
+        _trained_assigned,
+        d65_cluster_purity,
+    )
+
+    cells: dict[int, Counter] = {}
+    for r in _trained_assigned(spark, SF_DIR).select("cell", "label").collect():
+        cells.setdefault(r["cell"], Counter())[r["label"]] += 1
+    rows = {r["cell"]: r for r in d65_cluster_purity(spark, SF_DIR).collect()}
+    assert set(rows) == set(cells)
+    total = 0
+    agree = 0
+    for cell, cnt in cells.items():
+        members = sum(cnt.values())
+        top_n = max(cnt.values())
+        top_label = min(l for l, c in cnt.items() if c == top_n)
+        r = rows[cell]
+        assert r["members"] == members
+        assert r["n_labels"] == len(cnt)
+        assert r["top_label"] == top_label
+        assert r["top_n"] == top_n
+        assert r["purity_ppm"] == (top_n * 1_000_000) // members
+        total += members
+        agree += top_n
+    # every vector is assigned to exactly one cell
+    n_vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert total == n_vecs
+    # purity is a share: bounded by construction
+    for r in rows.values():
+        assert 0 < r["purity_ppm"] <= 1_000_000
+
+
+def test_nprobe_sweep_matches_python_bruteforce(spark):
+    """d66 recomputed in Python from the stored trained index +
+    codebook: cell ranking by centroid cosine, exact in-cell search
+    over the nprobe nearest cells, global exact top-3 truth."""
+    import math
+
+    from risk_dashboard_database_spark.plans.dedup import (
+        D66_NPROBES,
+        IVF_PROBES,
+        _trained_assigned,
+        _trained_centroids,
+        d66_nprobe_sweep,
+    )
+
+    cm = {r["cid"]: r["ce"] for r in _trained_centroids(spark, SF_DIR).collect()}
+    vec = {}
+    cell_of = {}
+    for r in _trained_assigned(spark, SF_DIR).select("vec_id", "v", "cell").collect():
+        vec[r["vec_id"]] = r["v"]
+        cell_of[r["vec_id"]] = r["cell"]
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    def cos(a, b):
+        return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+    import hashlib
+
+    probe_ids = sorted(
+        vec, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
+    )[:IVF_PROBES]
+
+    truth = {}
+    for q in probe_ids:
+        scored = sorted(
+            ((-cos(vec[q], vec[c]), c) for c in vec if c != q)
+        )[:3]
+        truth[q] = {c for _, c in scored}
+    true_k = sum(len(t) for t in truth.values())
+
+    exp = {}
+    for np_ in D66_NPROBES:
+        n_queries = k_returned = hits = 0
+        for q in probe_ids:
+            ranked = sorted(cm, key=lambda cid: (-cos(vec[q], cm[cid]), cid))
+            cells = set(ranked[:np_])
+            cands = [c for c in vec if c != q and cell_of[c] in cells]
+            if not cands:
+                continue
+            top = sorted(((-cos(vec[q], vec[c]), c) for c in cands))[:3]
+            n_queries += 1
+            k_returned += len(top)
+            hits += sum(1 for _, c in top if c in truth[q])
+        exp[np_] = (n_queries, k_returned, hits,
+                    (hits * 1_000_000) // true_k)
+
+    rows = {r["nprobe"]: r for r in d66_nprobe_sweep(spark, SF_DIR).collect()}
+    assert set(rows) == set(D66_NPROBES)
+    prev_hits = -1
+    for np_ in D66_NPROBES:
+        r = rows[np_]
+        assert (r["n_queries"], r["k_returned"], r["hits"]) == exp[np_][:3]
+        assert r["true_k"] == true_k
+        assert r["recall_ppm"] == exp[np_][3]
+        # more cells probed can never lose recall
+        assert r["hits"] >= prev_hits
+        prev_hits = r["hits"]
