@@ -82,7 +82,7 @@ _SAMPLE_FIRST = [
     "t_novelty", "d62_quantization_error", "m6_modality_mix",
     "d63_budget_threshold", "o8_keyset_pagination",
     "w12_session_windows", "d64_doremi_mix", "d65_cluster_purity",
-    "d66_nprobe_sweep",
+    "d66_nprobe_sweep", "w13_surge_shipments",
     # tier 2 — latest driver green is r08 (d50's parents d2/d9 early:
     # the r11 MV-seam rework moved d50's round-1 rank behind the
     # store, so re-prove the pair/cluster relations it derives from)

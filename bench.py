@@ -143,6 +143,7 @@ HEADLINE = [
     "d64_doremi_mix",
     "d65_cluster_purity",
     "d66_nprobe_sweep",
+    "w13_surge_shipments",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the

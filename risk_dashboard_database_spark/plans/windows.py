@@ -356,3 +356,134 @@ def w12_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------- w13
+# Range join at scale: attribute a big fact table to derived date
+# INTERVALS without a non-equi nested-loop over the corpus. The
+# intervals are order-surge windows (runs of days whose order count
+# is >= 1.2x the daily mean — integer-exact threshold, no float
+# ratio); the points are lineitem shipments. The scalable shape is:
+# pre-aggregate the fact to day grain FIRST (map-side combinable,
+# one date-keyed exchange), explode each window into its member days
+# (bounded by the calendar domain), and equi-join day-to-day — the
+# interval-bucketing range-join pattern. The naive formulation
+# (lineitem x windows ON l_shipdate BETWEEN start AND end) is the
+# oracle's job, not the engine's: at 100 TB it is a broadcast
+# nested-loop over every lineitem row.
+
+
+@query(
+    "w13_surge_shipments",
+    oracle="""
+    WITH dayo AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n_days, SUM(n) AS total_orders FROM dayo
+    ),
+    hot AS (
+      SELECT d, n FROM dayo, tot
+      WHERE n * n_days * 10 >= total_orders * 12
+    ),
+    tagged AS (
+      SELECT d, n,
+             d - CAST(ROW_NUMBER() OVER (ORDER BY d) AS INTEGER) AS anchor
+      FROM hot
+    ),
+    win AS (
+      SELECT MIN(d) AS ws, MAX(d) AS we,
+             CAST(COUNT(*) AS BIGINT) AS win_days,
+             CAST(SUM(n) AS BIGINT) AS win_orders
+      FROM tagged GROUP BY anchor
+    ),
+    shipd AS (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             COUNT(*) AS n_items,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      FROM lineitem GROUP BY 1
+    )
+    SELECT STRFTIME(ws, '%Y-%m-%d') AS win_start,
+           STRFTIME(we, '%Y-%m-%d') AS win_end,
+           win_days, win_orders,
+           CAST(COALESCE(SUM(s.n_items), 0) AS BIGINT) AS ship_items,
+           CAST(COALESCE(SUM(s.qty), 0) AS DOUBLE) AS ship_qty,
+           CAST(COALESCE(SUM(s.rev), 0) AS DOUBLE) AS ship_revenue
+    FROM win LEFT JOIN shipd s ON s.d BETWEEN win.ws AND win.we
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def w13_surge_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-surge windows (islands of >= 1.2x-mean order days) with
+    the shipment volume they contain — a cross-relational date-range
+    join (orders define the intervals, lineitem provides the points).
+
+    Spark shape: one day-grain orders agg -> 1-row totals anchor ->
+    integer-exact hot filter -> islands over the day-domain rows (the
+    single-partition window is the sanctioned dictionary class: there
+    are at most a few thousand distinct days at ANY corpus size) ->
+    windows exploded into member days (broadcast — bounded by the
+    calendar) LEFT-joined to the day-grain lineitem pre-agg, so the
+    fact table is touched exactly once, shuffles once on its day key,
+    and never meets a non-equi condition. Money/quantity sums go
+    through DECIMAL(18,2) then cast to double (order-independent)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dayo = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(F.count("*").alias("n"))
+    tot = dayo.agg(
+        F.count("*").alias("n_days"),
+        F.sum("n").alias("total_orders"),
+    )
+    hot = (
+        dayo.crossJoin(F.broadcast(tot))
+        .where(F.expr("n * n_days * 10 >= total_orders * 12"))
+        .select("d", "n")
+    )
+    tagged = hot.withColumn(
+        "anchor", F.expr("date_sub(d, row_number() over (order by d))")
+    )
+    win = tagged.groupBy("anchor").agg(
+        F.min("d").alias("ws"),
+        F.max("d").alias("we"),
+        F.count("*").cast("long").alias("win_days"),
+        F.sum("n").cast("long").alias("win_orders"),
+    )
+    days = win.select(
+        "ws",
+        "we",
+        "win_days",
+        "win_orders",
+        F.explode(F.sequence("ws", "we")).alias("d"),
+    )
+    shipd = li.groupBy(F.col("l_shipdate").cast("date").alias("d")).agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev"),
+    )
+    return (
+        F.broadcast(days)
+        .join(shipd, "d", "left")
+        .groupBy("ws", "we", "win_days", "win_orders")
+        .agg(
+            F.coalesce(F.sum("n_items"), F.lit(0)).cast("long").alias("ship_items"),
+            F.coalesce(F.sum("qty"), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("ship_qty"),
+            F.coalesce(F.sum("rev"), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("ship_revenue"),
+        )
+        .select(
+            F.date_format("ws", DATE_FMT).alias("win_start"),
+            F.date_format("we", DATE_FMT).alias("win_end"),
+            "win_days",
+            "win_orders",
+            "ship_items",
+            "ship_qty",
+            "ship_revenue",
+        )
+    )

@@ -58,6 +58,9 @@ BNLJ_OK = {
     "d66_nprobe_sweep",  # the 3-row nprobe routing non-equi join over
                          # the kernel's bounded per-cell tops, and a
                          # 1-row true_k anchor crossJoin
+    "w13_surge_shipments",  # 1-row day-count/total-orders anchor
+                            # crossJoin for the integer surge
+                            # threshold (t_tfidf's pattern)
 }
 
 # Intentional statically-planned SortMergeJoins: both sides large at
@@ -138,6 +141,13 @@ EXCH_BUDGET = {
                                     # 3-row final agg, 1-row anchor —
                                     # the corpus never shuffles (d3's
                                     # shard-local-top-k discipline)
+    "w13_surge_shipments": 5,       # two day-grain pre-aggs (orders,
+                                    # lineitem — the only corpus-keyed
+                                    # exchanges, both map-side
+                                    # combined), the 1-row anchor agg,
+                                    # the day-domain islands window,
+                                    # and the per-window final agg on
+                                    # calendar-bounded rows
     "d39_split_gram_overlap": 4,    # gram-flag agg (map-side min/max),
                                     # per-(split,doc) hit agg, 2-row
                                     # split rollup, 2-row totals agg —

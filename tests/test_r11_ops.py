@@ -395,3 +395,76 @@ def test_nprobe_sweep_matches_python_bruteforce(spark):
         # more cells probed can never lose recall
         assert r["hits"] >= prev_hits
         prev_hits = r["hits"]
+
+
+def test_surge_shipments_matches_python(spark):
+    """w13 recomputed in plain Python: day-grain order counts,
+    integer 1.2x-mean surge threshold, maximal islands, BETWEEN
+    attribution of day-grain lineitem sums."""
+    from collections import Counter
+    from datetime import timedelta
+    from decimal import Decimal
+
+    from risk_dashboard_database_spark.plans.windows import (
+        w13_surge_shipments,
+    )
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    dayo = Counter()
+    for r in orders:
+        dayo[r["o_orderdate"].date()] += 1
+    n_days = len(dayo)
+    total = sum(dayo.values())
+    hot = sorted(d for d, n in dayo.items() if n * n_days * 10 >= total * 12)
+    wins = []
+    for d in hot:
+        if wins and wins[-1][1] + timedelta(days=1) == d:
+            wins[-1][1] = d
+        else:
+            wins.append([d, d])
+    ship = {}
+    for r in li:
+        d = r["l_shipdate"].date()
+        cur = ship.setdefault(d, [0, Decimal(0), Decimal(0)])
+        cur[0] += 1
+        cur[1] += Decimal(str(r["l_quantity"])).quantize(Decimal("0.01"))
+        cur[2] += Decimal(str(r["l_extendedprice"])).quantize(Decimal("0.01"))
+    exp = {}
+    for ws, we in wins:
+        items, qty, rev = 0, Decimal(0), Decimal(0)
+        d = ws
+        while d <= we:
+            if d in ship:
+                items += ship[d][0]
+                qty += ship[d][1]
+                rev += ship[d][2]
+            d += timedelta(days=1)
+        exp[(str(ws), str(we))] = (
+            (we - ws).days + 1,
+            sum(dayo[x] for x in hot if ws <= x <= we),
+            items,
+            float(qty),
+            float(rev),
+        )
+
+    rows = {
+        (r["win_start"], r["win_end"]): (
+            r["win_days"],
+            r["win_orders"],
+            r["ship_items"],
+            r["ship_qty"],
+            r["ship_revenue"],
+        )
+        for r in w13_surge_shipments(spark, SF_DIR).collect()
+    }
+    assert rows == exp
+    # windows are maximal islands of hot days
+    hotset = set(hot)
+    for ws, we in wins:
+        d = ws
+        while d <= we:
+            assert d in hotset
+            d += timedelta(days=1)
+        assert ws - timedelta(days=1) not in hotset
+        assert we + timedelta(days=1) not in hotset
