@@ -144,6 +144,9 @@ HEADLINE = [
     "d65_cluster_purity",
     "d66_nprobe_sweep",
     "w13_surge_shipments",
+    "m7_shard_pack",
+    "t_k_anonymity",
+    "d67_filter_agreement",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
@@ -540,6 +543,21 @@ BUDGET_R10 = {
                               # median (1.5x -> 0.77) vs contended
                               # median 0.90 (1.1x -> 0.99 -> 1.0,
                               # BENCH_NOTES r10 run c) — max governs
+    # r11 late additions, uniform recipe off the calm in-harness run
+    # (guard 1.137: medians 0.32 / 0.285 / 0.88 / 0.478 -> normalized
+    # 0.281 / 0.251 / 0.774 / 0.420; over_budget EMPTY that run):
+    "d64_doremi_mix": 0.45,   # MV + doc-grain source join; the
+                              # reweighting itself is source-domain
+    "d65_cluster_purity": 0.4,    # one index-MV scan + cell agg
+    "d66_nprobe_sweep": 1.2,  # Audit class: exact recall measurement
+                              # at three operating points — the d25
+                              # family's measure-the-index cost; both
+                              # scoring legs through the d3 kernel
+    "w13_surge_shipments": 0.65,  # two day-grain pre-agg scans
+    "m7_shard_pack": 0.35,    # recipe floor: 0.155 in-harness median
+                              # (guard 1.219 -> normalized 0.127)
+    "t_k_anonymity": 0.35,    # recipe floor: 0.171 in-harness median
+                              # (normalized 0.140; metadata-scan class)
     "e5_evidence": 1.1,       # recipe contention term: 0.58-0.66 calm
                               # medians (1.5x -> 0.99) vs contended
                               # gating low2 0.99 (1.1x -> 1.09 -> 1.1,
@@ -592,6 +610,9 @@ PINS_ABOVE_WORKING_BUDGET = {
     "d31_split_leakage": "d2 pair MVs + 2 assignment joins",
     "d44_semantic_prune": "cell-local pairwise on stored IVF assignment",
     "d48_retention_curve": "one combinable agg over the d2 pair relation",
+    "d66_nprobe_sweep": "exact recall@3 at three nprobe operating points "
+                        "over the trained index (d25's audit class; both "
+                        "scoring legs through the d3 brute-force kernel)",
 }
 _over_line = {n for n, b in BUDGET.items() if b > WORKING_BUDGET_SEC}
 assert _over_line == set(PINS_ABOVE_WORKING_BUDGET), (

@@ -7913,3 +7913,156 @@ def d66_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(hits * 1000000) div true_k").cast("long").alias("recall_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------- d67
+# Quality-filter agreement — every corpus build runs at least two
+# quality filters (a cheap heuristic at ingest, an LM scorer offline)
+# and has to decide whether the cheap one can gate early. d67 is that
+# decision table: per language, the 2x2 census of the heuristic
+# filter (t_quality_score >= 2 — length band + lexical diversity +
+# stopword band) against the LM filter (stored d43 score >= the
+# language's exact top-half cut), with observed and chance-expected
+# agreement in ppm. Cohen's kappa is (po - pe) / (1 - pe) off these
+# two columns — left to the reader because a NEGATIVE kappa's integer
+# division floors in DuckDB but truncates in Spark; po/pe are
+# non-negative, so the emitted columns are engine-exact.
+
+D67_HEUR_CUT = 2  # heuristic passes at quality_score >= 2 (of 3)
+
+
+@query(
+    "d67_filter_agreement",
+    oracle=f"""
+    WITH {_D43_SCORED_CTES},
+    q AS (
+      SELECT doc_id,
+             CASE WHEN
+               CASE WHEN len(string_split(text, ' '))
+                         BETWEEN 20 AND 80 THEN 1 ELSE 0 END
+             + CASE WHEN CAST(len(list_distinct(string_split(text, ' ')))
+                         AS DOUBLE) / len(string_split(text, ' ')) >= 0.5
+                    THEN 1 ELSE 0 END
+             + CASE WHEN CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'that', 'for', 'on'))) AS DOUBLE)
+                         / len(string_split(text, ' '))
+                         BETWEEN 0.01 AND 0.6 THEN 1 ELSE 0 END
+               >= {D67_HEUR_CUT} THEN 1 ELSE 0 END AS hpass
+      FROM documents
+    ),
+    dom AS (
+      SELECT lang, score, COUNT(*) AS docs FROM scored GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT lang, score,
+             SUM(docs) OVER (PARTITION BY lang ORDER BY score DESC)
+               AS cum_docs,
+             SUM(docs) OVER (PARTITION BY lang) AS total_docs
+      FROM dom
+    ),
+    cut AS (
+      SELECT lang, CAST(MAX(score) AS BIGINT) AS cut_score FROM cum
+      WHERE cum_docs * 2 >= total_docs
+      GROUP BY lang
+    ),
+    cells AS (
+      SELECT s.lang, c.cut_score,
+             q.hpass, CASE WHEN s.score >= c.cut_score THEN 1 ELSE 0 END
+               AS lpass
+      FROM scored s JOIN q USING (doc_id) JOIN cut c USING (lang)
+    ),
+    agg AS (
+      SELECT lang, cut_score,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(hpass * lpass) AS BIGINT) AS both_pass,
+             CAST(SUM(hpass * (1 - lpass)) AS BIGINT) AS heur_only,
+             CAST(SUM((1 - hpass) * lpass) AS BIGINT) AS lm_only,
+             CAST(SUM((1 - hpass) * (1 - lpass)) AS BIGINT) AS neither
+      FROM cells GROUP BY 1, 2
+    )
+    SELECT lang, cut_score, n_docs, both_pass, heur_only, lm_only, neither,
+           CAST(((both_pass + neither) * 1000000) // n_docs AS BIGINT)
+             AS agree_ppm,
+           CAST(
+             ((((both_pass + heur_only) * 1000000) // n_docs)
+              * (((both_pass + lm_only) * 1000000) // n_docs)) // 1000000
+           + ((((lm_only + neither) * 1000000) // n_docs)
+              * (((heur_only + neither) * 1000000) // n_docs)) // 1000000
+             AS BIGINT) AS expected_agree_ppm
+    FROM agg
+    """,
+)
+def d67_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language 2x2 agreement census between the cheap heuristic
+    quality filter and the LM quality filter, with observed and
+    chance-expected agreement in ppm.
+
+    Spark shape: COMPOSES the two parent queries (the d25 stance —
+    the gate pins that the composition equals the oracle's from-
+    scratch derivation): t_quality_score provides the heuristic bit,
+    the stored d43 score MV provides the LM side; the per-lang median
+    cut comes off the (lang, score) value DOMAIN (d63's transposed-CDF
+    machinery — dictionary-sized rows, never a per-doc sort); the 2x2
+    fold is one conditional agg. The doc-grain join is the d56
+    parent-join class; expected agreement multiplies ppm FACTORS (not
+    raw counts), so nothing overflows int64 at any corpus size."""
+    from .textstats import t_quality_score
+
+    heur = t_quality_score(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("quality_score") >= D67_HEUR_CUT, 1)
+        .otherwise(0)
+        .alias("hpass"),
+    )
+    scored = _d43_doc_scores(spark, sf_dir)
+    dom = scored.groupBy("lang", "score").agg(F.count("*").alias("docs"))
+    wl = Window.partitionBy("lang")
+    cut = (
+        dom.select(
+            "lang",
+            "score",
+            F.sum("docs").over(wl.orderBy(F.col("score").desc())).alias("cum_docs"),
+            F.sum("docs").over(wl).alias("total_docs"),
+        )
+        .where(F.col("cum_docs") * 2 >= F.col("total_docs"))
+        .groupBy("lang")
+        .agg(F.max("score").alias("cut_score"))
+    )
+    cells = (
+        scored.join(heur, "doc_id")
+        .join(F.broadcast(cut), "lang")
+        .select(
+            "lang",
+            "cut_score",
+            "hpass",
+            F.when(F.col("score") >= F.col("cut_score"), 1)
+            .otherwise(0)
+            .alias("lpass"),
+        )
+    )
+    agg = cells.groupBy("lang", "cut_score").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.expr("hpass * lpass")).cast("long").alias("both_pass"),
+        F.sum(F.expr("hpass * (1 - lpass)")).cast("long").alias("heur_only"),
+        F.sum(F.expr("(1 - hpass) * lpass")).cast("long").alias("lm_only"),
+        F.sum(F.expr("(1 - hpass) * (1 - lpass)")).cast("long").alias("neither"),
+    )
+    return agg.select(
+        "lang",
+        "cut_score",
+        "n_docs",
+        "both_pass",
+        "heur_only",
+        "lm_only",
+        "neither",
+        F.expr("((both_pass + neither) * 1000000) div n_docs")
+        .cast("long")
+        .alias("agree_ppm"),
+        F.expr(
+            "((((both_pass + heur_only) * 1000000) div n_docs)"
+            " * (((both_pass + lm_only) * 1000000) div n_docs)) div 1000000"
+            " + ((((lm_only + neither) * 1000000) div n_docs)"
+            " * (((heur_only + neither) * 1000000) div n_docs)) div 1000000"
+        )
+        .cast("long")
+        .alias("expected_agree_ppm"),
+    )

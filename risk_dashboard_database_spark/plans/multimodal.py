@@ -461,3 +461,106 @@ def m6_modality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("byte_share_ppm"),
     )
+
+
+# ----------------------------------------------------------------- m7
+# WebDataset-style shard packing — the storage-layout op a multimodal
+# corpus build runs last: binary payloads can't split across files
+# (unlike d12's token stream), so each item lands in the shard where
+# its FIRST byte falls on the per-stream byte axis, and a shard whose
+# last item straddles the boundary (or whose single item exceeds the
+# budget outright) runs over — DISCLOSED per shard (the d59 sentinel
+# discipline), because a shard writer must know which files will be
+# oversized, not have them silently vanish into the next shard's
+# accounting. Streams (doc_id mod M within each source) are the
+# parallelism knob, exactly d12's PACK_SHARDS stance: the cumulative
+# byte axis is per (source, stream), so no single-task corpus sort.
+
+M7_SHARD_BYTES = 4096  # shard byte budget
+M7_STREAMS = 4         # parallel packing streams per source
+
+
+@query(
+    "m7_shard_pack",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             doc_id % {M7_STREAMS} AS stream,
+             octet_length(encode(text)) AS b
+      FROM documents
+    ),
+    c AS (
+      SELECT source, stream, doc_id, b,
+             CAST(COALESCE(SUM(b) OVER (
+               PARTITION BY source, stream ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_prev
+      FROM t
+    )
+    SELECT source,
+           CAST(stream AS BIGINT) AS stream,
+           cum_prev // {M7_SHARD_BYTES} AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(b) AS BIGINT) AS payload_bytes,
+           CAST((SUM(b) * 1000000) // {M7_SHARD_BYTES} AS BIGINT) AS fill_ppm,
+           CAST(CASE WHEN SUM(b) > {M7_SHARD_BYTES} THEN 1 ELSE 0 END
+                AS BIGINT) AS over_budget
+    FROM c
+    GROUP BY source, stream, cum_prev // {M7_SHARD_BYTES}
+    """,
+)
+def m7_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, stream, shard) packing card: item count, payload
+    bytes, fill ratio vs the byte budget (ppm), and the over-budget
+    disclosure flag.
+
+    Spark shape: one narrow scan (source, doc_id, byte length — no
+    payload decode), ONE (source, stream)-keyed exchange whose window
+    computes the exclusive running byte offset (the d12 boundary
+    trick: shard id = prev-bytes div budget — pure integer math, no
+    iterative fold), then the shard census aggregates on the SAME
+    partitioning (exchange reused). Streams bound each window task's
+    sort to corpus/(sources x M) rows; M is a workload parameter a
+    100 TB deployment raises with the cluster, not a semantic."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        "doc_id",
+        (F.col("doc_id") % M7_STREAMS).alias("stream"),
+        F.octet_length(F.encode(F.col("text"), "utf-8")).cast("long").alias("b"),
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("source", "stream")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "cum_prev", F.coalesce(F.sum("b").over(w), F.lit(0)).cast("long")
+    )
+    return (
+        c.groupBy(
+            "source",
+            F.col("stream").cast("long").alias("stream"),
+            F.expr(f"cum_prev div {M7_SHARD_BYTES}").alias("shard"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum("b").cast("long").alias("payload_bytes"),
+        )
+        .select(
+            "source",
+            "stream",
+            "shard",
+            "n_items",
+            "payload_bytes",
+            F.expr(f"(payload_bytes * 1000000) div {M7_SHARD_BYTES}")
+            .cast("long")
+            .alias("fill_ppm"),
+            F.when(F.col("payload_bytes") > M7_SHARD_BYTES, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("over_budget"),
+        )
+    )

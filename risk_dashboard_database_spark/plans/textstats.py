@@ -1625,3 +1625,68 @@ def t_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("novel_ppm"),
     )
     return main.unionByName(short)
+
+
+# ------------------------------------------------------------ t_k_anon
+# k-anonymity audit (Sweeney 2002) — the privacy census t_pii_redact's
+# regex pass can't give: even with direct identifiers stripped, a row
+# is re-identifiable when its QUASI-IDENTIFIER combination is rare.
+# The quasi-identifier here is (lang, source, length-bucket) — the
+# releasable metadata columns of the documents table; the audit
+# reports, per (lang, source) slice, how many rows sit in equivalence
+# classes smaller than K (the re-identification risk set a release
+# review reads before publishing a corpus).
+
+K_ANON = 5
+K_ANON_LEN_BUCKET = 100  # n_chars bucket width
+
+
+@query(
+    "t_k_anonymity",
+    oracle=f"""
+    WITH cls AS (
+      SELECT lang, source, n_chars // {K_ANON_LEN_BUCKET} AS len_bucket,
+             COUNT(*) AS c
+      FROM documents GROUP BY 1, 2, 3
+    )
+    SELECT lang, source,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(c) AS BIGINT) AS min_class_size,
+           CAST(COALESCE(SUM(CASE WHEN c < {K_ANON} THEN c END), 0)
+                AS BIGINT) AS at_risk_rows,
+           CAST((COALESCE(SUM(CASE WHEN c < {K_ANON} THEN c END), 0)
+                 * 1000000) // SUM(c) AS BIGINT) AS at_risk_ppm
+    FROM cls GROUP BY 1, 2
+    """,
+)
+def t_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (lang, source): rows, equivalence classes over the
+    (lang, source, n_chars-bucket) quasi-identifier, the smallest
+    class, and the rows in classes under K_ANON (count + ppm).
+
+    Spark shape: one narrow metadata scan -> one map-side-combinable
+    class agg (bounded by lang x source x length-domain) -> one
+    dictionary-grain rollup. All integers; zero corpus-scale state.
+    At 100 TB this is the m6 metadata-scan class."""
+    docs = load_table(spark, sf_dir, "documents")
+    cls = docs.groupBy(
+        "lang",
+        "source",
+        F.expr(f"n_chars div {K_ANON_LEN_BUCKET}").alias("len_bucket"),
+    ).agg(F.count("*").alias("c"))
+    at_risk = F.coalesce(
+        F.sum(F.when(F.col("c") < K_ANON, F.col("c"))), F.lit(0)
+    ).cast("long")
+    return cls.groupBy("lang", "source").agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_classes"),
+        F.min("c").cast("long").alias("min_class_size"),
+        at_risk.alias("at_risk_rows"),
+        F.expr(
+            f"(COALESCE(SUM(IF(c < {K_ANON}, c, NULL)), 0) * 1000000)"
+            " div SUM(c)"
+        )
+        .cast("long")
+        .alias("at_risk_ppm"),
+    )

@@ -689,3 +689,86 @@ def test_budget_threshold_matches_python_on_random_corpora(
     assert r["fill_ppm"] == (
         (tokens_kept * 1_000_000) // budget if budget else 0
     )
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(_span_corpus())
+def test_doremi_mix_matches_python_on_random_corpora(
+    spark, tmp_path_factory, docs
+):
+    """d64 vs a from-scratch Python bigram-LM + multiplicative-weights
+    chain on random small-vocab docs (sources src0/src1/src2 by
+    doc_id mod 3) — re-derives the scores rather than trusting the
+    stored MV, so the whole reweighting law is pinned end-to-end."""
+    from risk_dashboard_database_spark.plans.dedup import (
+        LM_PPM,
+        d64_doremi_mix,
+    )
+
+    tmpdir = tmp_path_factory.mktemp("doremiprop")
+    _write_docs(tmpdir, docs)
+
+    c2: dict[tuple[str, str], int] = {}
+    per_doc = {}
+    for d, t in docs:
+        tk = t.split(" ") if t else [""]
+        if len(tk) < 2:
+            continue
+        bgs = list(zip(tk, tk[1:]))
+        per_doc[d] = bgs
+        for bg in bgs:
+            c2[bg] = c2.get(bg, 0) + 1
+    c1: dict[str, int] = {}
+    for (w1, _), c in c2.items():
+        c1[w1] = c1.get(w1, 0) + c
+
+    per: dict[str, list[int]] = {}
+    csum = cdocs = 0
+    for d, bgs in per_doc.items():
+        score = sum((c2[bg] * LM_PPM) // c1[bg[0]] for bg in bgs) // len(bgs)
+        s = per.setdefault(f"src{d % 3}", [0, 0, 0])
+        s[0] += 1
+        s[1] += len(bgs) + 1
+        s[2] += score
+        csum += score
+        cdocs += 1
+
+    got = {r["source"]: r for r in d64_doremi_mix(spark, str(tmpdir)).collect()}
+    if not per:
+        assert got == {}
+        return
+    cmean = csum // cdocs
+    ttot = sum(v[1] for v in per.values())
+    exp = {
+        src: [
+            docs_n,
+            toks,
+            ssum // docs_n,
+            max(0, cmean - ssum // docs_n),
+            (toks * 1_000_000) // ttot,
+        ]
+        for src, (docs_n, toks, ssum) in per.items()
+    }
+    s1 = sum((v[4] * (1_000_000 + v[3])) // 1_000_000 for v in exp.values())
+    for v in exp.values():
+        v.append(((v[4] * (1_000_000 + v[3])) // 1_000_000) * 1_000_000 // s1)
+    s2 = sum((v[5] * (1_000_000 + v[3])) // 1_000_000 for v in exp.values())
+    for v in exp.values():
+        v.append(((v[5] * (1_000_000 + v[3])) // 1_000_000) * 1_000_000 // s2)
+    assert set(got) == set(exp)
+    for src, (docs_n, toks, mean, ex, w0, w1, w2) in exp.items():
+        r = got[src]
+        assert (r["docs"], r["toks"], r["score_mean"]) == (docs_n, toks, mean)
+        assert (r["excess_ppm"], r["w0_ppm"], r["w1_ppm"], r["w2_ppm"]) == (
+            ex,
+            w0,
+            w1,
+            w2,
+        )

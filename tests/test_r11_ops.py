@@ -468,3 +468,159 @@ def test_surge_shipments_matches_python(spark):
             d += timedelta(days=1)
         assert ws - timedelta(days=1) not in hotset
         assert we + timedelta(days=1) not in hotset
+
+
+def test_shard_pack_matches_python(spark):
+    """m7 recomputed in plain Python: per-(source, stream) byte axis
+    ordered by doc_id, first-byte-lands shard assignment, overflow
+    disclosure; every byte lands in exactly one shard."""
+    from risk_dashboard_database_spark.plans.multimodal import (
+        M7_SHARD_BYTES,
+        M7_STREAMS,
+        m7_shard_pack,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    axis: dict[tuple, list] = {}
+    for r in sorted(docs, key=lambda r: r["doc_id"]):
+        axis.setdefault(
+            (r["source"], r["doc_id"] % M7_STREAMS), []
+        ).append(len((r["text"] or "").encode("utf-8")))
+    exp: dict[tuple, list] = {}
+    for (src, stream), sizes in axis.items():
+        cum = 0
+        for b in sizes:
+            shard = cum // M7_SHARD_BYTES
+            cur = exp.setdefault((src, stream, shard), [0, 0])
+            cur[0] += 1
+            cur[1] += b
+            cum += b
+    rows = {
+        (r["source"], r["stream"], r["shard"]): r
+        for r in m7_shard_pack(spark, SF_DIR).collect()
+    }
+    assert set(rows) == set(exp)
+    total_bytes = 0
+    for key, (items, byts) in exp.items():
+        r = rows[key]
+        assert r["n_items"] == items
+        assert r["payload_bytes"] == byts
+        assert r["fill_ppm"] == (byts * 1_000_000) // M7_SHARD_BYTES
+        assert r["over_budget"] == (1 if byts > M7_SHARD_BYTES else 0)
+        total_bytes += byts
+    # conservation: every payload byte is in exactly one shard
+    assert total_bytes == sum(sum(s) for s in axis.values())
+    # shards are dense per stream: ids 0..max with no gaps only where
+    # a single item spans multiple budgets — then intermediate ids are
+    # legitimately absent; check at least shard 0 exists per stream
+    for src, stream in axis:
+        assert (src, stream, 0) in exp
+
+
+def test_k_anonymity_matches_python(spark):
+    """t_k_anonymity recomputed in plain Python: equivalence classes
+    over (lang, source, n_chars bucket), at-risk accounting."""
+    from collections import Counter
+
+    from risk_dashboard_database_spark.plans.textstats import (
+        K_ANON,
+        K_ANON_LEN_BUCKET,
+        t_k_anonymity,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    cls = Counter(
+        (r["lang"], r["source"], r["n_chars"] // K_ANON_LEN_BUCKET)
+        for r in docs
+    )
+    exp: dict[tuple, list] = {}
+    for (lang, src, _), c in cls.items():
+        cur = exp.setdefault((lang, src), [0, 0, None, 0])
+        cur[0] += c
+        cur[1] += 1
+        cur[2] = c if cur[2] is None else min(cur[2], c)
+        if c < K_ANON:
+            cur[3] += c
+    rows = {
+        (r["lang"], r["source"]): r for r in t_k_anonymity(spark, SF_DIR).collect()
+    }
+    assert set(rows) == set(exp)
+    for key, (n, ncls, mn, risk) in exp.items():
+        r = rows[key]
+        assert r["n_rows"] == n
+        assert r["n_classes"] == ncls
+        assert r["min_class_size"] == mn
+        assert r["at_risk_rows"] == risk
+        assert r["at_risk_ppm"] == (risk * 1_000_000) // n
+    # conservation: slice rows sum to the corpus
+    assert sum(v[0] for v in exp.values()) == len(docs)
+
+
+def test_filter_agreement_matches_python(spark):
+    """d67 recomputed in plain Python off the two parent relations:
+    per-lang top-half LM cut, 2x2 census, ppm agreement columns."""
+    from risk_dashboard_database_spark.plans.dedup import (
+        _d43_doc_scores,
+        d67_filter_agreement,
+    )
+    from risk_dashboard_database_spark.plans.textstats import t_quality_score
+
+    hpass = {
+        r["doc_id"]: 1 if r["quality_score"] >= 2 else 0
+        for r in t_quality_score(spark, SF_DIR).collect()
+    }
+    scored = [
+        (r["doc_id"], r["lang"], r["score"])
+        for r in _d43_doc_scores(spark, SF_DIR).collect()
+    ]
+    dom: dict[str, dict[int, int]] = {}
+    for _, lang, score in scored:
+        dom.setdefault(lang, {})[score] = dom.get(lang, {}).get(score, 0) + 1
+    cut = {}
+    for lang, d in dom.items():
+        total = sum(d.values())
+        cum = 0
+        for score in sorted(d, reverse=True):
+            cum += d[score]
+            if cum * 2 >= total:
+                cut[lang] = score
+                break
+    exp: dict[str, list[int]] = {}
+    for doc_id, lang, score in scored:
+        h = hpass[doc_id]
+        l = 1 if score >= cut[lang] else 0
+        c = exp.setdefault(lang, [0, 0, 0, 0, 0])
+        c[0] += 1
+        c[1 + (1 - h) * 2 + (1 - l)] += 1  # [n, both, heur_only, lm_only, neither]
+    rows = {r["lang"]: r for r in d67_filter_agreement(spark, SF_DIR).collect()}
+    assert set(rows) == set(exp)
+    for lang, (n, both, honly, lonly, neither) in exp.items():
+        r = rows[lang]
+        assert r["cut_score"] == cut[lang]
+        assert (r["n_docs"], r["both_pass"], r["heur_only"]) == (n, both, honly)
+        assert (r["lm_only"], r["neither"]) == (lonly, neither)
+        assert r["agree_ppm"] == ((both + neither) * 1_000_000) // n
+        pe = (
+            (((both + honly) * 1_000_000) // n)
+            * (((both + lonly) * 1_000_000) // n)
+        ) // 1_000_000 + (
+            (((lonly + neither) * 1_000_000) // n)
+            * (((honly + neither) * 1_000_000) // n)
+        ) // 1_000_000
+        assert r["expected_agree_ppm"] == pe
+        # the LM cut is the top-half boundary: at least half the
+        # scored docs sit at or above it
+        at_or_above = both + lonly
+        assert at_or_above * 2 >= n
+    # conservation: every scored doc lands in exactly one cell
+    assert sum(v[0] for v in exp.values()) == len(scored)
+
+
+def test_d67_oracle_stopwords_track_textstats(spark):
+    """d67's oracle inlines the en stopword fragment (its f-string
+    can't call the helper); this pins the inlined text to the
+    canonical _stop_count_sql('en') so the two can never drift."""
+    from risk_dashboard_database_spark.plans.registry import ORACLES
+    from risk_dashboard_database_spark.plans.textstats import _stop_count_sql
+
+    assert _stop_count_sql("en") in ORACLES["d67_filter_agreement"]
