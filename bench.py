@@ -147,6 +147,7 @@ HEADLINE = [
     "m7_shard_pack",
     "t_k_anonymity",
     "d67_filter_agreement",
+    "s_table_profile",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
@@ -558,6 +559,9 @@ BUDGET_R10 = {
                               # (guard 1.219 -> normalized 0.127)
     "t_k_anonymity": 0.35,    # recipe floor: 0.171 in-harness median
                               # (normalized 0.140; metadata-scan class)
+    "d67_filter_agreement": 0.55,  # 0.423 in-harness median (guard
+                              # 1.182 -> normalized 0.358; composes
+                              # t_quality_score + the d43 score MV)
     "e5_evidence": 1.1,       # recipe contention term: 0.58-0.66 calm
                               # medians (1.5x -> 0.99) vs contended
                               # gating low2 0.99 (1.1x -> 1.09 -> 1.1,

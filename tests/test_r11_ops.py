@@ -624,3 +624,22 @@ def test_d67_oracle_stopwords_track_textstats(spark):
     from risk_dashboard_database_spark.plans.textstats import _stop_count_sql
 
     assert _stop_count_sql("en") in ORACLES["d67_filter_agreement"]
+
+
+def test_table_profile_matches_python(spark):
+    """s_table_profile recomputed in plain Python over the parquet
+    rows: nulls + exact distinct per column."""
+    from risk_dashboard_database_spark.plans.sources_q import (
+        _PROFILE_COLS,
+        s_table_profile,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    rows = {r["column_name"]: r for r in s_table_profile(spark, SF_DIR).collect()}
+    assert set(rows) == set(_PROFILE_COLS)
+    for c in _PROFILE_COLS:
+        vals = [r[c] for r in li]
+        r = rows[c]
+        assert r["n_rows"] == len(li)
+        assert r["n_nulls"] == sum(1 for v in vals if v is None)
+        assert r["ndv"] == len({v for v in vals if v is not None})
