@@ -562,6 +562,10 @@ BUDGET_R10 = {
     "d67_filter_agreement": 0.55,  # 0.423 in-harness median (guard
                               # 1.182 -> normalized 0.358; composes
                               # t_quality_score + the d43 score MV)
+    "s_table_profile": 0.95,  # 0.82 in-harness median (guard 1.319 ->
+                              # normalized 0.62; the multi-distinct
+                              # Expand is the whole cost — build-class,
+                              # KMV is the documented 100 TB swap)
     "e5_evidence": 1.1,       # recipe contention term: 0.58-0.66 calm
                               # medians (1.5x -> 0.99) vs contended
                               # gating low2 0.99 (1.1x -> 1.09 -> 1.1,
