@@ -148,6 +148,8 @@ HEADLINE = [
     "t_k_anonymity",
     "d67_filter_agreement",
     "s_table_profile",
+    "w14_ohlc_resample",
+    "d68_lsh_design",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the

@@ -8066,3 +8066,80 @@ def d67_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("expected_agree_ppm"),
     )
+
+
+# ---------------------------------------------------------------- d68
+# LSH banding design table — the planner every MinHash deployment
+# consults before picking (bands, rows-per-band): detection
+# probability P(detect | jaccard = s) = 1 - (1 - s^r)^b across the
+# candidate grid, with d2's DEPLOYED operating point (N_BANDS x
+# ROWS_PER_BAND) flagged. d37 measures the deployed curve empirically
+# against planted pairs; d68 is the analytic side of that audit — the
+# S-curves a tuning review compares those measurements to.
+#
+# Exactness: the probability needs s^r and (1-s^r)^b. pow() is NOT
+# correctly rounded on every platform, so both engines evaluate the
+# SAME left-associated multiplication chains from the SAME SQL text
+# (_D68_SQL is passed verbatim to spark.sql AND to DuckDB) — every
+# multiply is an IEEE double op in the same order, so the doubles are
+# bit-identical by construction. The grid is dictionary-sized (64
+# rows); the query reads no table at all.
+
+D68_BANDS = (2, 4, 8, 16)
+D68_ROWS = (2, 3, 4, 6)
+D68_S_PPM = (300_000, 500_000, 700_000, 900_000)
+
+
+def _d68_chain(var: str, n: int) -> str:
+    return "(" + " * ".join([var] * n) + ")"
+
+
+def _d68_sql() -> str:
+    rows = ", ".join(
+        f"({b}, {r}, {s}, {1 if (b, r) == (N_BANDS, ROWS_PER_BAND) else 0})"
+        for b in D68_BANDS
+        for r in D68_ROWS
+        for s in D68_S_PPM
+    )
+    sr = " ".join(
+        f"WHEN {r} THEN {_d68_chain('p', r)}" for r in D68_ROWS
+    )
+    miss = " ".join(
+        f"WHEN {b} THEN {_d68_chain('m1', b)}" for b in D68_BANDS
+    )
+    return f"""
+    WITH grid AS (
+      SELECT * FROM (VALUES {rows})
+        AS t(bands, rows_per_band, s_ppm, deployed)
+    ),
+    base AS (
+      SELECT *, CAST(s_ppm AS DOUBLE) / 1000000.0 AS p FROM grid
+    ),
+    sr AS (
+      SELECT *, CASE rows_per_band {sr} END AS psr FROM base
+    ),
+    q AS (
+      SELECT *, 1.0 - psr AS m1 FROM sr
+    )
+    SELECT CAST(bands AS BIGINT) AS bands,
+           CAST(rows_per_band AS BIGINT) AS rows_per_band,
+           CAST(bands * rows_per_band AS BIGINT) AS n_hashes,
+           CAST(s_ppm AS BIGINT) AS s_ppm,
+           CAST(deployed AS BIGINT) AS deployed,
+           1.0 - (CASE bands {miss} END) AS detect_prob
+    FROM q
+    """
+
+
+_D68_SQL = _d68_sql()
+
+
+@query("d68_lsh_design", oracle=_D68_SQL)
+def d68_lsh_design(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (bands, rows-per-band, jaccard) -> detection-probability
+    design grid, with d2's deployed operating point flagged. Both
+    engines run the IDENTICAL SQL text (see _D68_SQL) so every double
+    is bit-identical; the relation is 64 parameter rows and touches
+    no data — the one registry query whose cost is zero at any
+    corpus size (the dedup COST lives in d2; this is its planner)."""
+    return spark.sql(_D68_SQL)

@@ -487,3 +487,65 @@ def w13_surge_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ship_revenue",
         )
     )
+
+
+# ---------------------------------------------------------------- w14
+# OHLC resample — the reference's domain is a risk dashboard over
+# stock data (SURVEY §1), and the one finance resample every such
+# dashboard serves is candlesticks: per (series, day), the first /
+# highest / lowest / last observation plus volume. Order-SENSITIVE
+# aggregation (open/close depend on time order within the bucket) done
+# as a single map-side-combinable agg via max_by/min_by over the
+# (ts, event_id) order key — no window, no sort, no self-join; the
+# event_id tiebreak makes same-microsecond observations deterministic
+# on both engines. High/low/sums are order-free. The d59 disclosure
+# discipline is moot here (every row lands in exactly one bucket).
+
+
+@query(
+    "w14_ohlc_resample",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT user_id,
+           STRFTIME(d, '%Y-%m-%d') AS date,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS volume,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM ranked
+    GROUP BY 1, 2
+    """,
+)
+def w14_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC candlesticks per series (user_id stands in for the
+    ticker): open/close via min_by/max_by over (ts, event_id), exact
+    high/low, volume, and the decimal-exact value sum.
+
+    Spark shape: ONE (user_id, date) agg over one scan — min_by/
+    max_by carry (value, orderkey) pairs through the map-side
+    combine, so the time-order semantics cost no sort and no window;
+    at 100 TB this is the same shape as a1's pivot counts. The value
+    sum goes through DECIMAL(18,2) (order-independent) then casts to
+    double; open/close/high/low are PICKED values, bit-identical by
+    construction."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy(
+        "user_id", F.date_format("ts", DATE_FMT).alias("date")
+    ).agg(
+        F.min_by("value", key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", key).alias("close"),
+        F.count("*").cast("long").alias("volume"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+    )

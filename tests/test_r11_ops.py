@@ -643,3 +643,88 @@ def test_table_profile_matches_python(spark):
         assert r["n_rows"] == len(li)
         assert r["n_nulls"] == sum(1 for v in vals if v is None)
         assert r["ndv"] == len({v for v in vals if v is not None})
+
+
+def test_ohlc_resample_matches_python(spark):
+    """w14 recomputed in plain Python: per (user, day) time-ordered
+    open/close with event_id tiebreak, exact high/low, decimal sum."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from risk_dashboard_database_spark.plans.windows import (
+        w14_ohlc_resample,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    buckets = defaultdict(list)
+    for r in ev:
+        buckets[(r["user_id"], str(r["ts"].date()))].append(
+            (r["ts"], r["event_id"], r["value"])
+        )
+    rows = {
+        (r["user_id"], r["date"]): r
+        for r in w14_ohlc_resample(spark, SF_DIR).collect()
+    }
+    assert set(rows) == set(buckets)
+    for key, obs in buckets.items():
+        obs.sort()
+        vals = [v for _, _, v in obs]
+        r = rows[key]
+        assert r["open"] == obs[0][2]
+        assert r["close"] == obs[-1][2]
+        assert r["high"] == max(vals)
+        assert r["low"] == min(vals)
+        assert r["volume"] == len(obs)
+        want_sum = sum(
+            (Decimal(str(v)).quantize(Decimal("0.01")) for v in vals),
+            Decimal(0),
+        )
+        assert r["value_sum"] == float(want_sum)
+        # candlestick invariants
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+
+
+def test_lsh_design_matches_python(spark):
+    """d68 recomputed in plain Python with the same left-fold
+    multiplication chains; S-curve monotonicity invariants."""
+    from risk_dashboard_database_spark.plans.dedup import (
+        D68_BANDS,
+        D68_ROWS,
+        D68_S_PPM,
+        N_BANDS,
+        ROWS_PER_BAND,
+        d68_lsh_design,
+    )
+
+    def chain(x, n):
+        acc = x
+        for _ in range(n - 1):
+            acc = acc * x
+        return acc
+
+    rows = {
+        (r["bands"], r["rows_per_band"], r["s_ppm"]): r
+        for r in d68_lsh_design(spark, SF_DIR).collect()
+    }
+    assert len(rows) == len(D68_BANDS) * len(D68_ROWS) * len(D68_S_PPM)
+    for b in D68_BANDS:
+        for rr in D68_ROWS:
+            for s in D68_S_PPM:
+                row = rows[(b, rr, s)]
+                p = float(s) / 1_000_000.0
+                want = 1.0 - chain(1.0 - chain(p, rr), b)
+                assert row["detect_prob"] == want
+                assert row["n_hashes"] == b * rr
+                assert row["deployed"] == (
+                    1 if (b, rr) == (N_BANDS, ROWS_PER_BAND) else 0
+                )
+    # S-curve laws: P rises with s (fixed b,r) and with b (fixed r,s)
+    for b in D68_BANDS:
+        for rr in D68_ROWS:
+            ps = [rows[(b, rr, s)]["detect_prob"] for s in D68_S_PPM]
+            assert ps == sorted(ps)
+    for rr in D68_ROWS:
+        for s in D68_S_PPM:
+            pb = [rows[(b, rr, s)]["detect_prob"] for b in D68_BANDS]
+            assert pb == sorted(pb)
