@@ -568,6 +568,10 @@ BUDGET_R10 = {
                               # normalized 0.62; the multi-distinct
                               # Expand is the whole cost — build-class,
                               # KMV is the documented 100 TB swap)
+    "w14_ohlc_resample": 0.6,  # 0.468 in-harness median (guard 1.274
+                              # -> normalized 0.37; one map-side agg)
+    "d68_lsh_design": 0.35,   # recipe floor: 0.068 in-harness — 64
+                              # parameter rows, reads no table
     "e5_evidence": 1.1,       # recipe contention term: 0.58-0.66 calm
                               # medians (1.5x -> 0.99) vs contended
                               # gating low2 0.99 (1.1x -> 1.09 -> 1.1,
