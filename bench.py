@@ -150,6 +150,8 @@ HEADLINE = [
     "s_table_profile",
     "w14_ohlc_resample",
     "d68_lsh_design",
+    "a17_rollup_totals",
+    "u5_segment_set_ops",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the

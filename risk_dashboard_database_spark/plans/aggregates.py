@@ -539,3 +539,56 @@ def a16_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell_agreement"
         ),
     )
+
+
+# ---------------------------------------------------------------- a17
+# ROLLUP totals — the multi-grain summary every dashboard footer
+# needs (per-cell, per-dimension subtotal, grand total) computed by
+# Spark's NATIVE rollup operator in ONE pass instead of a 3-branch
+# UNION of separate aggregations (a8's pattern solves a different
+# problem: branches with DIFFERENT logic; a17 is the same aggregate
+# at nested grains, which is exactly what ROLLUP's partial
+# re-aggregation exists for — at 100 TB the fact table is scanned
+# once and the subtotal grains re-aggregate the cell grain, not the
+# corpus). grouping_id() disambiguates a real NULL dimension value
+# from a subtotal row — the classic rollup trap, pinned by the gate
+# since DuckDB's GROUPING() must agree bit-for-bit.
+
+
+@query(
+    "a17_rollup_totals",
+    oracle="""
+    SELECT event_type,
+           CAST(user_id % 4 AS BIGINT) AS cohort,
+           CAST(GROUPING(event_type) * 2 + GROUPING(user_id % 4)
+                AS BIGINT) AS lvl,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY ROLLUP (event_type, user_id % 4)
+    """,
+)
+def a17_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, cohort) cells + per-type subtotals + grand total
+    in one native ROLLUP pass, with grouping_id() labeling the grain.
+
+    Spark shape: one scan -> rollup(...) agg (Expand to the 3 grains
+    BEFORE the map-side combine, so the exchange carries at most
+    3 x |cells| rows regardless of corpus size) -> done. The money
+    sum goes through DECIMAL(18,2) at every grain (order-independent)
+    then casts to double."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            (F.col("user_id") % 4).cast("long").alias("cohort"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+        .rollup("event_type", "cohort")
+        .agg(
+            F.grouping_id().cast("long").alias("lvl"),
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("v").cast("double").alias("value_sum"),
+        )
+        .select("event_type", "cohort", "lvl", "n_events", "value_sum")
+    )

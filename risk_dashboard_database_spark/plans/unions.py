@@ -239,3 +239,62 @@ def u3_evidence_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(etype, F.lit(" "), F.col("suf")).alias("title"),
         F.col("w").cast("int").alias("sort_weight"),
     )
+
+
+# ----------------------------------------------------------------- u5
+# INTERSECT / EXCEPT — the two set operators the U-family didn't yet
+# exercise natively: segment the user base by behavior (purchasers
+# vs error-reporters) into disjoint cohorts via DISTINCT-set algebra.
+# Spark's intersect()/exceptAll-free subtract() compile to left-semi /
+# left-anti aggregates over the distinct sets — the engine-native
+# form; the oracle uses literal INTERSECT/EXCEPT, so the gate pins
+# the operator translation.
+
+
+@query(
+    "u5_segment_set_ops",
+    oracle="""
+    WITH purch AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ),
+    err AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    )
+    SELECT 'purchase_only' AS segment, user_id
+    FROM (SELECT user_id FROM purch EXCEPT SELECT user_id FROM err)
+    UNION ALL
+    SELECT 'both', user_id
+    FROM (SELECT user_id FROM purch INTERSECT SELECT user_id FROM err)
+    UNION ALL
+    SELECT 'error_only', user_id
+    FROM (SELECT user_id FROM err EXCEPT SELECT user_id FROM purch)
+    """,
+)
+def u5_segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjoint behavioral segments via native set operators:
+    purchasers-not-erroring (EXCEPT), both (INTERSECT), and
+    erroring-not-purchasing (EXCEPT, reversed).
+
+    Spark shape: the two distinct key sets each cost one user-grain
+    agg; subtract()/intersect() compile to left-anti / left-semi
+    joins over them (key-sized relations, broadcast at these
+    cardinalities, hash-partitioned co-keyed at 100 TB where AQE
+    plans the distincts first); the three branches union without a
+    shuffle. Segments are provably disjoint and their union is
+    exactly the active-user key set — both pinned in the parity
+    test."""
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    err = ev.where(F.col("event_type") == "error").select("user_id").distinct()
+    return (
+        purch.subtract(err)
+        .select(F.lit("purchase_only").alias("segment"), "user_id")
+        .unionByName(
+            purch.intersect(err).select(F.lit("both").alias("segment"), "user_id")
+        )
+        .unionByName(
+            err.subtract(purch).select(
+                F.lit("error_only").alias("segment"), "user_id"
+            )
+        )
+    )

@@ -141,6 +141,12 @@ EXCH_BUDGET = {
                                     # 3-row final agg, 1-row anchor —
                                     # the corpus never shuffles (d3's
                                     # shard-local-top-k discipline)
+    "u5_segment_set_ops": 6,        # four distinct-set aggs (purch/err
+                                    # x two consumers before ReuseExchange
+                                    # dedups at runtime) + the semi/anti
+                                    # joins' broadcast builds — every
+                                    # exchange moves a DISTINCT user-key
+                                    # set, never the events table twice
     "w13_surge_shipments": 5,       # two day-grain pre-aggs (orders,
                                     # lineitem — the only corpus-keyed
                                     # exchanges, both map-side

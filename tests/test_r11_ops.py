@@ -3,6 +3,8 @@ m6_modality_mix — python brute-force parity + structural invariants."""
 
 from __future__ import annotations
 
+from collections import defaultdict
+
 SF_DIR = "/root/testdata/sf0.001"
 
 
@@ -728,3 +730,64 @@ def test_lsh_design_matches_python(spark):
         for s in D68_S_PPM:
             pb = [rows[(b, rr, s)]["detect_prob"] for b in D68_BANDS]
             assert pb == sorted(pb)
+
+
+def test_rollup_totals_matches_python(spark):
+    """a17 recomputed in plain Python at all three grains; grand
+    total reconciles with the raw row count."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from risk_dashboard_database_spark.plans.aggregates import (
+        a17_rollup_totals,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    cells = defaultdict(lambda: [0, Decimal(0)])
+    for r in ev:
+        v = Decimal(str(r["value"])).quantize(Decimal("0.01"))
+        for key in (
+            (r["event_type"], r["user_id"] % 4, 0),
+            (r["event_type"], None, 1),
+            (None, None, 3),
+        ):
+            cells[key][0] += 1
+            cells[key][1] += v
+    rows = {
+        (r["event_type"], r["cohort"], r["lvl"]): r
+        for r in a17_rollup_totals(spark, SF_DIR).collect()
+    }
+    assert set(rows) == set(cells)
+    for key, (n, s) in cells.items():
+        assert rows[key]["n_events"] == n
+        assert rows[key]["value_sum"] == float(s)
+    assert rows[(None, None, 3)]["n_events"] == len(ev)
+
+
+def test_segment_set_ops_matches_python(spark):
+    """u5 recomputed with Python sets; segments are disjoint and
+    cover exactly the purchase/error key universe."""
+    from risk_dashboard_database_spark.plans.unions import (
+        u5_segment_set_ops,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    purch = {r["user_id"] for r in ev if r["event_type"] == "purchase"}
+    err = {r["user_id"] for r in ev if r["event_type"] == "error"}
+    want = {
+        ("purchase_only", u) for u in purch - err
+    } | {("both", u) for u in purch & err} | {
+        ("error_only", u) for u in err - purch
+    }
+    got = {
+        (r["segment"], r["user_id"])
+        for r in u5_segment_set_ops(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # disjoint cover of the active key universe
+    by_user = defaultdict(list)
+    for seg, u in got:
+        by_user[u].append(seg)
+    assert all(len(v) == 1 for v in by_user.values())
+    assert set(by_user) == purch | err
+
