@@ -152,6 +152,7 @@ HEADLINE = [
     "d68_lsh_design",
     "a17_rollup_totals",
     "u5_segment_set_ops",
+    "a18_pivot_matrix",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the

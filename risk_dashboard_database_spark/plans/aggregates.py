@@ -592,3 +592,71 @@ def a17_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "cohort", "lvl", "n_events", "value_sum")
     )
+
+
+# ---------------------------------------------------------------- a18
+# PIVOT — long-to-wide reshape through Spark's NATIVE pivot operator
+# with an EXPLICIT value list (the 100 TB form: without the list,
+# pivot runs a blocking distinct-collect over the corpus to discover
+# the columns; with it, the reshape is one ordinary agg whose Expand
+# is bounded by the fixed domain). The oracle derives the same wide
+# matrix with manual FILTERed aggregates, so the gate pins the pivot
+# translation column-for-column.
+
+A18_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "a18_pivot_matrix",
+    oracle="""
+    SELECT user_id,
+    """
+    + ",\n    ".join(
+        f"""CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT)
+             AS {t}_n,
+           CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2)))
+                FILTER (WHERE event_type = '{t}'), 0) AS DOUBLE)
+             AS {t}_value"""
+        for t in A18_TYPES
+    )
+    + """
+    FROM events GROUP BY user_id
+    """,
+)
+def a18_pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user wide event matrix: one (count, decimal-exact value
+    sum) column pair per event type, via native pivot with the
+    explicit type list.
+
+    Spark shape: one scan -> groupBy(user).pivot(type, FIXED LIST)
+    .agg(count, sum(decimal)) — a single exchange; the fixed list
+    keeps the plan free of the discovery distinct AND keeps the
+    output schema stable when a type is absent at small SF (absent
+    cells are 0 by the COALESCE convention on both sides)."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("user_id")
+        .pivot("event_type", list(A18_TYPES))
+        .agg(
+            # count(*) is rejected inside Pivot; count(v) is equal here
+            # (v is a cast of a non-null column)
+            F.count("v").alias("n"),
+            F.sum("v").alias("value"),
+        )
+    )
+    cols = [F.col("user_id")]
+    for t in A18_TYPES:
+        cols.append(
+            F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("long").alias(f"{t}_n")
+        )
+        cols.append(
+            F.coalesce(F.col(f"{t}_value"), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            .alias(f"{t}_value")
+        )
+    return wide.select(*cols)

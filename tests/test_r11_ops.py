@@ -791,3 +791,34 @@ def test_segment_set_ops_matches_python(spark):
     assert all(len(v) == 1 for v in by_user.values())
     assert set(by_user) == purch | err
 
+
+
+def test_pivot_matrix_matches_python(spark):
+    """a18 recomputed in plain Python: per-user per-type counts +
+    decimal sums, absent cells zero."""
+    from decimal import Decimal
+
+    from risk_dashboard_database_spark.plans.aggregates import (
+        A18_TYPES,
+        a18_pivot_matrix,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    exp: dict[int, dict[str, list]] = {}
+    for r in ev:
+        cell = exp.setdefault(r["user_id"], {}).setdefault(
+            r["event_type"], [0, Decimal(0)]
+        )
+        cell[0] += 1
+        cell[1] += Decimal(str(r["value"])).quantize(Decimal("0.01"))
+    rows = {r["user_id"]: r for r in a18_pivot_matrix(spark, SF_DIR).collect()}
+    assert set(rows) == set(exp)
+    total = 0
+    for uid, by_type in exp.items():
+        r = rows[uid]
+        for t in A18_TYPES:
+            n, s = by_type.get(t, (0, Decimal(0)))
+            assert r[f"{t}_n"] == n
+            assert r[f"{t}_value"] == float(s)
+            total += n
+    assert total == len(ev)  # the wide matrix loses no events
