@@ -575,6 +575,10 @@ BUDGET_R10 = {
                               # -> normalized 0.37; one map-side agg)
     "d68_lsh_design": 0.35,   # recipe floor: 0.068 in-harness — 64
                               # parameter rows, reads no table
+    "a17_rollup_totals": 0.35,    # floor: 0.289 in-harness (guard
+                              # 1.365 -> normalized 0.212)
+    "u5_segment_set_ops": 0.35,   # floor: 0.291 (normalized 0.213)
+    "a18_pivot_matrix": 0.35,     # floor: 0.307 (normalized 0.225)
     "e5_evidence": 1.1,       # recipe contention term: 0.58-0.66 calm
                               # medians (1.5x -> 0.99) vs contended
                               # gating low2 0.99 (1.1x -> 1.09 -> 1.1,
