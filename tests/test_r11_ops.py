@@ -822,3 +822,35 @@ def test_pivot_matrix_matches_python(spark):
             assert r[f"{t}_value"] == float(s)
             total += n
     assert total == len(ev)  # the wide matrix loses no events
+
+
+def test_purchase_attribution_matches_python(spark):
+    """j12 recomputed with a python double loop (the oracle's naive
+    form); window-bound and same-user invariants."""
+    from datetime import timedelta
+
+    from risk_dashboard_database_spark.plans.joins import (
+        J12_ATTRIB_DAYS,
+        j12_purchase_attribution,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    by_id = {r["event_id"]: r for r in ev}
+    want = set()
+    for p in ev:
+        if p["event_type"] != "purchase":
+            continue
+        for s in ev:
+            if s["event_type"] != "signup" or s["user_id"] != p["user_id"]:
+                continue
+            if s["ts"] <= p["ts"] <= s["ts"] + timedelta(days=J12_ATTRIB_DAYS):
+                want.add((p["event_id"], s["event_id"]))
+    rows = j12_purchase_attribution(spark, SF_DIR).collect()
+    got = {(r["purchase_id"], r["signup_id"]) for r in rows}
+    assert got == want
+    for r in rows:
+        p, s = by_id[r["purchase_id"]], by_id[r["signup_id"]]
+        assert p["user_id"] == s["user_id"] == r["user_id"]
+        assert r["purchase_value"] == p["value"]
+        delta = p["ts"] - s["ts"]
+        assert timedelta(0) <= delta <= timedelta(days=J12_ATTRIB_DAYS)
