@@ -580,6 +580,8 @@ BUDGET_R10 = {
                               # 1.365 -> normalized 0.212)
     "u5_segment_set_ops": 0.35,   # floor: 0.291 (normalized 0.213)
     "a18_pivot_matrix": 0.35,     # floor: 0.307 (normalized 0.225)
+    "j12_purchase_attribution": 0.35,  # floor: 0.297 in-harness
+                              # (guard 1.296 -> normalized 0.229)
     "e5_evidence": 1.1,       # recipe contention term: 0.58-0.66 calm
                               # medians (1.5x -> 0.99) vs contended
                               # gating low2 0.99 (1.1x -> 1.09 -> 1.1,

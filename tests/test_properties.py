@@ -772,3 +772,56 @@ def test_doremi_mix_matches_python_on_random_corpora(
             w1,
             w2,
         )
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(_span_corpus())
+def test_shard_pack_matches_python_on_random_corpora(
+    spark, tmp_path_factory, docs
+):
+    """m7 vs a from-scratch Python packer on random docs (including
+    empty texts and, via tiny budgets at this corpus size, shards a
+    single item overflows): first-byte-lands assignment, byte
+    conservation, overflow disclosure."""
+    from risk_dashboard_database_spark.plans.multimodal import (
+        M7_SHARD_BYTES,
+        M7_STREAMS,
+        m7_shard_pack,
+    )
+
+    tmpdir = tmp_path_factory.mktemp("shardprop")
+    _write_docs(tmpdir, docs)
+
+    axis: dict[tuple, list] = {}
+    for d, t in sorted(docs):
+        axis.setdefault((f"src{d % 3}", d % M7_STREAMS), []).append(
+            len(t.encode("utf-8"))
+        )
+    exp: dict[tuple, list] = {}
+    for (src, stream), sizes in axis.items():
+        cum = 0
+        for b in sizes:
+            shard = cum // M7_SHARD_BYTES
+            cur = exp.setdefault((src, stream, shard), [0, 0])
+            cur[0] += 1
+            cur[1] += b
+            cum += b
+    rows = {
+        (r["source"], r["stream"], r["shard"]): r
+        for r in m7_shard_pack(spark, str(tmpdir)).collect()
+    }
+    assert set(rows) == set(exp)
+    for key, (items, byts) in exp.items():
+        r = rows[key]
+        assert (r["n_items"], r["payload_bytes"]) == (items, byts)
+        assert r["over_budget"] == (1 if byts > M7_SHARD_BYTES else 0)
+    assert sum(r["payload_bytes"] for r in rows.values()) == sum(
+        sum(s) for s in axis.values()
+    )
