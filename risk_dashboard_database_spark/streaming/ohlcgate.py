@@ -29,7 +29,7 @@ make).
 from __future__ import annotations
 
 from collections.abc import Iterator
-from decimal import Decimal
+from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -48,8 +48,15 @@ STATE_SCHEMA = (
 
 
 def _cents(v: float) -> int:
+    # ROUND_HALF_UP explicitly: Spark's double -> DECIMAL(18,2) cast
+    # rounds half-up (java BigDecimal), while Python's quantize
+    # defaults to banker's rounding — invisible on 2-decimal fixture
+    # values, a real divergence on arbitrary feeds
     return int(
-        (Decimal(str(v)).quantize(Decimal("0.01")) * 100).to_integral_value()
+        (
+            Decimal(str(v)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+            * 100
+        ).to_integral_value(rounding=ROUND_HALF_UP)
     )
 
 

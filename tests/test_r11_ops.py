@@ -4,6 +4,7 @@ m6_modality_mix — python brute-force parity + structural invariants."""
 from __future__ import annotations
 
 from collections import defaultdict
+from decimal import ROUND_HALF_UP
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -430,8 +431,8 @@ def test_surge_shipments_matches_python(spark):
         d = r["l_shipdate"].date()
         cur = ship.setdefault(d, [0, Decimal(0), Decimal(0)])
         cur[0] += 1
-        cur[1] += Decimal(str(r["l_quantity"])).quantize(Decimal("0.01"))
-        cur[2] += Decimal(str(r["l_extendedprice"])).quantize(Decimal("0.01"))
+        cur[1] += Decimal(str(r["l_quantity"])).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+        cur[2] += Decimal(str(r["l_extendedprice"])).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
     exp = {}
     for ws, we in wins:
         items, qty, rev = 0, Decimal(0), Decimal(0)
@@ -678,7 +679,7 @@ def test_ohlc_resample_matches_python(spark):
         assert r["low"] == min(vals)
         assert r["volume"] == len(obs)
         want_sum = sum(
-            (Decimal(str(v)).quantize(Decimal("0.01")) for v in vals),
+            (Decimal(str(v)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP) for v in vals),
             Decimal(0),
         )
         assert r["value_sum"] == float(want_sum)
@@ -745,7 +746,7 @@ def test_rollup_totals_matches_python(spark):
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
     cells = defaultdict(lambda: [0, Decimal(0)])
     for r in ev:
-        v = Decimal(str(r["value"])).quantize(Decimal("0.01"))
+        v = Decimal(str(r["value"])).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
         for key in (
             (r["event_type"], r["user_id"] % 4, 0),
             (r["event_type"], None, 1),
@@ -810,7 +811,7 @@ def test_pivot_matrix_matches_python(spark):
             r["event_type"], [0, Decimal(0)]
         )
         cell[0] += 1
-        cell[1] += Decimal(str(r["value"])).quantize(Decimal("0.01"))
+        cell[1] += Decimal(str(r["value"])).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
     rows = {r["user_id"]: r for r in a18_pivot_matrix(spark, SF_DIR).collect()}
     assert set(rows) == set(exp)
     total = 0

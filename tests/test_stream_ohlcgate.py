@@ -120,3 +120,19 @@ def test_stream_ohlc_shuffled_single_file_batches(spark, tmp_path):
         "rate limit must have produced multiple emissions per bucket"
     )
     assert _last_card(rows) == want
+
+
+def test_cents_rounds_half_up_like_spark(spark):
+    """The state's cent fold must round exactly like Spark's
+    double -> DECIMAL(18,2) cast (HALF_UP), not Python's default
+    banker's rounding — pinned on the .005 tie the fixture never
+    exercises."""
+    from risk_dashboard_database_spark.streaming.ohlcgate import _cents
+
+    # 0.125 is an exact double AND an exact decimal tie: HALF_UP says
+    # 13 cents, banker's (Python's quantize default) says 12
+    assert _cents(0.125) == 13
+    row = spark.sql(
+        "SELECT CAST(CAST(0.125 AS DOUBLE) AS DECIMAL(18,2)) AS c"
+    ).collect()[0]
+    assert int(row["c"] * 100) == _cents(0.125)
