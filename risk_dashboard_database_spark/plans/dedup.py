@@ -883,8 +883,15 @@ def _sign_bits(spark: SparkSession, sf_dir: str) -> int:
 
     key = (os.path.realpath(sf_dir), _stat_sig(sf_dir))
     if key not in _SIGN_BITS_MEMO:
-        if len(_SIGN_BITS_MEMO) >= 16:  # stale prints of rewritten dirs
-            _SIGN_BITS_MEMO.clear()
+        # evict only THIS dir's stale signatures (a rewrite-in-place
+        # leaves the old print behind); other datasets' live entries
+        # survive. The size cap stays as a backstop for a process
+        # cycling many distinct dirs (code-review r11: a blanket
+        # clear() recounted every active dataset).
+        for k in [k for k in _SIGN_BITS_MEMO if k[0] == key[0]]:
+            del _SIGN_BITS_MEMO[k]
+        if len(_SIGN_BITS_MEMO) >= 16:
+            _SIGN_BITS_MEMO.pop(next(iter(_SIGN_BITS_MEMO)))
         n = load_table(spark, sf_dir, "embeddings").count()
         _SIGN_BITS_MEMO[key] = max(8, min(64, (max(n, 2) - 1).bit_length() - 6))
     return _SIGN_BITS_MEMO[key]

@@ -58,11 +58,21 @@ def m1_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         byte_len.cast("long").alias("byte_len"),
         F.sha2(payload, 256).alias("content_sha256"),
         F.hex(F.encode(F.substring(F.col("text"), 1, 4), "utf-8")).alias("magic_hex"),
-        F.when(F.substring(F.col("text"), 1, 4) == "key ", "KEY0")
+        _media_type(F.col("text"), byte_len).alias("media_type"),
+    )
+
+
+def _media_type(text: F.Column, byte_len: F.Column) -> F.Column:
+    """THE magic-byte media-type rule — one Spark definition shared by
+    m1 and m6 (the streaming modality gate mirrors it in its Python
+    fold, pinned by replay==batch parity; the oracles carry the SQL
+    text). A rule change edits HERE plus the oracle strings — not
+    five call sites (code-review r11)."""
+    return (
+        F.when(F.substring(text, 1, 4) == "key ", "KEY0")
         .when(byte_len % 3 == 0, "IMG")
         .when(byte_len % 3 == 1, "AUD")
         .otherwise("VID")
-        .alias("media_type"),
     )
 
 
@@ -424,12 +434,7 @@ def m6_modality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payload = F.encode(F.col("text"), "utf-8")
     byte_len = F.octet_length(payload)
-    media_type = (
-        F.when(F.substring(F.col("text"), 1, 4) == "key ", "KEY0")
-        .when(byte_len % 3 == 0, "IMG")
-        .when(byte_len % 3 == 1, "AUD")
-        .otherwise("VID")
-    )
+    media_type = _media_type(F.col("text"), byte_len)
     g = (
         docs.select(
             "source",

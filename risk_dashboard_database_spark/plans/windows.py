@@ -424,10 +424,12 @@ def w13_surge_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact hot filter -> islands over the day-domain rows (the
     single-partition window is the sanctioned dictionary class: there
     are at most a few thousand distinct days at ANY corpus size) ->
-    windows exploded into member days (broadcast — bounded by the
-    calendar) LEFT-joined to the day-grain lineitem pre-agg, so the
-    fact table is touched exactly once, shuffles once on its day key,
-    and never meets a non-equi condition. Money/quantity sums go
+    windows exploded into member days (calendar-bounded)
+    LEFT-joined to the BROADCAST day-grain lineitem pre-agg (both
+    sides are calendar-bounded; the build side must be the right one
+    under LeftOuter), so the fact table is touched exactly once,
+    pre-aggregates once on its day key, and never meets a non-equi
+    condition. Money/quantity sums go
     through DECIMAL(18,2) then cast to double (order-independent)."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -465,8 +467,12 @@ def w13_surge_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev"),
     )
     return (
-        F.broadcast(days)
-        .join(shipd, "d", "left")
+        # broadcast the RIGHT side: BHJ LeftOuter must BuildRight, so
+        # a hint on the left is silently unusable (code-review r11 —
+        # the earlier F.broadcast(days) produced the same plan with a
+        # dead hint). shipd is day-grain, calendar-bounded at any
+        # corpus size, so the build side is honestly tiny too.
+        days.join(F.broadcast(shipd), "d", "left")
         .groupBy("ws", "we", "win_days", "win_orders")
         .agg(
             F.coalesce(F.sum("n_items"), F.lit(0)).cast("long").alias("ship_items"),

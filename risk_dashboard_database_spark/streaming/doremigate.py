@@ -99,13 +99,23 @@ def doremi_weights_from_card(
     as a driver-side function of the card rows (source, docs, toks,
     score_sum): returns {source: (excess_ppm, w0_ppm, w1_ppm,
     w2_ppm)}. Shared by the parity test and any serving consumer so
-    the two reweighting paths cannot drift."""
-    cdocs = sum(d for _, d, _, _ in card)
-    csum = sum(s for _, _, _, s in card)
-    ttot = sum(t for _, _, t, _ in card)
+    the two reweighting paths cannot drift.
+
+    Sources with docs == 0 are excluded from the reweighting universe
+    — the streaming card DOES emit such rows (a feed source whose
+    every payload is under 2 tokens still gets its short_docs
+    accounting), whereas batch d64's scored-join never sees them; the
+    derivation must match the batch universe, not the card's
+    disclosure rows. An all-short card returns {} (code-review r11)."""
+    scored = [row for row in card if row[1] > 0]
+    if not scored:
+        return {}
+    cdocs = sum(d for _, d, _, _ in scored)
+    csum = sum(s for _, _, _, s in scored)
+    ttot = sum(t for _, _, t, _ in scored)
     cmean = csum // cdocs
     rows = {}
-    for source, docs, toks, ssum in card:
+    for source, docs, toks, ssum in scored:
         mean = ssum // docs
         excess = max(0, cmean - mean)
         w0 = (toks * 1_000_000) // ttot

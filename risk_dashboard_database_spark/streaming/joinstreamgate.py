@@ -15,9 +15,15 @@ would buffer both streams forever).
 
 Parity contract (tested): availableNow replay equals the batch
 inner-join with the identical predicate row-for-row, under one-shot
-AND per-file arrival (the join is exact regardless of slicing — inner
-join results only need both sides to have ARRIVED, and availableNow
-drains everything)."""
+AND per-file arrival IN event-time order (the tests slice by ts). The
+watermark cuts both ways, deliberately: a row arriving LATER than the
+watermark allows — older than max(seen ts) minus the delay plus the
+attribution horizon — is dropped WITH its matches, exactly as the
+operator's late-data contract specifies. Exactness under arbitrary
+slicing holds only for slicings the watermark admits; an
+out-of-order-beyond-the-delay feed trades those pairs for bounded
+state, which is the point of the watermark (code-review r11 wording
+fix — the earlier text overclaimed 'regardless of slicing')."""
 
 from __future__ import annotations
 

@@ -103,20 +103,22 @@ def stream_ohlc(spark: SparkSession, events_dir: str, schema=None) -> DataFrame:
     """readStream over an events directory -> running per-(series,
     day) candlestick card, exactly order-independent (see module
     docstring)."""
-    if schema is None:
-        schema = spark.read.parquet(events_dir).schema
-    stream = spark.readStream.schema(schema).parquet(events_dir)
+    # read through the suite's stream reader, NOT a raw readStream:
+    # it truncates TIMESTAMP(NANOS)-as-long columns to micros exactly
+    # like the batch loaders and casts NTZ ts to TIMESTAMP under the
+    # UTC session — bypassing it would silently mis-key nanos feeds
+    # (code-review r11)
+    from .daily import read_events_stream
+
+    stream = read_events_stream(spark, events_dir, schema=schema)
     return (
         stream.select(
             "user_id",
             F.date_format("ts", "yyyy-MM-dd").alias("date"),
             # microsecond order key: casting the timestamp to long
             # would truncate to seconds and lose the batch side's
-            # sub-second ordering — unix_micros keeps it exact. The
-            # stream reads TIMESTAMP_NTZ; the cast to TIMESTAMP is the
-            # identity instant under the UTC session (the suite-wide
-            # streaming gotcha, see streaming/daily.py)
-            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts"),
+            # sub-second ordering — unix_micros keeps it exact
+            F.unix_micros("ts").alias("ts"),
             "event_id",
             "value",
         )

@@ -46,9 +46,16 @@ def _update(
     source, stream = key
     (cum,) = state.get if state.exists else (0,)
     cum = int(cum)
-    for pdf in batches:
+    # applyInPandasWithState delivers ONE group's micro-batch data as
+    # MULTIPLE pandas chunks (split at arrow maxRecordsPerBatch), in
+    # shuffle order — sorting per chunk would interleave doc_ids
+    # across chunk boundaries. Materialize the whole group's batch
+    # (bounded by one group's share of one micro-batch) and sort ONCE
+    # so the documented within-micro-batch doc_id order really holds.
+    chunks = [pdf for pdf in batches if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
         out = []
-        pdf = pdf.sort_values("doc_id")
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
             b = len((text or "").encode("utf-8"))
             out.append(

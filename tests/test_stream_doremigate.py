@@ -123,3 +123,22 @@ def test_stream_doremi_card_single_file_batches(spark, tmp_path):
         "rate limit must have produced multiple emissions per source"
     )
     _assert_card_matches(spark, rows)
+
+
+def test_weights_from_card_handles_all_short_sources():
+    """Regression (code-review r11): a source whose every payload is
+    under 2 tokens emits a card row with docs == 0 — the derivation
+    must exclude it (batch d64's scored-join never sees it) instead
+    of dividing by zero; an all-short card yields {}."""
+    from risk_dashboard_database_spark.streaming.doremigate import (
+        doremi_weights_from_card,
+    )
+
+    assert doremi_weights_from_card([("only_short", 0, 0, 0)]) == {}
+    got = doremi_weights_from_card(
+        [("only_short", 0, 0, 0), ("real", 4, 40, 2_000_000)]
+    )
+    assert set(got) == {"real"}
+    excess, w0, w1, w2 = got["real"]
+    assert excess == 0  # one source IS the corpus mean
+    assert w0 == w1 == w2 == 1_000_000

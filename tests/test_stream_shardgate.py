@@ -119,3 +119,60 @@ def test_stream_shard_pack_single_file_batches(spark, tmp_path):
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     assert len(rows) == n_docs  # append mode: exactly one row per payload
     _check(spark, rows)
+
+
+def test_stream_shard_pack_multi_chunk_groups(spark, tmp_path):
+    """Regression (code-review r11): applyInPandasWithState splits a
+    group's micro-batch into MULTIPLE pandas chunks at the arrow
+    batch size, in shuffle order — the fold must sort the WHOLE
+    group's batch, not each chunk. Forced here with a tiny
+    maxRecordsPerBatch and a parquet written in shuffled doc_id
+    order."""
+    import pandas as pd
+
+    from risk_dashboard_database_spark.plans.multimodal import (
+        M7_SHARD_BYTES,
+        M7_STREAMS,
+    )
+
+    rng_order = [7, 2, 9, 0, 5, 11, 4, 1, 10, 3, 8, 6]
+    rows = [
+        {
+            "doc_id": i * M7_STREAMS,  # one stream -> one state group
+            "text": "x" * (50 + 17 * i),
+            "lang": "en",
+            "source": "srcA",
+            "n_chars": 50 + 17 * i,
+        }
+        for i in rng_order
+    ]
+    docs_dir = tmp_path / "docs_shard_chunks"
+    docs_dir.mkdir()
+    pd.DataFrame(rows).to_parquet(docs_dir / "part-0.parquet")
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+    try:
+        streamed = run_available_now(
+            stream_shard_pack(spark, str(docs_dir)),
+            "t_stream_shard_chunks",
+            output_mode="append",
+        )
+        got = {
+            r["doc_id"]: (r["shard"], r["shard_offset"])
+            for r in streamed.collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old
+            )
+    cum = 0
+    want = {}
+    for i in sorted(rng_order):
+        b = 50 + 17 * i
+        want[i * M7_STREAMS] = (cum // M7_SHARD_BYTES, cum % M7_SHARD_BYTES)
+        cum += b
+    assert got == want
