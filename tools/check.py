@@ -237,6 +237,8 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     n_pass = n_close = n_fail = 0
+    fail_names: list[str] = []
+    close_names: list[str] = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -247,6 +249,7 @@ def main():
             print(f"FAIL  {name}: spark raised")
             traceback.print_exc()
             n_fail += 1
+            fail_names.append(name)
             continue
         el = time.time() - t0
         py_oracle = name not in oracles and name in PY_ORACLES
@@ -263,12 +266,14 @@ def main():
             print(f"FAIL  {name}: oracle raised")
             traceback.print_exc()
             n_fail += 1
+            fail_names.append(name)
             continue
         scols, srows = normalize(sdf)
         ocols, orows = normalize(odf)
         if scols != ocols:
             print(f"FAIL  {name}: columns {scols} vs {ocols}")
             n_fail += 1
+            fail_names.append(name)
             continue
         verdict, detail = rows_equal(srows, orows)
         tag = " (py-oracle)" if py_oracle else ""
@@ -280,14 +285,24 @@ def main():
         elif verdict == "close":
             print(f"CLOSE {name}: {len(srows)} rows — {detail} [{el:.1f}s]")
             n_close += 1
+            close_names.append(name)
         else:
             print(f"FAIL  {name}: {detail}")
             if len(srows) <= 10 and len(orows) <= 10:
                 print("  spark :", srows[:10])
                 print("  oracle:", orows[:10])
             n_fail += 1
+            fail_names.append(name)
 
-    print(f"\n{n_pass} exact, {n_close} close, {n_fail} fail")
+    # VERDICT r11 "What's wrong" #2: a truncated log must still name
+    # WHAT failed, not just that something did — append the offending
+    # query names to the one-line summary.
+    suffix = ""
+    if close_names:
+        suffix += " (close: " + ", ".join(close_names) + ")"
+    if fail_names:
+        suffix += " (fail: " + ", ".join(fail_names) + ")"
+    print(f"\n{n_pass} exact, {n_close} close, {n_fail} fail{suffix}")
     # CLOSE = float drift the driver's exact hash would reject; fail it.
     sys.exit(1 if (n_fail or n_close) else 0)
 
