@@ -457,11 +457,56 @@ D49_PPB = 1_000_000_000  # fixed-point scale for embedding coords
 # Fixed-count seed codebook (VERDICT r8 #5): the old `vec_id % 100`
 # seed was 1% OF THE CORPUS, so the n x k assignment cost was
 # effectively quadratic in corpus size with the bound living in prose.
-# The seed is now a deterministic md5-rank top-K — the bound is a
-# LIMIT in the plan (TakeOrderedAndProject, never a global sort), k is
-# a workload parameter independent of n, and the selection is
-# engine-exact (d3's md5-of-decimal-string convention).
-D49_SEED_K = 16
+# The seed is a deterministic md5-rank top-K — the bound is a rank
+# predicate in the plan (TakeOrderedAndProject / WindowGroupLimit,
+# never a global sort), and the selection is engine-exact (d3's
+# md5-of-decimal-string convention).
+#
+# CORPUS-SCALED cell count (VERDICT r11 "what's missing" #2 — the
+# sign-LSH nbits precedent applied to IVF): a constant 16-cell index
+# makes every "cell-local" operator (d44/d47/d61/d62/d65) scan 1/16th
+# of the corpus per cell, which stops being cell-local the moment the
+# corpus grows. k now follows the sqrt law every IVF deployment uses
+# (k ~ sqrt(n) keeps per-cell membership ~ sqrt(n), balancing probe
+# cost against cell-scan cost): k = 2^clamp(4, bitlen(n-1)//2 - 1,
+# 16). Integer-only on BOTH engines — bit length of n-1, halved,
+# mapped through a 13-branch CASE (no pow(), which is not correctly
+# rounded; no dialect-divergent integer division — FLOOR(x / 2.0) is
+# IEEE-exact for these magnitudes). At the driver's test SFs
+# (n <= 2000) the formula floors at the historical 16 cells, so every
+# stored-MV output is unchanged there; at the 100x vector replica
+# (200k vectors) k = 256 (~780 vectors/cell instead of 12.5k); the
+# cap 65536 holds per-cell work ~ n/65536 at 10^10+ vectors.
+D49_SEED_K = 16  # the floor — and the value at every driver test SF
+
+
+def d49_cells(n: int) -> int:
+    """IVF cell count for an n-vector corpus (python twin of
+    _IVF_CELLS_SQL; pinned equal in tests/test_scale_ops.py)."""
+    return 1 << min(16, max(4, ((max(n, 2) - 1).bit_length() // 2) - 1))
+
+
+def _ivf_cells(spark: SparkSession, sf_dir: str) -> int:
+    """Deployed cell count for this dataset (memoized corpus count)."""
+    return d49_cells(_emb_count(spark, sf_dir))
+
+
+def _ivf_cells_sql(n_expr: str) -> str:
+    """The same formula as SQL text, valid verbatim in BOTH DuckDB and
+    Spark (the d68 shared-text discipline): bin()/length()/GREATEST/
+    LEAST/FLOOR/CASE mean the same thing in both dialects, and every
+    intermediate is integer-exact."""
+    shift = (
+        f"LEAST(16, GREATEST(4, CAST(FLOOR(length(bin(GREATEST({n_expr}, 2)"
+        f" - 1)) / 2.0) AS INT) - 1))"
+    )
+    return (
+        f"CASE {shift} WHEN 4 THEN 16 WHEN 5 THEN 32 WHEN 6 THEN 64"
+        " WHEN 7 THEN 128 WHEN 8 THEN 256 WHEN 9 THEN 512"
+        " WHEN 10 THEN 1024 WHEN 11 THEN 2048 WHEN 12 THEN 4096"
+        " WHEN 13 THEN 8192 WHEN 14 THEN 16384 WHEN 15 THEN 32768"
+        " ELSE 65536 END"
+    )
 
 # Shared SQL fragments for the trained-codebook CTE chain (d49's
 # training unrolled; reused by every trained-default IVF/PQ oracle so
@@ -474,9 +519,10 @@ _D49_VECS_SQL = f"""
       FROM embeddings
 """
 _D49_GEN1_CTES = f"""
-    gen0 AS (SELECT vec_id AS cid, v AS c FROM vecs
-             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-             LIMIT {D49_SEED_K}),
+    kc AS (SELECT {_ivf_cells_sql('COUNT(*)')} AS k FROM embeddings),
+    gen0 AS (SELECT vec_id AS cid, v AS c FROM vecs, kc
+             QUALIFY ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= kc.k),
     a1 AS (
       SELECT s.vec_id, s.v,
              (SELECT g.cid FROM gen0 g
@@ -866,35 +912,42 @@ _NBITS_CTE_SQL = """nb AS (
       FROM embeddings
     )"""
 
-_SIGN_BITS_MEMO: dict[tuple[str, str], int] = {}
+_EMB_COUNT_MEMO: dict[tuple[str, str], int] = {}
 
 
-def _sign_bits(spark: SparkSession, sf_dir: str) -> int:
-    """nbits for this dataset — one metadata-cheap count per dataset
-    CONTENT per process. Keyed on (realpath, stat signature of the
-    dir's parquet files — the same microseconds-cheap name/size/mtime
-    probe relcache revalidates with), so a dataset regenerated IN
-    PLACE with a different row count recounts immediately instead of
-    silently reusing a stale width while the oracle recomputes
-    COUNT(*) (ADVICE r10)."""
+def _emb_count(spark: SparkSession, sf_dir: str) -> int:
+    """Embeddings row count for this dataset — one metadata-cheap
+    count per dataset CONTENT per process, shared by every
+    corpus-scaled width formula (sign-LSH nbits, IVF cell count).
+    Keyed on (realpath, stat signature of the dir's parquet files —
+    the same microseconds-cheap name/size/mtime probe relcache
+    revalidates with), so a dataset regenerated IN PLACE with a
+    different row count recounts immediately instead of silently
+    reusing a stale width while the oracle recomputes COUNT(*)
+    (ADVICE r10)."""
     import os
 
     from .relcache import _stat_sig
 
     key = (os.path.realpath(sf_dir), _stat_sig(sf_dir))
-    if key not in _SIGN_BITS_MEMO:
+    if key not in _EMB_COUNT_MEMO:
         # evict only THIS dir's stale signatures (a rewrite-in-place
         # leaves the old print behind); other datasets' live entries
         # survive. The size cap stays as a backstop for a process
         # cycling many distinct dirs (code-review r11: a blanket
         # clear() recounted every active dataset).
-        for k in [k for k in _SIGN_BITS_MEMO if k[0] == key[0]]:
-            del _SIGN_BITS_MEMO[k]
-        if len(_SIGN_BITS_MEMO) >= 16:
-            _SIGN_BITS_MEMO.pop(next(iter(_SIGN_BITS_MEMO)))
-        n = load_table(spark, sf_dir, "embeddings").count()
-        _SIGN_BITS_MEMO[key] = max(8, min(64, (max(n, 2) - 1).bit_length() - 6))
-    return _SIGN_BITS_MEMO[key]
+        for k in [k for k in _EMB_COUNT_MEMO if k[0] == key[0]]:
+            del _EMB_COUNT_MEMO[k]
+        if len(_EMB_COUNT_MEMO) >= 16:
+            _EMB_COUNT_MEMO.pop(next(iter(_EMB_COUNT_MEMO)))
+        _EMB_COUNT_MEMO[key] = load_table(spark, sf_dir, "embeddings").count()
+    return _EMB_COUNT_MEMO[key]
+
+
+def _sign_bits(spark: SparkSession, sf_dir: str) -> int:
+    """Corpus-scaled sign-LSH width: clamp(8, bitlen(n-1) - 6, 64)."""
+    n = _emb_count(spark, sf_dir)
+    return max(8, min(64, (max(n, 2) - 1).bit_length() - 6))
 
 
 def _sign_bucket_spark(nbits: int) -> F.Column:
@@ -1002,9 +1055,10 @@ def d8_ann_ivf(
     md5-rank probes search ONLY their own cell.
 
     ``codebook`` (VERDICT r9 #4 — trained is the DEFAULT): "trained"
-    reads the d49-Lloyd-trained index MV (fixed D49_SEED_K cells, so
-    the codebook is corpus-size-independent and the n x k assignment
-    is linear in n); "stub" keeps the reference's deliberate
+    reads the d49-Lloyd-trained index MV (corpus-scaled sqrt-law cell
+    count `d49_cells(n)`, r12 — 16 cells at the test SFs, 65536 max,
+    so the n x k assignment stays ~ n^1.5-bounded and per-cell scans
+    shrink as the corpus grows); "stub" keeps the reference's deliberate
     every-100th-vector codebook for recall-comparability runs — its
     k ~ n/100 makes the assignment ~n^2/100, which is exactly why the
     stub lives behind the flag and not in the registry. The oracle
@@ -4389,6 +4443,15 @@ def d39_split_gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram_starts = F.when(
         n >= SPAN_L, F.sequence(F.lit(0), n - SPAN_L)
     ).otherwise(F.array().cast("array<int>"))
+    # r12 (VERDICT r11 #2): the gram KEY is internal — only aggregated
+    # counts cross the oracle boundary — so the Spark side keys grams
+    # by xxhash64 OF THE TOKEN ARRAY (one non-crypto pass, no joined-
+    # string allocation, an 8-byte exchange key) instead of the
+    # oracle's md5-of-joined-string (32+ bytes, crypto, plus the
+    # per-gram string build). Identity is preserved: tokens come from
+    # splitting on ' ', so the join was lossless, and a 64-bit
+    # collision across the shared-gram set is ~1e-8 at sf-scale
+    # volumes. Measured A/B at sf0.1 in BENCH_NOTES (r12 addendum).
     gr = with_split.select(
         "doc_id",
         "split",
@@ -4396,9 +4459,7 @@ def d39_split_gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(
                 F.transform(
                     gram_starts,
-                    lambda s: F.md5(
-                        F.array_join(F.slice("tk", s + 1, SPAN_L), " ")
-                    ),
+                    lambda s: F.xxhash64(F.slice("tk", s + 1, SPAN_L)),
                 )
             )
         ).alias("g"),
@@ -5685,7 +5746,7 @@ def _d49_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _build() -> DataFrame:
         gen0 = (
             vecs.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-            .limit(D49_SEED_K)
+            .limit(_ivf_cells(spark, sf_dir))
             .select(F.col("vec_id").alias("cid"), F.col("v").alias("c"))
         )
         a1 = _d49_assign(vecs, gen0)
@@ -8150,3 +8211,56 @@ def d68_lsh_design(spark: SparkSession, sf_dir: str) -> DataFrame:
     no data — the one registry query whose cost is zero at any
     corpus size (the dedup COST lives in d2; this is its planner)."""
     return spark.sql(_D68_SQL)
+
+
+# ---------------------------------------------------------------- d69
+# IVF capacity-planning card (r12, the d68 stance applied to the
+# trained index): the corpus-size -> cell-count law `d49_cells` as a
+# queryable relation — a sizing ladder from test-SF to 10^12 vectors
+# plus the live corpus's deployed row, each with its mean cell
+# occupancy. This is the card a reviewer reads to answer "is the
+# index still cell-local at MY scale?" without re-deriving the
+# formula; the formula itself is the SAME text both engines run
+# (_ivf_cells_sql), so the card can never drift from the law the
+# trainer applies.
+
+D69_LADDER = (
+    500, 2_000, 200_000, 5_000_000, 100_000_000,
+    10_000_000_000, 1_000_000_000_000,
+)
+
+
+def _d69_sql() -> str:
+    ladder = ", ".join(f"({n})" for n in D69_LADDER)
+    cells = _ivf_cells_sql("corpus_n")
+    return f"""
+    WITH allrows AS (
+      SELECT corpus_n, 0 AS deployed
+      FROM (VALUES {ladder}) AS t(corpus_n)
+      UNION ALL
+      SELECT COUNT(*) AS corpus_n, 1 AS deployed FROM embeddings
+    )
+    SELECT CAST(corpus_n AS BIGINT) AS corpus_n,
+           CAST(deployed AS BIGINT) AS deployed,
+           CAST({cells} AS BIGINT) AS cells,
+           CAST(FLOOR(corpus_n / CAST({cells} AS DOUBLE)) AS BIGINT)
+             AS mean_per_cell
+    FROM allrows
+    """
+
+
+_D69_SQL = _d69_sql()
+
+
+@query("d69_ivf_design", oracle=_D69_SQL)
+def d69_ivf_design(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-size -> IVF-cell-count design ladder with the live
+    corpus flagged. Identical SQL text on both engines (the d68
+    discipline): bin()/FLOOR/CASE arithmetic is integer-exact, the
+    one division is IEEE-exact under 2^53, so every value is
+    bit-identical. Cost: a metadata-grade COUNT(*) on embeddings plus
+    8 parameter rows."""
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    return spark.sql(_D69_SQL)

@@ -11,7 +11,7 @@ encode or decode drops/reorders/misaligns anything, the hash breaks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.series import explode_pipe_series
@@ -56,10 +56,13 @@ def s2_pipe_series_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ANALYZE-style table statistics — the stats card a cost-based
 # optimizer (and every capacity-planning review) reads: per column,
 # null count and distinct-value count over one pass of the table.
-# Exact NDV here because the driver gate demands hash-exactness; the
-# 100 TB path swaps the exact COUNT(DISTINCT) for d26's KMV sketch
-# (same card, bounded error, one pass) — the expensive part, the
-# single-scan multi-column fold, is the same either way.
+# TWO registered forms: s_table_profile is the EXACT card — the
+# once-per-dataset audit/build path (its multi-COUNT(DISTINCT) Expand
+# is linear but heavy: 18.5x at 100x, measured r11) —
+# s_table_profile_approx is the serving path you run on every
+# refresh: d26's KMV sketch for NDV, corpus-independent merge
+# traffic, still hash-exact cross-engine because KMV is
+# deterministic.
 
 _PROFILE_COLS = (
     "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
@@ -81,7 +84,9 @@ _PROFILE_COLS = (
 )
 def s_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-statistics card for the biggest fact table: one row per
-    column with row count, null count, and exact NDV.
+    column with row count, null count, and exact NDV. This is the
+    AUDIT/BUILD form (run once per dataset, e.g. to calibrate the
+    sketch); the per-refresh serving form is s_table_profile_approx.
 
     Spark shape: ONE agg over ONE scan computes every column's
     count/ndv together (the multi-COUNT(DISTINCT) Expand — each input
@@ -109,3 +114,170 @@ def s_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("__n").alias("n_rows"),
     ).select("column_name", "n_rows", "n_nulls", "ndv")
+
+
+# ----------------------------------------------- s_table_profile_approx
+# The 100 TB serving form of the profile card (VERDICT r11 "what's
+# missing" #1, turning the BENCH_NOTES prose into code): the NDV
+# column comes from d26's deterministic KMV sketch instead of the
+# exact multi-COUNT(DISTINCT) Expand. The exact card stays registered
+# as the once-per-dataset audit/build path; THIS is the card you run
+# on every refresh. KMV over md5 is a pure function of the data, so
+# the estimate is bit-identical on any engine and any partitioning —
+# the same cross-engine-exact stance as d26/d11 — and the driver gate
+# checks it hash-exactly, not "approximately".
+#
+# Scale shape (the reason this variant exists): the corpus-sized work
+# is ONE scan + stack projection + a partition-local KMV fold
+# (mapInPandas over Arrow batches of (col_id tinyint-ish, hv int64) —
+# each partition emits AT MOST K rows per column, so the only
+# corpus-keyed exchange left is the map-side-combined counts agg; the
+# sketch merge moves K x columns x partitions rows no matter how big
+# the table is. The exact card's Expand shuffles every distinct value
+# of every column; this one shuffles 256 longs per column per
+# partition. That is the difference between "linear but heavy"
+# (18.5x at 100x, the measured r11 number) and corpus-independent
+# merge traffic.
+
+PROFILE_KMV_K = 256  # rel. std. error ~ 1/sqrt(K-2) ~ 6.3%
+
+# Canonical per-type string encodings, chosen to be engine-identical:
+# integers and 2dp fixed-point floors print the same on Spark and
+# DuckDB; timestamps go through an explicit second-grain format (the
+# j12 STRFTIME convention); raw doubles NEVER hit md5 directly (their
+# shortest-round-trip printing differs between engines).
+_PROF_ENC_SPARK = {
+    "int": "CAST({c} AS STRING)",
+    "dec2": "CAST(CAST(FLOOR({c} * 100.0) AS BIGINT) AS STRING)",
+    "ts": "date_format({c}, 'yyyy-MM-dd HH:mm:ss')",
+    "str": "{c}",
+}
+_PROF_ENC_DUCK = {
+    "int": "CAST({c} AS VARCHAR)",
+    "dec2": "CAST(CAST(FLOOR({c} * 100.0) AS BIGINT) AS VARCHAR)",
+    "ts": "STRFTIME({c}, '%Y-%m-%d %H:%M:%S')",
+    "str": "{c}",
+}
+_PROFILE_TYPES = {
+    "l_orderkey": "int", "l_partkey": "int", "l_suppkey": "int",
+    "l_linenumber": "int", "l_quantity": "dec2",
+    "l_extendedprice": "dec2", "l_discount": "dec2", "l_tax": "dec2",
+    "l_returnflag": "str", "l_linestatus": "str", "l_shipdate": "ts",
+}
+
+
+def _profile_kmv_fold(batches):
+    """Partition-local KMV fold: keep the PROFILE_KMV_K smallest
+    DISTINCT hash values per column across every Arrow batch of this
+    partition; emit at most K rows per column per partition."""
+    import numpy as np
+    import pandas as pd
+
+    best: dict[int, "np.ndarray"] = {}
+    for pdf in batches:
+        for cid, grp in pdf.groupby("col_id"):
+            hv = grp["hv"].to_numpy(dtype="int64")
+            cur = best.get(int(cid))
+            allv = np.concatenate([cur, hv]) if cur is not None else hv
+            best[int(cid)] = np.unique(allv)[:PROFILE_KMV_K]
+    if best:
+        cids = sorted(best)
+        yield pd.DataFrame(
+            {
+                "col_id": np.repeat(
+                    np.array(cids, dtype="int32"),
+                    [len(best[c]) for c in cids],
+                ),
+                "hv": np.concatenate([best[c] for c in cids]),
+            }
+        )
+
+
+def _profile_approx_oracle() -> str:
+    from .dedup import _KMV_HEX_CHARS, _KMV_SCALE
+
+    k = PROFILE_KMV_K
+    legs = []
+    for c in _PROFILE_COLS:
+        enc = _PROF_ENC_DUCK[_PROFILE_TYPES[c]].format(c=c)
+        hv = f"""list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, {_KMV_HEX_CHARS + 1}),
+                   i -> CAST(instr('0123456789abcdef',
+                                   substr(md5(sval), i, 1)) - 1 AS BIGINT))),
+               (acc, v) -> acc * 16 + v)"""
+        legs.append(f"""SELECT '{c}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+           (SELECT CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+                   ELSE ({k} - 1) / (CAST(MAX(hv) AS DOUBLE) / {_KMV_SCALE}.0)
+                   END
+            FROM (SELECT DISTINCT hv FROM
+                    (SELECT {hv} AS hv FROM
+                       (SELECT DISTINCT {enc} AS sval FROM lineitem
+                        WHERE {c} IS NOT NULL))
+                  ORDER BY hv LIMIT {k})) AS ndv_est
+    FROM lineitem""")
+    return "\n    UNION ALL\n".join(legs)
+
+
+@query("s_table_profile_approx", oracle=_profile_approx_oracle())
+def s_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile card with KMV-sketch NDV (the 100 TB serving path).
+
+    One scan: stack() unpivots each row to (col_id, canonical string)
+    pairs; the exact n_rows/n_nulls counts are a map-side-combinable
+    agg on that stream; the NDV branch hashes each value JVM-side
+    (md5 -> 52-bit prefix, d26's convention), folds each partition to
+    its K smallest distinct hashes in ONE Arrow pass (mapInPandas —
+    the partial-aggregate Spark lacks natively for KMV), and merges
+    K x partitions rows per column with a WindowGroupLimit rank. The
+    estimate (K-1)/frac(h_K) uses one IEEE division of engine-exact
+    integers, so DuckDB reproduces it to the last bit. Columns with
+    NDV < K report the exact count (the sketch IS the value set)."""
+    from .dedup import _KMV_HEX_CHARS, _KMV_SCALE
+
+    li = load_table(spark, sf_dir, "lineitem")
+    k = PROFILE_KMV_K
+    pairs = ", ".join(
+        f"{i}, {_PROF_ENC_SPARK[_PROFILE_TYPES[c]].format(c=c)}"
+        for i, c in enumerate(_PROFILE_COLS)
+    )
+    stacked = li.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {pairs}) AS (col_id, sval)"
+        )
+    )
+    counts = stacked.groupBy("col_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("sval").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_nulls"),
+    )
+    kmv_in = stacked.where(F.col("sval").isNotNull()).select(
+        "col_id",
+        F.conv(F.substring(F.md5(F.col("sval")), 1, _KMV_HEX_CHARS), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    )
+    folded = kmv_in.mapInPandas(_profile_kmv_fold, "col_id int, hv long")
+    rk = F.row_number().over(Window.partitionBy("col_id").orderBy("hv"))
+    kept = folded.distinct().withColumn("rk", rk).where(F.col("rk") <= k)
+    sketch = kept.groupBy("col_id").agg(
+        F.count(F.lit(1)).alias("k_kept"), F.max("hv").alias("hv_k")
+    )
+    est = F.when(
+        F.col("k_kept") < k, F.col("k_kept").cast("double")
+    ).otherwise(
+        F.lit(k - 1) / (F.col("hv_k").cast("double") / F.lit(float(_KMV_SCALE)))
+    )
+    names = F.array(*[F.lit(c) for c in _PROFILE_COLS])
+    return (
+        counts.join(sketch, "col_id", "left")
+        .select(
+            F.element_at(names, F.col("col_id") + 1).alias("column_name"),
+            "n_rows",
+            "n_nulls",
+            F.coalesce(est, F.lit(0.0)).alias("ndv_est"),
+        )
+    )

@@ -1,0 +1,213 @@
+"""Round-12 operators: j12 skew guard + j12b disclosure card —
+python brute-force parity and a zipf feed that must trip the guard."""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections import Counter
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _sides_counts(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    np = Counter(r["user_id"] for r in ev if r["event_type"] == "purchase")
+    ns = Counter(r["user_id"] for r in ev if r["event_type"] == "signup")
+    return np, ns
+
+
+def test_j12b_skew_card_matches_python_bruteforce(spark):
+    """The disclosure card recomputed in plain Python: per-user
+    purchase/signup counts, their product, top-10 by (bound desc,
+    user asc)."""
+    from risk_dashboard_database_spark.plans.joins import (
+        j12b_attribution_skew,
+    )
+
+    np, ns = _sides_counts(spark)
+    want = sorted(
+        (
+            (u, np[u], ns[u], np[u] * ns[u])
+            for u in np
+            if u in ns
+        ),
+        key=lambda t: (-t[3], t[0]),
+    )[:10]
+    got = [
+        (r["user_id"], r["n_purchases"], r["n_signups"], r["pair_bound"])
+        for r in j12b_attribution_skew(spark, SF_DIR)
+        .orderBy(["pair_bound", "user_id"], ascending=[False, True])
+        .collect()
+    ]
+    assert got == want
+
+
+def _hot_events(spark, n_purch: int, n_sign: int):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # purchases a day after every signup: all pairs in-window
+        (i, base + dt.timedelta(days=1, minutes=i), 7, "purchase", 1.0, "{}")
+        for i in range(n_purch)
+    ] + [
+        (
+            10_000 + i,
+            base + dt.timedelta(minutes=i),
+            7,
+            "signup",
+            0.0,
+            "{}",
+        )
+        for i in range(n_sign)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+
+
+def test_j12_skew_guard_trips_on_zipf_hot_user(spark):
+    """One zipf-hot user (60 purchases x 60 signups = 3600 pairs over
+    a cap of 1000) must be refused LOUDLY, with the user named —
+    the d4/d42 `_audit_bound` discipline applied to the interval
+    join's output law."""
+    from risk_dashboard_database_spark.plans.joins import (
+        _j12_sides,
+        _j12_skew_guard,
+    )
+
+    ev = _hot_events(spark, 60, 60)
+    purchases, signups = _j12_sides(ev)
+    with pytest.raises(ValueError, match=r"user 7: 60x60=3600"):
+        _j12_skew_guard(purchases, signups, cap=1000)
+
+
+def test_j12_skew_guard_passes_under_cap(spark):
+    """The same feed under the cap passes silently and the join runs:
+    the guard changes nothing for in-bounds workloads (the driver
+    parity rows all go through it)."""
+    from risk_dashboard_database_spark.plans.joins import (
+        _j12_join,
+        _j12_sides,
+        _j12_skew_guard,
+    )
+
+    ev = _hot_events(spark, 10, 10)
+    purchases, signups = _j12_sides(ev)
+    _j12_skew_guard(purchases, signups, cap=1000)
+    # 10 purchases x 10 signups, all within 7 days => full 100 pairs
+    assert _j12_join(purchases, signups).count() == 100
+
+
+def test_j12_default_cap_clears_testdata(spark):
+    """The default cap (10M pairs/user) clears the real events table
+    by >4 orders of magnitude — the guard exists for production zipf
+    feeds, not to make the test corpus fragile."""
+    from risk_dashboard_database_spark.plans.joins import (
+        J12_MAX_PAIRS_PER_KEY,
+    )
+
+    np, ns = _sides_counts(spark)
+    worst = max((np[u] * ns[u] for u in np if u in ns), default=0)
+    assert 0 < worst < J12_MAX_PAIRS_PER_KEY / 1000
+
+
+def test_profile_approx_vs_exact_parity(spark):
+    """s_table_profile_approx vs the exact card at sf0.001: n_rows and
+    n_nulls are identical; NDV is EXACT (as a double) for every column
+    with fewer than K distinct values (the sketch IS the value set),
+    and within 4 standard errors (~25% at K=256) for the rest."""
+    from risk_dashboard_database_spark.plans.sources_q import (
+        PROFILE_KMV_K,
+        s_table_profile,
+        s_table_profile_approx,
+    )
+
+    exact = {
+        r["column_name"]: r for r in s_table_profile(spark, SF_DIR).collect()
+    }
+    approx = {
+        r["column_name"]: r
+        for r in s_table_profile_approx(spark, SF_DIR).collect()
+    }
+    assert set(exact) == set(approx)
+    bound = 4.0 / (PROFILE_KMV_K - 2) ** 0.5
+    saw_sketch_leg = False
+    for c, e in exact.items():
+        a = approx[c]
+        assert (a["n_rows"], a["n_nulls"]) == (e["n_rows"], e["n_nulls"])
+        if e["ndv"] < PROFILE_KMV_K:
+            assert a["ndv_est"] == float(e["ndv"]), c
+        else:
+            saw_sketch_leg = True
+            rel = abs(a["ndv_est"] - e["ndv"]) / e["ndv"]
+            assert rel <= bound, (c, a["ndv_est"], e["ndv"], rel)
+    # the dataset must actually exercise the estimator branch
+    assert saw_sketch_leg
+
+
+def test_profile_approx_invariant_to_arrow_batch_size(spark):
+    """The r11 shardgate lesson as a regression pin here: the KMV fold
+    accumulates across ALL Arrow batches of a partition, so forcing
+    tiny batches (5 rows) must change nothing. A fold that treated
+    each batch independently would emit K rows per batch and survive
+    the merge (KMV is idempotent under union), so ALSO pin the exact
+    card equality, which the sf0.001 parity test derives from."""
+    from risk_dashboard_database_spark.plans.sources_q import (
+        s_table_profile_approx,
+    )
+
+    want = sorted(map(tuple, s_table_profile_approx(spark, SF_DIR).collect()))
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "5")
+        got = sorted(
+            map(tuple, s_table_profile_approx(spark, SF_DIR).collect())
+        )
+    finally:
+        spark.conf.set(key, old)
+    assert got == want
+
+
+def test_d49_cells_formula_identical_in_python_duckdb_spark(spark):
+    """The corpus-scaled IVF cell-count law: the python twin
+    `d49_cells` and the shared SQL text `_ivf_cells_sql` must agree
+    on every engine across the whole ladder, including the clamp
+    edges — the same pinned-equality discipline as sign-LSH nbits."""
+    import duckdb
+
+    from risk_dashboard_database_spark.plans.dedup import (
+        _ivf_cells_sql,
+        d49_cells,
+    )
+
+    ns = [
+        1, 2, 3, 15, 16, 17, 500, 2000, 2047, 2048, 4096, 4097,
+        200_000, 10**6, 10**10, 10**12, 10**14,
+    ]
+    want = [d49_cells(n) for n in ns]
+    sql = (
+        "SELECT CAST(" + _ivf_cells_sql("n") + " AS BIGINT) FROM "
+        "(VALUES " + ", ".join(f"(CAST({n} AS BIGINT))" for n in ns)
+        + ") AS t(n)"
+    )
+    duck = [r[0] for r in duckdb.sql(sql).fetchall()]
+    spk = [r[0] for r in spark.sql(sql).collect()]
+    assert duck == want
+    assert spk == want
+    # clamp sanity: floor at the historical 16, cap at 65536
+    assert d49_cells(1) == 16 and d49_cells(2000) == 16
+    assert d49_cells(200_000) == 256
+    assert d49_cells(10**14) == 65536
+
+
+def test_d49_deployed_cells_at_test_sfs(spark):
+    """Every driver test SF trains the historical 16-cell codebook,
+    so all stored-MV outputs are byte-stable across the r12 formula
+    change."""
+    from risk_dashboard_database_spark.plans.dedup import _ivf_cells
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        assert _ivf_cells(spark, f"/root/testdata/{sf}") == 16
