@@ -26,110 +26,79 @@ def entry(spark: SparkSession) -> DataFrame:
 # Sampling order for correctness runs: queries whose driver evidence is
 # oldest first, so a bounded per-round sample keeps every registry row's
 # latest green driver evidence at most two rounds old. Rotated each
-# round. Round 11 (VERDICT r10 #1): demand is 80 rows for the 50-cap —
-# tier 1 = the 7 rows whose latest driver green is r07 (three rounds,
-# the oldest any row has ever been), the 3 r10 additions that have
-# never had a driver row (t_burstiness / d60 / d61 — each local-gate
-# exact on arrival AND re-proven exact by the r10 judge's own full
-# 156-query oracle run), and the 20 NEW r11 queries (t_novelty /
-# d62_quantization_error / m6_modality_mix / d63_budget_threshold /
-# o8_keyset_pagination / w12_session_windows / d64_doremi_mix /
-# d65_cluster_purity / d66_nprobe_sweep / w13_surge_shipments /
-# m7_shard_pack / t_k_anonymity / d67_filter_agreement /
-# s_table_profile / w14_ohlc_resample / d68_lsh_design /
-# a17_rollup_totals / u5_segment_set_ops / a18_pivot_matrix /
-# j12_purchase_attribution —
-# never-sampled rows outrank stale-green ones, the r10 tier-1a
-# precedent; each oracle-exact at sf0.01 and sf0.001 on arrival with
-# python brute-force parity tests); tier 2 = 20 of the 50 r08-green rows now
-# hitting the 2-round staleness edge. The 20 r08 rows past the cap
-# (tier 3) are those with the strongest compensating evidence, each
-# re-proven exact by the local full gate this round; they lead the r12
-# rotation:
-#   a1_daily_event_counts / a1b_rounding_parity — plans/pricing.py
-#     twins of a1_pricing_summary (tier 1, in-sample; a1b pins the
-#     very rounding exprs a1 emits);
-#   f3_hf_batch — deterministic-fake inference seam, pytest-pinned +
-#     flag-gated real smoke, same class as in-sample f1/f2;
-#   f4_sentiment — exact-integer VADER fold with python-reference
-#     pytest parity;
-#   s_date_bounds — functions/period.py, pytest parity (F6) and the
-#     date-range predicates of in-sample j9;
-#   s_name_normalize — functions/textnorm.py golden-fixture pytest;
-#   o1_pagination — plans/toporder.py shared with in-sample o2/o3/o6;
-#   u1_entity_branches — plans/unions.py shared with in-sample u2/u3;
-#   j5_branch_union — plans/joins.py shared with in-sample
-#     j1/j6/j10/j11;
-#   a13_distinct_dates — single distinct-date agg, pytest-covered,
-#     plans/aggregates.py family driver-proved wholesale in r10;
-#   w10_lag_delta — operators/windows.py shared with in-sample w5;
-#   o3_nulls_last — plans/toporder.py shared with in-sample o2/o6;
-#   p5_ilike_match — plans/scalars.py family, in-sample sibling
-#     s_json_array_math; golden-fixture pytest;
-#   u2_key_union_dedup — plans/unions.py shared with in-sample u3;
-#   j11_unmatched_anti — plans/joins.py shared with in-sample j1/j6/j10;
-#   e12_narrative_tags — reads the same stored narrative-rows MV as
-#     in-sample e3/e6/e11 (endpoints.py family; anchor-date pattern
-#     driver-proved wholesale in r10 via e14/e15/e7/e8).
-# The fourteen r11 late additions push the cap 14 rows into tier 2's
-# tail (s2_pipe_series_explode, s_control_classify, s_json_array_math,
-# s_risk_regex, s_url_normalize,
-# t_ngram_docfreq, t_pii_redact, t_repetition, u3_evidence_union,
-# w1_weekly_rollup, w2_anomaly_baselines, w5_latest_per_key,
-# w7_error_streak, w8_activity_episodes): all fourteen are
-# pytest-covered family members of in-sample rows (unions.py /
-# windows.py + operators/sessionize.py; s_*/t_* are scalars/
-# functions/textstats families with python-reference or
-# golden-fixture parity) and re-proven exact by the local full gate
-# this round; they join the named tier-3 set at the head of the r12
-# queue.
+# round. Round 12 (VERDICT r11 #1): the 50-cap sample is
+# tier 1 = the 30 rows whose latest driver green is r08 — exactly the
+#   named set the r11 verdict queued (the 16-row tier-3 set plus the
+#   14 r11-deferred family members), the oldest evidence anywhere in
+#   the registry;
+# tier 2 = the r12 additions, never driver-sampled
+#   (j12b_attribution_skew / s_table_profile_approx / d69_ivf_design /
+#   a19_grouping_sets / w15_funnel_steps / o9_diversified_topk —
+#   never-sampled rows outrank stale-green ones, the standing
+#   precedent; each oracle-exact at sf0.01 AND sf0.001 on arrival,
+#   vanilla-session checked, with python brute-force parity tests);
+# tier 3 = rows whose ORACLE TEXT or PLAN changed this round, so their
+#   old green rows no longer witness the current code: the trained-IVF
+#   family whose shared oracle preamble gained the corpus-scaled
+#   cell-count CTE (d49_kmeans_codebook r09; d8/d14/d23/d24/d25/d25b
+#   r10; d61/d62/d65/d66 r11) plus d39_split_gram_overlap (r09 green
+#   AND its gram key moved to xxhash64-of-array this round) and
+#   j12_purchase_attribution (r11 green, plan gained the skew guard).
+#   Freshest-green members (d62/d65/d66/d61/j12) sit at the tier's
+#   tail so any cap pressure defers exactly the rows with the
+#   youngest compensating evidence;
+# tier 4 = the oldest untouched r09 rows as fill (d21/d22/d26/d27 —
+#   d26 doubly relevant: s_table_profile_approx reuses its KMV
+#   machinery). The remaining r09 rows lead the r13 queue.
 _SAMPLE_FIRST = [
-    # tier 1a — latest driver green is r07 (compensating per-round
-    # evidence: a1 runs EVERY round as entry() + bench headline;
-    # t2 streaming replay==batch pytest vs the recursive-CTE oracle;
-    # f1/f2 deterministic-fake seams pytest-pinned; t_lang_confusion
-    # shares a16's implementation; t_quality_score / t_token_count
-    # python-reference pytest parity)
-    "a1_pricing_summary", "t2_crisis_chain", "f1_llm_classify",
-    "f2_feature_summary", "t_lang_confusion", "t_quality_score",
-    "t_token_count",
-    # tier 1b — never driver-sampled (landed late r10)
-    "t_burstiness", "d60_dsir_select", "d61_centroid_outliers",
-    # tier 1c — never driver-sampled (landed r11)
-    "t_novelty", "d62_quantization_error", "m6_modality_mix",
-    "d63_budget_threshold", "o8_keyset_pagination",
-    "w12_session_windows", "d64_doremi_mix", "d65_cluster_purity",
-    "d66_nprobe_sweep", "w13_surge_shipments", "m7_shard_pack",
-    "t_k_anonymity", "d67_filter_agreement", "s_table_profile",
-    "w14_ohlc_resample", "d68_lsh_design", "a17_rollup_totals",
-    "u5_segment_set_ops", "a18_pivot_matrix",
-    "j12_purchase_attribution",
-    # tier 2 — latest driver green is r08 (d50's parents d2/d9 early:
-    # the r11 MV-seam rework moved d50's round-1 rank behind the
-    # store, so re-prove the pair/cluster relations it derives from)
-    "d2_minhash_pairs", "d9_dedup_clusters", "d1_exact_dedup",
-    "d12_token_stream_pack", "d13_stratified_sample",
-    "d18_temperature_mix", "d19_embedding_clusters",
-    "d20_decontam_spans", "e10_processed_articles",
-    "e11_industry_durations",
-    "e13_feature_series", "e3_storylines", "e6_sector_baseline",
-    "j10_scope_semi", "j1_star_join",
-    "j6_conditional_join", "j9_asof_freshness", "o2_topk_compound",
-    "o6_risk_leaderboard", "p2_override_daily",
-    "s2_pipe_series_explode", "s_control_classify",
-    "s_json_array_math", "s_risk_regex", "s_url_normalize",
-    "t_ngram_docfreq", "t_pii_redact", "t_repetition",
-    "u3_evidence_union",
-    "w1_weekly_rollup", "w2_anomaly_baselines", "w5_latest_per_key",
-    "w7_error_streak", "w8_activity_episodes",
-    # tier 3 — past the 50-cap this round; compensating evidence named
-    # in the note above; first in line for r12
+    # tier 1 — latest driver green is r08 (30 rows, the full set the
+    # r11 verdict named; compensating evidence recorded in that
+    # verdict's rotation note: every one is a pytest-covered family
+    # member of an r10/r11-green sibling and was exact in the r11
+    # judge's own two full 176-query gate runs)
     "a1_daily_event_counts", "a1b_rounding_parity", "f3_hf_batch",
     "f4_sentiment", "s_date_bounds", "s_name_normalize",
     "o1_pagination", "u1_entity_branches", "j5_branch_union",
     "a13_distinct_dates", "w10_lag_delta", "o3_nulls_last",
     "p5_ilike_match", "u2_key_union_dedup", "j11_unmatched_anti",
     "e12_narrative_tags",
+    "s2_pipe_series_explode", "s_control_classify",
+    "s_json_array_math", "s_risk_regex", "s_url_normalize",
+    "t_ngram_docfreq", "t_pii_redact", "t_repetition",
+    "u3_evidence_union",
+    "w1_weekly_rollup", "w2_anomaly_baselines", "w5_latest_per_key",
+    "w7_error_streak", "w8_activity_episodes",
+    # tier 2 — never driver-sampled (landed r12)
+    "j12b_attribution_skew", "s_table_profile_approx",
+    "d69_ivf_design",
+    "a19_grouping_sets", "w15_funnel_steps", "o9_diversified_topk",
+    # tier 3 — oracle text or plan changed in r12 (oldest green first)
+    "d49_kmeans_codebook", "d39_split_gram_overlap",
+    "d8_ann_ivf", "d14_ann_ivf_nprobe2", "d23_pq_codes",
+    "d24_ann_ivfpq", "d25_ann_recall", "d25b_ann_recall_trained",
+    "d61_centroid_outliers", "d62_quantization_error",
+    "d65_cluster_purity", "d66_nprobe_sweep",
+    "j12_purchase_attribution",
+    # tier 4 — r09 fill (the rest of the r09 cohort leads r13)
+    "d21_token_budget_mix", "d22_epoch_shuffle", "d26_kmv_distinct",
+    "d27_incremental_neardup",
+    # beyond the 50-cap: the remaining r09 rows in queue order so the
+    # r13 rotation is already explicit
+    "d28_chunk_overlap", "d29_split_assign", "d30_span_dedup",
+    "d31_split_leakage", "d32_rag_context", "d33_dataset_card",
+    "d34_bpe_merges", "d35_oov_rate", "d36_hard_negatives",
+    "d37_minhash_calibration", "d38_quantile_sketch", "d3_ann_topk",
+    "d40_vocab_growth", "d41_cross_source_dups",
+    "d42_embed_recall", "d43_lm_quality_buckets",
+    "d45_dup_weighted_sample", "d46_sentence_dedup",
+    "d48_retention_curve", "d50_dup_centrality",
+    "d51_curation_funnel", "d52_cluster_size_hist", "d54_anneal_mix",
+    "d55_packing_efficiency", "d56_quality_dup_cross",
+    "m1_binary_meta", "m2_decode_features", "m3_frame_resize",
+    "m4_payload_dedup", "m5_frame_dedup",
+    "t_code_detect", "t_html_strip", "t_keyword_topk",
+    "t_readability", "t_tfidf", "t_ttr", "t_zipf_profile",
+    "d44_semantic_prune", "d47_semantic_decontam",
 ]
 
 

@@ -154,6 +154,12 @@ HEADLINE = [
     "u5_segment_set_ops",
     "a18_pivot_matrix",
     "j12_purchase_attribution",
+    "j12b_attribution_skew",
+    "s_table_profile_approx",
+    "d69_ivf_design",
+    "a19_grouping_sets",
+    "o9_diversified_topk",
+    "w15_funnel_steps",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
@@ -570,8 +576,9 @@ BUDGET_R10 = {
                               # t_quality_score + the d43 score MV)
     "s_table_profile": 0.95,  # 0.82 in-harness median (guard 1.319 ->
                               # normalized 0.62; the multi-distinct
-                              # Expand is the whole cost — build-class,
-                              # KMV is the documented 100 TB swap)
+                              # Expand is the whole cost — build-class;
+                              # r12: the KMV swap is now CODE,
+                              # s_table_profile_approx)
     "w14_ohlc_resample": 0.6,  # 0.468 in-harness median (guard 1.274
                               # -> normalized 0.37; one map-side agg)
     "d68_lsh_design": 0.35,   # recipe floor: 0.068 in-harness — 64
@@ -589,7 +596,45 @@ BUDGET_R10 = {
                               # while the start-of-run calibration
                               # probes read calm) — max governs
 }
-BUDGET = {**BUDGET_GENERATED, **BUDGET, **BUDGET_R10}
+# ----------------------------------------------------------------
+# r12 pins: the six new queries + the two whose plans changed this
+# round (d39's gram key moved to xxhash64-of-array; j12 gained the
+# eager skew-guard agg). Uniform recipe, from this round's clean
+# in-harness run (guard-normalized medians in the comments).
+BUDGET_R12 = {
+    "j12b_attribution_skew": 0.35,   # floor: 0.179 in-harness median
+                              # (guard 1.277 -> normalized 0.140)
+    "s_table_profile_approx": 1.6,  # 1.325 in-harness median (guard
+                              # 1.277 -> normalized 1.038, 1.5x ->
+                              # 1.557 -> 1.6; the stack->string +
+                              # md5 + distinct exchange is the cost —
+                              # see the A/B block in
+                              # plans/sources_q.py)
+    "d69_ivf_design": 0.35,   # floor: 0.233 in-harness median
+                              # (normalized 0.182 — 8 parameter rows
+                              # + a metadata COUNT)
+    "a19_grouping_sets": 0.35,  # floor: 0.279 in-harness median
+                              # (normalized 0.218; a17's Expand class)
+    "o9_diversified_topk": 0.35,  # floor: 0.337 in-harness median
+                              # (normalized 0.264; WindowGroupLimit +
+                              # TakeOrdered)
+    "w15_funnel_steps": 0.35,  # floor: 0.318 in-harness median
+                              # (normalized 0.249; one user-keyed
+                              # exchange + JVM fold)
+    "d39_split_gram_overlap": 1.05,  # 0.857 in-harness median (guard
+                              # 1.277 -> normalized 0.671, 1.5x ->
+                              # 1.007 -> 1.05) after the r12
+                              # xxhash64-of-array gram key (md5 A/B:
+                              # 1.23 -> 0.93 calm medians); the calm
+                              # normalized median is UNDER the 1 s
+                              # working line for the first time —
+                              # only the 1.5x pin rounds just above it
+    "j12_purchase_attribution": 0.55,  # 0.435 in-harness median
+                              # (normalized 0.341, 1.5x -> 0.511 ->
+                              # 0.55) WITH the r12 skew guard's extra
+                              # eager agg
+}
+BUDGET = {**BUDGET_GENERATED, **BUDGET, **BUDGET_R10, **BUDGET_R12}
 
 # ----------------------------------------------------------------
 # Over-the-line pin registry (VERDICT r8 #8). BASELINE.md derives a
@@ -616,7 +661,14 @@ PINS_ABOVE_WORKING_BUDGET = {
     "d25_ann_recall": "PQ + exact in-cell rankings per probe (composes d24+d8)",
     "d25b_ann_recall_trained": "same measurement, single-pipeline plan shape",
     # gram-grain family: stage-latency-bound at sf0.1, volume-linear at scale
-    "d39_split_gram_overlap": "gram-grain split overlap, d30's class",
+    "d39_split_gram_overlap": "gram-grain split overlap, d30's class "
+                              "(r12: calm median now UNDER the line "
+                              "after the xxhash64 gram key; only the "
+                              "1.5x pin remains above it)",
+    "s_table_profile_approx": "KMV NDV card: stack->string + md5 + "
+                              "one distinct-volume exchange (the "
+                              "bounded-reduce-state serving form; "
+                              "A/B table in plans/sources_q.py)",
     "d57_span_strip": "emits the full cleaned corpus (string-volume-bound "
                       "rebuild over d30's gram agg)",
     "t_ngram_docfreq": "corpus trigram doc-frequency profile",

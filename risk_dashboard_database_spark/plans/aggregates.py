@@ -660,3 +660,54 @@ def a18_pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"{t}_value")
         )
     return wide.select(*cols)
+
+
+# ---------------------------------------------------------------- a19
+# GROUPING SETS — the general multi-grain form (a17 covered the
+# ROLLUP special case): an ASYMMETRIC set list that no rollup/cube
+# shorthand produces, through Spark's native groupingSets operator.
+# Same scale shape as a17: Expand to |sets| grains BEFORE the
+# map-side combine, one exchange bounded by the grain-cell count.
+
+
+@query(
+    "a19_grouping_sets",
+    oracle="""
+    SELECT event_type,
+           CAST(user_id % 4 AS BIGINT) AS cohort,
+           CAST(GROUPING(event_type) * 2 + GROUPING(user_id % 4)
+                AS BIGINT) AS lvl,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY GROUPING SETS ((event_type, user_id % 4), (user_id % 4), ())
+    """,
+)
+def a19_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(type, cohort) cells + per-cohort marginals + the grand total —
+    an asymmetric grain list (deliberately NOT expressible as rollup
+    or cube) in one native GROUPING SETS pass, grouping_id-labeled.
+
+    Spark shape: one scan -> groupingSets(...) agg (Expand to the 3
+    grains before the map-side combine, so the exchange carries at
+    most 3 x |cells| rows at any corpus size). Money through
+    DECIMAL(18,2) at every grain, then double."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            (F.col("user_id") % 4).cast("long").alias("cohort"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+        .groupingSets(
+            [["event_type", "cohort"], ["cohort"], []],
+            "event_type",
+            "cohort",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("lvl"),
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("v").cast("double").alias("value_sum"),
+        )
+        .select("event_type", "cohort", "lvl", "n_events", "value_sum")
+    )

@@ -5768,7 +5768,7 @@ def _d49_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("cell").alias("cid"), "c", "n")
         )
 
-    return cached_relation("d49_codebook_v2", sf_dir, _build)
+    return cached_relation("d49_codebook_v3", sf_dir, _build)
 
 
 @query(
@@ -5904,7 +5904,7 @@ def _trained_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the whole IVF family graduated to the trained codebook (r10) —
     # the store is content-addressed by dataset, so a build-logic
     # change must change the key or stale files would be reused.
-    return cached_relation("ivf_trained_assigned", sf_dir, _build)
+    return cached_relation("ivf_trained_assigned_v2", sf_dir, _build)
 
 
 def _ivf_probe_set(assigned: DataFrame) -> DataFrame:

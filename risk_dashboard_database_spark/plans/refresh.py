@@ -102,8 +102,8 @@ MV_STORE_DAG: list[tuple[str, tuple[str, ...], tuple[str, ...]]] = [
     # old d23_codes step dropped out with the trained default (r10) —
     # stub-only now, built lazily by a flagged run.
     ("d8_assigned",   ("d8_assigned_v2",),                ()),
-    ("d49_codebook",  ("d49_codebook_v2",),               ()),
-    ("trained_assigned", ("ivf_trained_assigned",),       ("d49_codebook",)),
+    ("d49_codebook",  ("d49_codebook_v3",),               ()),
+    ("trained_assigned", ("ivf_trained_assigned_v2",),       ("d49_codebook",)),
     ("d15_grams",     ("d15_grams",),                     ("layouts",)),
     ("d30_grams",     ("d30_grams",),                     ("layouts",)),
     ("t_tri_grams",   ("t_tri_grams",),                   ("layouts",)),

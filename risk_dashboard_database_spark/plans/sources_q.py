@@ -127,17 +127,25 @@ def s_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the same cross-engine-exact stance as d26/d11 — and the driver gate
 # checks it hash-exactly, not "approximately".
 #
-# Scale shape (the reason this variant exists): the corpus-sized work
-# is ONE scan + stack projection + a partition-local KMV fold
-# (mapInPandas over Arrow batches of (col_id tinyint-ish, hv int64) —
-# each partition emits AT MOST K rows per column, so the only
-# corpus-keyed exchange left is the map-side-combined counts agg; the
-# sketch merge moves K x columns x partitions rows no matter how big
-# the table is. The exact card's Expand shuffles every distinct value
-# of every column; this one shuffles 256 longs per column per
-# partition. That is the difference between "linear but heavy"
-# (18.5x at 100x, the measured r11 number) and corpus-independent
-# merge traffic.
+# Scale shape — MEASURED, two candidate plans A/B'd at 100x lineitem
+# before merge (the d66 discipline; full table in BENCH_NOTES r12):
+# a mapInPandas partition-local KMV fold (corpus-independent merge
+# traffic by construction) measured 2.53 s / 125 s (sf0.1 / 100x) —
+# the Arrow transfer of 11 x n (col_id, hv) rows through Python
+# dwarfs everything — and was REJECTED for the declarative d26 shape
+# shipped here: hash JVM-side, partial-agg dedup (map-side combine),
+# ONE distinct-volume exchange, then a WindowGroupLimit rank whose
+# second exchange moves only ~K x partitions rows per column:
+# 1.32 s / 44.6 s. For comparison the exact card reads 0.81 s / 15 s
+# on the same box — the stack-to-string + md5 tax is real, and at
+# local[32] scale the exact card is simply faster. What the sketch
+# buys is not local latency but STATE: the exact card's final agg
+# holds every distinct value of every column at once (NDV-sized
+# reduce state per column — the thing that falls over first on a
+# 1000-executor 100 TB run), while the sketch's post-dedup state is
+# K longs per column per partition, rank-pushed before the merge.
+# Run the exact card once per dataset as the audit; run this one on
+# every refresh where reduce-state headroom matters.
 
 PROFILE_KMV_K = 256  # rel. std. error ~ 1/sqrt(K-2) ~ 6.3%
 
@@ -164,33 +172,6 @@ _PROFILE_TYPES = {
     "l_extendedprice": "dec2", "l_discount": "dec2", "l_tax": "dec2",
     "l_returnflag": "str", "l_linestatus": "str", "l_shipdate": "ts",
 }
-
-
-def _profile_kmv_fold(batches):
-    """Partition-local KMV fold: keep the PROFILE_KMV_K smallest
-    DISTINCT hash values per column across every Arrow batch of this
-    partition; emit at most K rows per column per partition."""
-    import numpy as np
-    import pandas as pd
-
-    best: dict[int, "np.ndarray"] = {}
-    for pdf in batches:
-        for cid, grp in pdf.groupby("col_id"):
-            hv = grp["hv"].to_numpy(dtype="int64")
-            cur = best.get(int(cid))
-            allv = np.concatenate([cur, hv]) if cur is not None else hv
-            best[int(cid)] = np.unique(allv)[:PROFILE_KMV_K]
-    if best:
-        cids = sorted(best)
-        yield pd.DataFrame(
-            {
-                "col_id": np.repeat(
-                    np.array(cids, dtype="int32"),
-                    [len(best[c]) for c in cids],
-                ),
-                "hv": np.concatenate([best[c] for c in cids]),
-            }
-        )
 
 
 def _profile_approx_oracle() -> str:
@@ -225,13 +206,15 @@ def _profile_approx_oracle() -> str:
 def s_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profile card with KMV-sketch NDV (the 100 TB serving path).
 
-    One scan: stack() unpivots each row to (col_id, canonical string)
-    pairs; the exact n_rows/n_nulls counts are a map-side-combinable
-    agg on that stream; the NDV branch hashes each value JVM-side
-    (md5 -> 52-bit prefix, d26's convention), folds each partition to
-    its K smallest distinct hashes in ONE Arrow pass (mapInPandas —
-    the partial-aggregate Spark lacks natively for KMV), and merges
-    K x partitions rows per column with a WindowGroupLimit rank. The
+    stack() unpivots each row to (col_id, canonical string) pairs;
+    the exact n_rows/n_nulls counts are a map-side-combinable agg on
+    that stream; the NDV branch hashes each value JVM-side (md5 ->
+    52-bit prefix, d26's convention), dedups (col_id, hv) through the
+    partial-agg map-side combine — the ONE corpus-sized exchange —
+    and ranks per column with a WindowGroupLimit window (the per-
+    partition top-K runs BEFORE the second exchange, which therefore
+    moves ~K x partitions rows per column). A mapInPandas partial
+    fold was measured and rejected (see the block comment above). The
     estimate (K-1)/frac(h_K) uses one IEEE division of engine-exact
     integers, so DuckDB reproduces it to the last bit. Columns with
     NDV < K report the exact count (the sketch IS the value set)."""
@@ -260,9 +243,8 @@ def s_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hv"),
     )
-    folded = kmv_in.mapInPandas(_profile_kmv_fold, "col_id int, hv long")
     rk = F.row_number().over(Window.partitionBy("col_id").orderBy("hv"))
-    kept = folded.distinct().withColumn("rk", rk).where(F.col("rk") <= k)
+    kept = kmv_in.distinct().withColumn("rk", rk).where(F.col("rk") <= k)
     sketch = kept.groupBy("col_id").agg(
         F.count(F.lit(1)).alias("k_kept"), F.max("hv").alias("hv_k")
     )

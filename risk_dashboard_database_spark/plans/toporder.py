@@ -12,7 +12,7 @@ exchange — which is the 100 TB-safe shape for every query here.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load_table
@@ -355,4 +355,67 @@ def o8_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "date", "o_orderpriority", "total_price")
         .orderBy(*order_cols)
         .limit(50)
+    )
+
+
+# ---------------------------------------------------------------- o9
+# Diversified top-k — the serving-layer ranking constraint every
+# leaderboard eventually grows ("show the top 20, but no more than 3
+# per segment"): a per-group rank cap composed under a global top-k.
+
+
+O9_PER_SEGMENT = 3
+O9_TOPK = 20
+
+
+@query(
+    "o9_diversified_topk",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT c.c_mktsegment AS segment,
+             o.o_orderkey,
+             o.o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY o.o_totalprice DESC,
+                                         o.o_orderkey) AS seg_rank
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT segment,
+           CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           o_totalprice AS total_price,
+           CAST(seg_rank AS BIGINT) AS seg_rank
+    FROM ranked
+    WHERE seg_rank <= {O9_PER_SEGMENT}
+    ORDER BY total_price DESC, o_orderkey
+    LIMIT {O9_TOPK}
+    """,
+)
+def o9_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-{O9_TOPK} orders by price, capped at
+    {O9_PER_SEGMENT} per market segment — diversified ranking via a
+    per-segment ROW_NUMBER cap under a global TakeOrdered.
+
+    Scale shape: the segment rank is WindowGroupLimit-pushed (each
+    input partition keeps only its own top-{O9_PER_SEGMENT} per
+    segment BEFORE the exchange, so the window shuffle moves
+    ~{O9_PER_SEGMENT} x partitions x |segments| rows, never the fact
+    table), and the final slice is TakeOrderedAndProject — no global
+    sort at any corpus size. The customer dim joins broadcast. Ties
+    break on o_orderkey on both engines, so the page is
+    deterministic. total_price is a raw stored value (no float
+    accumulation), so double equality is safe cross-engine."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    w = Window.partitionBy("segment").orderBy(
+        F.col("total_price").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("segment", "o_orderkey", F.col("o_totalprice").alias("total_price"))
+        .withColumn("seg_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("seg_rank") <= O9_PER_SEGMENT)
+        .orderBy(F.col("total_price").desc(), F.col("o_orderkey"))
+        .limit(O9_TOPK)
     )

@@ -555,3 +555,123 @@ def w14_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("volume"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
     )
+
+
+# ---------------------------------------------------------------- w15
+# Ordered-funnel conversion — the product-analytics sequential
+# pattern ("view, THEN click, THEN purchase, in event-time order"):
+# per user, fold the time-ordered event sequence through a stage
+# machine entirely in JVM expressions (sort_array + aggregate()),
+# then roll the per-user stages up to the 3-row funnel card. The
+# SEQUENCE requirement is what separates this from a18's per-type
+# counts: a user who purchases before ever viewing converts nothing.
+
+W15_STEPS = ("view", "click", "purchase")
+
+
+def w15_user_stages(ev: DataFrame) -> DataFrame:
+    """Per-user funnel stage (0..3): the time-ordered stage machine as
+    a JVM expression fold. ONE definition shared with the streaming
+    funnel gate (streaming/funnelgate.py replays the same machine over
+    its buffered per-user state), the j12/_j12_join stance — batch and
+    streaming funnels can never drift."""
+    code = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "purchase", 3)
+        .otherwise(0)
+        .cast("long")
+    )
+    return (
+        ev.where(F.col("event_type").isin(*W15_STEPS))
+        .select(
+            "user_id", F.struct("ts", "event_id", code.alias("code")).alias("e")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.sort_array(F.collect_list("e")),
+                    lambda s: s.getField("code"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: F.when(x == acc + 1, acc + 1).otherwise(acc),
+            ).alias("stage")
+        )
+    )
+
+
+@query(
+    "w15_funnel_steps",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list(CAST(CASE event_type WHEN 'view' THEN 1
+                           WHEN 'click' THEN 2 WHEN 'purchase' THEN 3
+                           ELSE 0 END AS BIGINT)
+                      ORDER BY ts, event_id)),
+               (acc, x) -> CASE WHEN x = acc + 1 THEN acc + 1
+                                ELSE acc END) AS stage
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+      GROUP BY user_id
+    ),
+    card AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE stage >= 1) AS BIGINT) AS u1,
+             CAST(COUNT(*) FILTER (WHERE stage >= 2) AS BIGINT) AS u2,
+             CAST(COUNT(*) FILTER (WHERE stage >= 3) AS BIGINT) AS u3
+      FROM seq
+    )
+    SELECT step, step_name, users,
+           CAST((users * 1000000) // NULLIF(u1, 0) AS BIGINT)
+             AS conversion_ppm
+    FROM (
+      SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+             u1 AS users, u1 FROM card
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'click', u2, u1 FROM card
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), 'purchase', u3, u1 FROM card
+    )
+    """,
+)
+def w15_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The view -> click -> purchase funnel card: users reached per
+    step (strictly event-time-ordered) and conversion vs step 1 in
+    integer ppm.
+
+    Spark shape: filter to the 3 funnel types (pushed to the scan),
+    ONE user-keyed exchange collecting each user's (ts, event_id,
+    code) structs, then the stage machine runs as a JVM expression
+    fold — sort_array for the event-time order (event_id breaks ts
+    ties identically on both engines) and aggregate() for the
+    'advance only on the next expected step' transition — never a
+    Python UDF, never a self-join per step (the textbook funnel query
+    is K-1 self-joins; this is one pass). The per-user array is that
+    user's funnel events only — per-key bounded the same way j12
+    discloses via j12b. The card rollup is a 1-row conditional agg
+    stacked to 3 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    card = w15_user_stages(ev).agg(
+        *[
+            F.count(F.when(F.col("stage") >= i, 1)).cast("long").alias(f"u{i}")
+            for i in (1, 2, 3)
+        ]
+    )
+    steps = ", ".join(
+        f"CAST({i} AS BIGINT), '{s}', u{i}"
+        for i, s in enumerate(W15_STEPS, start=1)
+    )
+    return card.select(
+        F.expr(f"stack(3, {steps}) AS (step, step_name, users)"),
+        F.col("u1"),
+    ).select(
+        "step",
+        "step_name",
+        "users",
+        F.expr("CAST(users * 1000000 DIV NULLIF(u1, 0) AS BIGINT)").alias(
+            "conversion_ppm"
+        ),
+    )

@@ -147,28 +147,25 @@ def test_profile_approx_vs_exact_parity(spark):
     assert saw_sketch_leg
 
 
-def test_profile_approx_invariant_to_arrow_batch_size(spark):
-    """The r11 shardgate lesson as a regression pin here: the KMV fold
-    accumulates across ALL Arrow batches of a partition, so forcing
-    tiny batches (5 rows) must change nothing. A fold that treated
-    each batch independently would emit K rows per batch and survive
-    the merge (KMV is idempotent under union), so ALSO pin the exact
-    card equality, which the sf0.001 parity test derives from."""
+def test_profile_approx_plan_rank_is_group_limit_pushed(spark):
+    """The scale property the A/B selected this plan FOR: the per-
+    column KMV rank must be WindowGroupLimit-pushed (per-partition
+    top-K computed BEFORE the exchange, so the merge moves
+    ~K x partitions rows per column, d26's shape) — a plan regression
+    back to a full-window sort would silently re-shuffle the whole
+    distinct volume a second time."""
     from risk_dashboard_database_spark.plans.sources_q import (
         s_table_profile_approx,
     )
 
-    want = sorted(map(tuple, s_table_profile_approx(spark, SF_DIR).collect()))
-    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
-    old = spark.conf.get(key)
-    try:
-        spark.conf.set(key, "5")
-        got = sorted(
-            map(tuple, s_table_profile_approx(spark, SF_DIR).collect())
-        )
-    finally:
-        spark.conf.set(key, old)
-    assert got == want
+    plan = (
+        s_table_profile_approx(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+    assert "mapInPandas" not in plan.lower()
 
 
 def test_d49_cells_formula_identical_in_python_duckdb_spark(spark):
@@ -211,3 +208,158 @@ def test_d49_deployed_cells_at_test_sfs(spark):
 
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         assert _ivf_cells(spark, f"/root/testdata/{sf}") == 16
+
+
+def test_a19_grouping_sets_matches_python_bruteforce(spark):
+    """a19 recomputed in plain Python over the raw events: the three
+    grains (cell / cohort marginal / grand total), counts, and
+    2dp-decimal value sums."""
+    from decimal import Decimal
+
+    from risk_dashboard_database_spark.plans.aggregates import (
+        a19_grouping_sets,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    cells: dict[tuple, list] = {}
+    for r in ev:
+        q = Decimal(str(r["value"])).quantize(Decimal("0.01"))
+        for key in [
+            (r["event_type"], r["user_id"] % 4, 0),
+            (None, r["user_id"] % 4, 2),
+            (None, None, 3),
+        ]:
+            c = cells.setdefault(key, [0, Decimal(0)])
+            c[0] += 1
+            c[1] += q
+    got = {
+        (r["event_type"], r["cohort"], r["lvl"]): (
+            r["n_events"],
+            r["value_sum"],
+        )
+        for r in a19_grouping_sets(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(cells)
+    for k, (n, s) in cells.items():
+        assert got[k] == (n, float(s)), k
+
+
+def test_o9_diversified_topk_matches_python_bruteforce(spark):
+    """o9 recomputed in plain Python: per-segment rank by (price desc,
+    orderkey), cap 3 per segment, global top-20 by the same order."""
+    from risk_dashboard_database_spark.plans.toporder import (
+        O9_PER_SEGMENT,
+        O9_TOPK,
+        o9_diversified_topk,
+    )
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    seg = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    }
+    by_seg: dict[str, list] = {}
+    for o in orders:
+        by_seg.setdefault(seg[o["o_custkey"]], []).append(o)
+    kept = []
+    for s, rows in by_seg.items():
+        rows.sort(key=lambda o: (-o["o_totalprice"], o["o_orderkey"]))
+        for rk, o in enumerate(rows[:O9_PER_SEGMENT], 1):
+            kept.append((s, o["o_orderkey"], o["o_totalprice"], rk))
+    kept.sort(key=lambda t: (-t[2], t[1]))
+    want = kept[:O9_TOPK]
+    got = [
+        (r["segment"], r["o_orderkey"], r["total_price"], r["seg_rank"])
+        for r in o9_diversified_topk(spark, SF_DIR).collect()
+    ]
+    assert got == want
+    # the diversity cap must actually bind somewhere at this SF
+    assert len({s for s, *_ in want}) > 1
+
+
+def test_w15_funnel_matches_python_state_machine(spark):
+    """w15 recomputed as a literal per-user state machine over the
+    (ts, event_id)-sorted event stream."""
+    from risk_dashboard_database_spark.plans.windows import (
+        w15_funnel_steps,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    per_user: dict[int, list] = {}
+    for r in ev:
+        if r["event_type"] in ("view", "click", "purchase"):
+            per_user.setdefault(r["user_id"], []).append(r)
+    want_code = {"view": 1, "click": 2, "purchase": 3}
+    stages = {}
+    for u, rows in per_user.items():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        stage = 0
+        for r in rows:
+            if want_code[r["event_type"]] == stage + 1:
+                stage += 1
+        stages[u] = stage
+    u1 = sum(1 for s in stages.values() if s >= 1)
+    u2 = sum(1 for s in stages.values() if s >= 2)
+    u3 = sum(1 for s in stages.values() if s >= 3)
+    want = [
+        (1, "view", u1, (u1 * 1_000_000) // u1 if u1 else None),
+        (2, "click", u2, (u2 * 1_000_000) // u1 if u1 else None),
+        (3, "purchase", u3, (u3 * 1_000_000) // u1 if u1 else None),
+    ]
+    got = [
+        (r["step"], r["step_name"], r["users"], r["conversion_ppm"])
+        for r in w15_funnel_steps(spark, SF_DIR).orderBy("step").collect()
+    ]
+    assert got == want
+    # monotone funnel (at sf0.001 every active user happens to
+    # complete it — the drop-off property is exercised by the
+    # order-sensitivity test below instead)
+    assert u1 >= u2 >= u3 > 0
+
+
+def test_w15_funnel_is_order_sensitive(spark):
+    """The property that separates a funnel from a18's per-type
+    counts: a user who purchases BEFORE viewing must not convert.
+    Two synthetic users with identical event multisets, opposite
+    orders."""
+    import datetime as dt2
+
+    from risk_dashboard_database_spark.plans.windows import (
+        w15_funnel_steps,
+    )
+
+    # reuse the production plan on a temp dir so the whole path runs
+    base = dt2.datetime(2024, 1, 1)
+    rows = [
+        # user 1: view -> click -> purchase (converts)
+        (1, base, 1, "view", 0.0, "{}"),
+        (2, base + dt2.timedelta(hours=1), 1, "click", 0.0, "{}"),
+        (3, base + dt2.timedelta(hours=2), 1, "purchase", 1.0, "{}"),
+        # user 2: purchase -> click -> view (reaches stage 1 only)
+        (4, base, 2, "purchase", 1.0, "{}"),
+        (5, base + dt2.timedelta(hours=1), 2, "click", 0.0, "{}"),
+        (6, base + dt2.timedelta(hours=2), 2, "view", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as d:
+        # loaders expect one parquet FILE per table (testdata layout)
+        pq.write_table(
+            pa.Table.from_pandas(df.toPandas()), f"{d}/events.parquet"
+        )
+        got = {
+            r["step_name"]: (r["users"], r["conversion_ppm"])
+            for r in w15_funnel_steps(spark, d).collect()
+        }
+    assert got == {
+        "view": (2, 1_000_000),
+        "click": (1, 500_000),
+        "purchase": (1, 500_000),
+    }
