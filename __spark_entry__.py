@@ -68,10 +68,15 @@ _SAMPLE_FIRST = [
     "u3_evidence_union",
     "w1_weekly_rollup", "w2_anomaly_baselines", "w5_latest_per_key",
     "w7_error_streak", "w8_activity_episodes",
-    # tier 2 — never driver-sampled (landed r12)
+    # tier 2 — never driver-sampled (landed r12). With 8 additions the
+    # 50-cap cuts at tier 3's last row: j12_purchase_attribution (its
+    # r11 green is the freshest of the changed set, and the guard
+    # change is pytest + local-gate covered) and all of tier 4
+    # (d21/d22/d26/d27) defer to the r13 queue head.
     "j12b_attribution_skew", "s_table_profile_approx",
     "d69_ivf_design",
     "a19_grouping_sets", "w15_funnel_steps", "o9_diversified_topk",
+    "w16_retention_cohorts", "s3_props_json",
     # tier 3 — oracle text or plan changed in r12 (oldest green first)
     "d49_kmeans_codebook", "d39_split_gram_overlap",
     "d8_ann_ivf", "d14_ann_ivf_nprobe2", "d23_pq_codes",

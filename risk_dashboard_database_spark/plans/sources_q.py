@@ -263,3 +263,72 @@ def s_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(est, F.lit(0.0)).alias("ndv_est"),
         )
     )
+
+
+# ---------------------------------------------------------- s3_props
+# Semi-structured extraction with an EXPLICIT schema — the events
+# table's `props` column is a JSON payload, and the 100 TB form of
+# reading it is from_json with a declared struct (one expression, no
+# schema-inference pass over the corpus, exactly the a18
+# explicit-value-list stance applied to JSON). The oracle extracts
+# the same field with DuckDB's JSON functions, so the gate pins the
+# two engines' JSON parsing against each other.
+
+
+_S3_K_DUCK_SQL = """CASE WHEN props IS NOT NULL AND json_valid(props)
+                  AND json_type(json_extract(props, '$.k'))
+                      IN ('BIGINT', 'UBIGINT')
+                  THEN TRY_CAST(json_extract_string(props, '$.k')
+                                AS BIGINT) END"""
+
+
+@query(
+    "s3_props_json",
+    # The oracle mirrors Spark's from_json('k BIGINT') semantics
+    # EXACTLY, not just on clean data (code-review r12 #1): Spark
+    # yields a non-null k ONLY for a JSON integer token that fits
+    # BIGINT — malformed JSON, missing key, 1.5, "7" (string-typed),
+    # true, null, and uint64-overflow all parse to NULL. The naive
+    # json_extract_string + CAST diverges on every one of those
+    # (raises on invalid JSON; rounds '1.5' to 2; accepts '"7"'), so
+    # the guard below checks json_valid + the JSON token TYPE and
+    # TRY_CASTs for overflow. Pinned against Spark on a 13-case edge
+    # corpus in tests/test_r12_ops.py.
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) - COUNT(k) AS BIGINT) AS n_unparsed,
+           CAST(SUM(k) AS BIGINT) AS k_sum,
+           CAST(MIN(k) AS BIGINT) AS k_min,
+           CAST(MAX(k) AS BIGINT) AS k_max
+    FROM (
+      SELECT event_type,
+             {_S3_K_DUCK_SQL} AS k
+      FROM events
+    )
+    GROUP BY event_type
+    """,
+)
+def s3_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type stats over a JSON-extracted property: count,
+    unparsed count, and integer sum/min/max of props.k.
+
+    Spark shape: from_json(props, 'k BIGINT') — the declared-schema
+    parse that keeps the scan single-pass (schema inference would be
+    a second corpus read) and null-safe (malformed JSON yields a null
+    struct, counted in n_unparsed, never an error) — then one
+    map-side-combinable agg. Integer aggregates only, so the hash
+    comparison is exact by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (F.count(F.lit(1)) - F.count("k")).cast("long").alias("n_unparsed"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.min("k").cast("long").alias("k_min"),
+            F.max("k").cast("long").alias("k_max"),
+        )
+    )

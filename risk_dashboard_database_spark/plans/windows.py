@@ -675,3 +675,104 @@ def w15_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conversion_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------- w16
+# Retention cohort matrix — the other canonical product-analytics
+# relation beside w15's funnel: users bucketed by signup week, then
+# for each week offset, how many were active at all. Week identity is
+# an INTEGER epoch-week index (epoch days // 7) so both engines
+# derive it with exact integer arithmetic — no date_trunc('week')
+# dialect anchor to disagree on.
+
+
+@query(
+    "w16_retention_cohorts",
+    oracle="""
+    WITH wk AS (
+      SELECT user_id, event_type,
+             CAST((CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS BIGINT)
+               AS week_idx
+      FROM events
+    ),
+    cohort AS (
+      SELECT user_id, MIN(week_idx) AS cohort_week
+      FROM wk WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      FROM cohort GROUP BY cohort_week
+    ),
+    act AS (SELECT DISTINCT user_id, week_idx FROM wk),
+    hits AS (
+      SELECT c.cohort_week,
+             a.week_idx - c.cohort_week AS week_offset,
+             CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_users
+      FROM act a JOIN cohort c ON c.user_id = a.user_id
+      WHERE a.week_idx >= c.cohort_week
+      GROUP BY 1, 2
+    )
+    SELECT h.cohort_week, h.week_offset, h.active_users, s.cohort_size,
+           CAST((h.active_users * 1000000) // s.cohort_size AS BIGINT)
+             AS retention_ppm
+    FROM hits h JOIN sizes s ON s.cohort_week = h.cohort_week
+    """,
+)
+def w16_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly signup-cohort retention: per (cohort week, week offset),
+    distinct active users, cohort size, retention in integer ppm.
+
+    Spark shape: one scan derives the integer epoch-week index per
+    event; the cohort relation is a user-keyed min agg over signups,
+    the activity relation a (user, week) distinct — both map-side
+    combined to user-grain before their exchanges. The act-cohort
+    join is left UNHINTED: cohort is user-grain (it GROWS with
+    users), so Catalyst broadcasts it while its stats fit and AQE
+    switches to a co-keyed shuffle join beyond that — a hard hint
+    here would force an over-limit broadcast at exactly the scale
+    the matrix is for. Only the |weeks|-row sizes join is hinted.
+    At 100 TB cohorts grow with USERS, offsets with TIME — the
+    output is |weeks|^2/2 rows no matter how many events arrive."""
+    ev = load_table(spark, sf_dir, "events")
+    week = (
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long") / F.lit(7)
+    )
+    wk = ev.select(
+        "user_id",
+        "event_type",
+        F.floor(week).cast("long").alias("week_idx"),
+    )
+    cohort = (
+        wk.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("week_idx").alias("cohort_week"))
+    )
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    act = wk.select("user_id", "week_idx").distinct()
+    # NO broadcast hint on cohort (code-review r12 #3): it is
+    # user-grain, so a hard hint would force an >8 GB broadcast build
+    # at the very scale the matrix is meant for. Catalyst broadcasts
+    # it at test SFs on size stats and AQE falls back to a shuffle
+    # join when users outgrow the threshold; sizes (|weeks| rows)
+    # stays hinted below.
+    hits = (
+        act.join(cohort, "user_id")
+        .where(F.col("week_idx") >= F.col("cohort_week"))
+        .groupBy(
+            "cohort_week",
+            (F.col("week_idx") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count_distinct(F.col("user_id")).cast("long").alias("active_users"))
+    )
+    return hits.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "active_users",
+        "cohort_size",
+        F.expr("CAST(active_users * 1000000 DIV cohort_size AS BIGINT)").alias(
+            "retention_ppm"
+        ),
+    )

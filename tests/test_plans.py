@@ -126,6 +126,19 @@ EXCH_BUDGET = {
                                     # target LM broadcasts, the
                                     # selection is TakeOrdered (never
                                     # a global sort)
+    "w16_retention_cohorts": 6,     # the act-cohort join is
+                                    # deliberately UNHINTED (cohort is
+                                    # user-grain — a hard broadcast
+                                    # hint would force an over-limit
+                                    # build at exactly the scale the
+                                    # matrix is for, code-review r12
+                                    # #3), so the static plan carries
+                                    # both join-side exchanges; AQE
+                                    # broadcast-switches at runtime
+                                    # while cohort stats fit.
+                                    # Corpus-keyed work stays the two
+                                    # partial aggs; the rest is
+                                    # user/weeks-grain.
     "d64_doremi_mix": 4,            # doc-grain MV+source join + source
                                     # agg move the corpus; the 1-row
                                     # anchor agg and the two whole-frame

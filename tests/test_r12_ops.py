@@ -214,7 +214,7 @@ def test_a19_grouping_sets_matches_python_bruteforce(spark):
     """a19 recomputed in plain Python over the raw events: the three
     grains (cell / cohort marginal / grand total), counts, and
     2dp-decimal value sums."""
-    from decimal import Decimal
+    from decimal import ROUND_HALF_UP, Decimal
 
     from risk_dashboard_database_spark.plans.aggregates import (
         a19_grouping_sets,
@@ -223,7 +223,11 @@ def test_a19_grouping_sets_matches_python_bruteforce(spark):
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
     cells: dict[tuple, list] = {}
     for r in ev:
-        q = Decimal(str(r["value"])).quantize(Decimal("0.01"))
+        # Spark's double->decimal(18,2) cast rounds HALF_UP (the
+        # 5bbf8af convention) — never Decimal's default HALF_EVEN
+        q = Decimal(str(r["value"])).quantize(
+            Decimal("0.01"), rounding=ROUND_HALF_UP
+        )
         for key in [
             (r["event_type"], r["user_id"] % 4, 0),
             (None, r["user_id"] % 4, 2),
@@ -363,3 +367,135 @@ def test_w15_funnel_is_order_sensitive(spark):
         "click": (1, 500_000),
         "purchase": (1, 500_000),
     }
+
+
+def test_w16_retention_matches_python_bruteforce(spark):
+    """w16 recomputed in plain Python: per-user signup cohort week
+    (epoch-day // 7), distinct active weeks, the (cohort, offset)
+    matrix with distinct-user counts and integer-ppm retention."""
+    import datetime as dt3
+
+    from risk_dashboard_database_spark.plans.windows import (
+        w16_retention_cohorts,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    epoch = dt3.date(1970, 1, 1)
+
+    def wk(ts):
+        return (ts.date() - epoch).days // 7
+
+    cohort = {}
+    act = set()
+    for r in ev:
+        w = wk(r["ts"])
+        act.add((r["user_id"], w))
+        if r["event_type"] == "signup":
+            cohort[r["user_id"]] = min(cohort.get(r["user_id"], w), w)
+    sizes = Counter(cohort.values())
+    hits = {}
+    for u, w in act:
+        if u in cohort and w >= cohort[u]:
+            hits.setdefault((cohort[u], w - cohort[u]), set()).add(u)
+    want = {
+        k: (
+            len(us),
+            sizes[k[0]],
+            (len(us) * 1_000_000) // sizes[k[0]],
+        )
+        for k, us in hits.items()
+    }
+    got = {
+        (r["cohort_week"], r["week_offset"]): (
+            r["active_users"],
+            r["cohort_size"],
+            r["retention_ppm"],
+        )
+        for r in w16_retention_cohorts(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # offset-0 rows exist for EVERY cohort (a strict ">" regression in
+    # the week filter would drop them) and retention never exceeds 1
+    for cw in sizes:
+        assert (cw, 0) in got
+    for (cw, off), (a, s, ppm) in want.items():
+        assert 0 < a <= s and ppm <= 1_000_000
+
+
+def test_s3_props_json_matches_python_bruteforce(spark):
+    """s3 recomputed in plain Python with the stdlib json parser."""
+    import json as pyjson
+
+    from risk_dashboard_database_spark.plans.sources_q import s3_props_json
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    agg: dict[str, list] = {}
+    for r in ev:
+        try:
+            k = pyjson.loads(r["props"]).get("k")
+        except (ValueError, TypeError, AttributeError):
+            k = None
+        a = agg.setdefault(r["event_type"], [0, 0, 0, None, None])
+        a[0] += 1
+        if k is None:
+            a[1] += 1
+        else:
+            a[2] += k
+            a[3] = k if a[3] is None else min(a[3], k)
+            a[4] = k if a[4] is None else max(a[4], k)
+    got = {
+        r["event_type"]: (
+            r["n_events"], r["n_unparsed"], r["k_sum"], r["k_min"], r["k_max"]
+        )
+        for r in s3_props_json(spark, SF_DIR).collect()
+    }
+    want = {t: tuple(a) for t, a in agg.items()}
+    assert got == want
+
+
+S3_EDGE_PROPS = [
+    '{"k": 7}', '{"k": -3}', '{"k": 1.5}', '{"k": "7"}', '{"k": "abc"}',
+    "not json", '{"other": 1}', None, '{"k": 99999999999999999999}',
+    '{"k": true}', '{"k": null}', '{"k": 2.0}',
+    '{"k": 10000000000000000000}',
+]
+
+
+def test_s3_props_json_edge_corpus_pins_both_engines(spark):
+    """The null-safety contract pinned on BOTH sides (code-review r12
+    #1): over a 13-case edge corpus (malformed JSON, missing key,
+    float, string-typed number, bool, json-null, int64 overflow),
+    Spark's from_json('k BIGINT') and the oracle's guarded DuckDB
+    expression must parse IDENTICALLY — only {"k": 7} and {"k": -3}
+    yield values. Without the json_valid/json_type/TRY_CAST guard the
+    oracle raises on 'not json' and rounds '1.5' to 2."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    want = {0: 7, 1: -3}  # index -> k; everything else null
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(S3_EDGE_PROPS)], "i long, props string"
+    )
+    got_spark = {
+        r["i"]: r["k"]
+        for r in df.select(
+            "i", F.from_json("props", "k BIGINT").getField("k").alias("k")
+        ).collect()
+    }
+    from risk_dashboard_database_spark.plans.sources_q import (
+        _S3_K_DUCK_SQL,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, props VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", list(enumerate(S3_EDGE_PROPS))
+    )
+    # the REGISTERED oracle fragment, so this pin can't drift from it
+    got_duck = dict(
+        con.execute(f"SELECT i, {_S3_K_DUCK_SQL} FROM t").fetchall()
+    )
+    full_want = {i: want.get(i) for i in range(len(S3_EDGE_PROPS))}
+    assert got_spark == full_want
+    assert got_duck == full_want
