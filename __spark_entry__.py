@@ -26,69 +26,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # Sampling order for correctness runs: queries whose driver evidence is
 # oldest first, so a bounded per-round sample keeps every registry row's
 # latest green driver evidence at most two rounds old. Rotated each
-# round. Round 12 (VERDICT r11 #1): the 50-cap sample is
-# tier 1 = the 30 rows whose latest driver green is r08 — exactly the
-#   named set the r11 verdict queued (the 16-row tier-3 set plus the
-#   14 r11-deferred family members), the oldest evidence anywhere in
-#   the registry;
-# tier 2 = the r12 additions, never driver-sampled
-#   (j12b_attribution_skew / s_table_profile_approx / d69_ivf_design /
-#   a19_grouping_sets / w15_funnel_steps / o9_diversified_topk —
-#   never-sampled rows outrank stale-green ones, the standing
-#   precedent; each oracle-exact at sf0.01 AND sf0.001 on arrival,
-#   vanilla-session checked, with python brute-force parity tests);
-# tier 3 = rows whose ORACLE TEXT or PLAN changed this round, so their
-#   old green rows no longer witness the current code: the trained-IVF
-#   family whose shared oracle preamble gained the corpus-scaled
-#   cell-count CTE (d49_kmeans_codebook r09; d8/d14/d23/d24/d25/d25b
-#   r10; d61/d62/d65/d66 r11) plus d39_split_gram_overlap (r09 green
-#   AND its gram key moved to xxhash64-of-array this round) and
-#   j12_purchase_attribution (r11 green, plan gained the skew guard).
-#   Freshest-green members (d62/d65/d66/d61/j12) sit at the tier's
-#   tail so any cap pressure defers exactly the rows with the
-#   youngest compensating evidence;
-# tier 4 = the oldest untouched r09 rows as fill (d21/d22/d26/d27 —
-#   d26 doubly relevant: s_table_profile_approx reuses its KMV
-#   machinery). The remaining r09 rows lead the r13 queue.
+# round. Round 13 (VERDICT r12 #2): after r12 the cross-round ledger is
+# r12-green for 50 rows, r11 for 46, r10 for 44, r09 for 43 — the 43
+# r09 rows ARE the queue, and all fit under the 50-cap:
+# tier 1 = the 4 rows the r12 cap deferred (d21/d22/d26/d27 — named as
+#   the r13 queue head in the r12 rotation comment and the verdict);
+# tier 2 = the remaining 39 r09-green rows in the standing queue order
+#   (the d28–d56 cohort, m1–m5, the t_* text-stats family, d44/d47);
+# tier 3 = rows whose PLAN changed this round, so their r12 green no
+#   longer witnesses the current code: j12_purchase_attribution (the
+#   skew guard became memoized-on-feed-signature, VERDICT r12 #1) and
+#   o9_diversified_topk (the hard customer broadcast hint dropped,
+#   ADVICE r12 — AQE now picks the strategy);
+# tier 4 = r13 additions, never driver-sampled (never-sampled rows
+#   outrank stale-green ones, the standing precedent; each was
+#   oracle-exact at sf0.01 AND sf0.001 on arrival, vanilla-checked,
+#   with python brute-force parity tests).
+# 43 + 2 + 5 = 50 exactly; the r10 cohort (44 rows, listed below the
+# cap) leads the r14 queue.
 _SAMPLE_FIRST = [
-    # tier 1 — latest driver green is r08 (30 rows, the full set the
-    # r11 verdict named; compensating evidence recorded in that
-    # verdict's rotation note: every one is a pytest-covered family
-    # member of an r10/r11-green sibling and was exact in the r11
-    # judge's own two full 176-query gate runs)
-    "a1_daily_event_counts", "a1b_rounding_parity", "f3_hf_batch",
-    "f4_sentiment", "s_date_bounds", "s_name_normalize",
-    "o1_pagination", "u1_entity_branches", "j5_branch_union",
-    "a13_distinct_dates", "w10_lag_delta", "o3_nulls_last",
-    "p5_ilike_match", "u2_key_union_dedup", "j11_unmatched_anti",
-    "e12_narrative_tags",
-    "s2_pipe_series_explode", "s_control_classify",
-    "s_json_array_math", "s_risk_regex", "s_url_normalize",
-    "t_ngram_docfreq", "t_pii_redact", "t_repetition",
-    "u3_evidence_union",
-    "w1_weekly_rollup", "w2_anomaly_baselines", "w5_latest_per_key",
-    "w7_error_streak", "w8_activity_episodes",
-    # tier 2 — never driver-sampled (landed r12). With 8 additions the
-    # 50-cap cuts at tier 3's last row: j12_purchase_attribution (its
-    # r11 green is the freshest of the changed set, and the guard
-    # change is pytest + local-gate covered) and all of tier 4
-    # (d21/d22/d26/d27) defer to the r13 queue head.
-    "j12b_attribution_skew", "s_table_profile_approx",
-    "d69_ivf_design",
-    "a19_grouping_sets", "w15_funnel_steps", "o9_diversified_topk",
-    "w16_retention_cohorts", "s3_props_json",
-    # tier 3 — oracle text or plan changed in r12 (oldest green first)
-    "d49_kmeans_codebook", "d39_split_gram_overlap",
-    "d8_ann_ivf", "d14_ann_ivf_nprobe2", "d23_pq_codes",
-    "d24_ann_ivfpq", "d25_ann_recall", "d25b_ann_recall_trained",
-    "d61_centroid_outliers", "d62_quantization_error",
-    "d65_cluster_purity", "d66_nprobe_sweep",
-    "j12_purchase_attribution",
-    # tier 4 — r09 fill (the rest of the r09 cohort leads r13)
+    # tier 1 — r12-deferred queue head (latest driver green r09)
     "d21_token_budget_mix", "d22_epoch_shuffle", "d26_kmv_distinct",
     "d27_incremental_neardup",
-    # beyond the 50-cap: the remaining r09 rows in queue order so the
-    # r13 rotation is already explicit
+    # tier 2 — the rest of the r09 cohort, standing queue order
     "d28_chunk_overlap", "d29_split_assign", "d30_span_dedup",
     "d31_split_leakage", "d32_rag_context", "d33_dataset_card",
     "d34_bpe_merges", "d35_oov_rate", "d36_hard_negatives",
@@ -104,6 +64,30 @@ _SAMPLE_FIRST = [
     "t_code_detect", "t_html_strip", "t_keyword_topk",
     "t_readability", "t_tfidf", "t_ttr", "t_zipf_profile",
     "d44_semantic_prune", "d47_semantic_decontam",
+    # tier 3 — plan changed in r13 (r12 green no longer witnesses it)
+    "j12_purchase_attribution", "o9_diversified_topk",
+    # tier 4 — r13 additions, never driver-sampled (filled as they
+    # land this round; see the r13 BENCH_NOTES/COVERAGE entries)
+    # beyond the 50-cap: the r10 cohort in name order leads the r14
+    # queue (44 rows; freshest r11/r12 greens follow implicitly via
+    # the registry-order fallback in queries())
+    "a10_tag_counts_map", "a11_majority_vote", "a12_bucket_counts",
+    "a12b_storylines", "a14_latest_lookup",
+    "a15_sector_company_count", "a16_confusion_matrix",
+    "a2_control_counts", "a3_feature_index", "a5_top_headlines",
+    "a6_screen", "a7_sector_stats", "a8_index_union",
+    "a9_evidence_summary", "d10_corpus_curation", "d11_hash_sample",
+    "d15_decontaminate", "d16_rerank", "d17_pretrain_build",
+    "d4_ngram_jaccard", "d57_span_strip",
+    "d58_source_quota_rebalance", "d59_cluster_drift",
+    "d5_ann_lsh_bucket", "d6_simhash", "d7_embedding_dedup",
+    "e14_narrative_overlay", "e15_processed_serps",
+    "e1_trend_summary", "e2_crisis_durations", "e4_crisis_impact",
+    "e5_evidence", "e7_narrative_timeline", "e8_crisis_patterns",
+    "e9_negative_summary", "j4_entity_daily_metrics",
+    "t1_narrative_rollup", "t3_first_wins_dedup", "t_fingerprint",
+    "t_lang_id", "t_simpson", "u4_anomaly_rules",
+    "w6_anchored_windows", "w9_duration_asof",
 ]
 
 

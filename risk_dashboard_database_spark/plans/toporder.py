@@ -400,10 +400,16 @@ def o9_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment BEFORE the exchange, so the window shuffle moves
     ~{O9_PER_SEGMENT} x partitions x |segments| rows, never the fact
     table), and the final slice is TakeOrderedAndProject — no global
-    sort at any corpus size. The customer dim joins broadcast. Ties
-    break on o_orderkey on both engines, so the page is
-    deterministic. total_price is a raw stored value (no float
-    accumulation), so double equality is safe cross-engine."""
+    sort at any corpus size. Ties break on o_orderkey on both
+    engines, so the page is deterministic. total_price is a raw
+    stored value (no float accumulation), so double equality is safe
+    cross-engine.
+
+    The customer join carries NO broadcast hint (ADVICE r12: customer
+    is user-grain and grows with SF — the w16 stance): at test SFs
+    AQE broadcasts it anyway under the size threshold, and at 100 TB
+    the same plan falls back to a shuffle join instead of forcing an
+    over-limit build."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", F.col("c_mktsegment").alias("segment")
@@ -412,7 +418,7 @@ def o9_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_price").desc(), F.col("o_orderkey")
     )
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .select("segment", "o_orderkey", F.col("o_totalprice").alias("total_price"))
         .withColumn("seg_rank", F.row_number().over(w).cast("long"))
         .where(F.col("seg_rank") <= O9_PER_SEGMENT)

@@ -1,0 +1,115 @@
+"""Round-13: the j12 skew-guard memo (VERDICT r12 #1 — make the guard
+free on repeat executions) and the call-time pair-cap env read
+(ADVICE r12 #3)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _clean_memo():
+    from risk_dashboard_database_spark.plans import joins
+
+    joins._J12_GUARD_MEMO.clear()
+    yield
+    joins._J12_GUARD_MEMO.clear()
+
+
+def test_j12_guard_memoized_pass_runs_no_second_job(spark, monkeypatch):
+    """Second execution over the SAME feed signature must not touch
+    Spark at all: after the first pass is memoized, _j12_pair_bounds is
+    replaced with a bomb and the guard must still return cleanly."""
+    from risk_dashboard_database_spark.plans import joins
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    purchases, signups = joins._j12_sides(ev)
+    key = joins._j12_feed_signature(SF_DIR, 10_000_000)
+    joins._j12_skew_guard(purchases, signups, cap=10_000_000, memo_key=key)
+    assert joins._J12_GUARD_MEMO[key] is None
+
+    def _bomb(*_a, **_k):  # pragma: no cover - must never run
+        raise AssertionError("guard re-ran a Spark job on a memo hit")
+
+    monkeypatch.setattr(joins, "_j12_pair_bounds", _bomb)
+    joins._j12_skew_guard(purchases, signups, cap=10_000_000, memo_key=key)
+
+
+def test_j12_guard_refusal_is_memoized_and_still_refuses(spark, monkeypatch):
+    """A hot feed's refusal is cached too: the second call raises the
+    SAME message without re-running the bound job."""
+    from risk_dashboard_database_spark.plans import joins
+    from tests.test_r12_ops import _hot_events
+
+    ev = _hot_events(spark, 60, 60)
+    purchases, signups = joins._j12_sides(ev)
+    key = ("synthetic-hot-feed", 1000, ())
+    with pytest.raises(ValueError, match=r"user 7: 60x60=3600"):
+        joins._j12_skew_guard(purchases, signups, cap=1000, memo_key=key)
+    assert isinstance(joins._J12_GUARD_MEMO[key], str)
+
+    def _bomb(*_a, **_k):  # pragma: no cover
+        raise AssertionError("refusal memo hit re-ran the bound job")
+
+    monkeypatch.setattr(joins, "_j12_pair_bounds", _bomb)
+    with pytest.raises(ValueError, match=r"user 7: 60x60=3600"):
+        joins._j12_skew_guard(purchases, signups, cap=1000, memo_key=key)
+
+
+def test_j12_feed_signature_changes_on_rewrite_in_place(tmp_path):
+    """Rewrite-in-place (same path, new bytes) must re-arm the guard:
+    the signature covers every file's size and mtime_ns, so copying a
+    different parquet over the same name changes the key."""
+    from risk_dashboard_database_spark.plans import joins
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    dst = sf / "events.parquet"
+    shutil.copyfile(f"{SF_DIR}/events.parquet", dst)
+    sig1 = joins._j12_feed_signature(str(sf), 1000)
+    # Same content, bumped mtime: a rewrite-in-place is indistinguishable
+    # from this at the filesystem-metadata level, and must re-check.
+    st = os.stat(dst)
+    os.utime(dst, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    sig2 = joins._j12_feed_signature(str(sf), 1000)
+    assert sig1 != sig2
+    # And the cap is part of the key: overriding SPARK_GRAFT_J12_PAIR_CAP
+    # never serves a verdict computed under a different bound.
+    assert joins._j12_feed_signature(str(sf), 2000) != sig2
+
+
+def test_j12_pair_cap_reads_env_at_call_time(monkeypatch):
+    """ADVICE r12: SPARK_GRAFT_J12_PAIR_CAP set AFTER module import
+    must take effect — the cap is read per call, not at import."""
+    from risk_dashboard_database_spark.plans import joins
+
+    monkeypatch.delenv("SPARK_GRAFT_J12_PAIR_CAP", raising=False)
+    assert joins._j12_pair_cap() == joins.J12_DEFAULT_PAIR_CAP
+    monkeypatch.setenv("SPARK_GRAFT_J12_PAIR_CAP", "42")
+    assert joins._j12_pair_cap() == 42
+
+
+def test_j12_query_end_to_end_still_guarded(spark):
+    """The registered query still refuses a hot feed when the cap is
+    forced low via the env override (read at call time), and runs
+    normally at the default cap — memoization must not weaken the
+    guard's semantics, only its repeat cost."""
+    from risk_dashboard_database_spark.plans import joins
+
+    old = os.environ.get("SPARK_GRAFT_J12_PAIR_CAP")
+    try:
+        os.environ["SPARK_GRAFT_J12_PAIR_CAP"] = "1"
+        with pytest.raises(ValueError, match="refusing the interval join"):
+            joins.j12_purchase_attribution(spark, SF_DIR).count()
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_J12_PAIR_CAP", None)
+        else:
+            os.environ["SPARK_GRAFT_J12_PAIR_CAP"] = old
+    joins._J12_GUARD_MEMO.clear()
+    assert joins.j12_purchase_attribution(spark, SF_DIR).count() > 0
