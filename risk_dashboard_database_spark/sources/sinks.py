@@ -93,6 +93,43 @@ def merge_upsert(
         return _merge_upsert_locked(spark, target_path, updates, keys, conditional)
 
 
+def _merge_frames(
+    existing: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    conditional: dict[str, str] | None,
+) -> DataFrame:
+    """The S6/S7 merge itself: full-outer on the natural keys, incoming
+    row wins per column unless `conditional` names coalesce/least/
+    greatest semantics. Shared by the whole-table and the
+    partition-scoped upserts so the two paths can never drift."""
+    conditional = conditional or {}
+    n = updates.select(
+        *keys,
+        *[
+            F.col(c).alias(f"__new_{c}")
+            for c in updates.columns
+            if c not in keys
+        ],
+    )
+    merged = existing.join(n, keys, "full_outer")
+    value_cols = [c for c in updates.columns if c not in keys]
+    out_cols = [F.col(k) for k in keys]
+    for c in value_cols:
+        new, old = F.col(f"__new_{c}"), F.col(c)
+        mode = conditional.get(c, "new_wins")
+        if mode == "coalesce":
+            expr = F.coalesce(new, old)
+        elif mode == "least":
+            expr = F.least(new, old)
+        elif mode == "greatest":
+            expr = F.greatest(new, old)
+        else:  # new row wins wholesale, but absent update keeps old
+            expr = F.when(new.isNotNull(), new).otherwise(old)
+        out_cols.append(expr.alias(c))
+    return merged.select(out_cols)
+
+
 def _merge_upsert_locked(
     spark: SparkSession,
     target_path: str,
@@ -100,34 +137,87 @@ def _merge_upsert_locked(
     keys: list[str],
     conditional: dict[str, str] | None = None,
 ) -> DataFrame:
-    conditional = conditional or {}
     if os.path.exists(target_path):
         existing = spark.read.parquet(target_path)
-        n = updates.select(
-            *keys, *[F.col(c).alias(f"__new_{c}") for c in updates.columns if c not in keys]
-        )
-        merged = existing.join(n, keys, "full_outer")
-        value_cols = [c for c in updates.columns if c not in keys]
-        out_cols = [F.col(k) for k in keys]
-        for c in value_cols:
-            new, old = F.col(f"__new_{c}"), F.col(c)
-            mode = conditional.get(c, "new_wins")
-            if mode == "coalesce":
-                expr = F.coalesce(new, old)
-            elif mode == "least":
-                expr = F.least(new, old)
-            elif mode == "greatest":
-                expr = F.greatest(new, old)
-            else:  # new row wins wholesale, but absent update keeps old
-                expr = F.when(new.isNotNull(), new).otherwise(old)
-            out_cols.append(expr.alias(c))
-        merged = merged.select(out_cols)
+        merged = _merge_frames(existing, updates, keys, conditional)
     else:
         merged = updates
     tmp = target_path + ".tmp-" + uuid.uuid4().hex[:8]
     merged.write.mode("overwrite").parquet(tmp)
     _atomic_swap(tmp, target_path)
     return spark.read.parquet(target_path)
+
+
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    partition_col: str,
+    conditional: dict[str, str] | None = None,
+) -> DataFrame:
+    """Partition-scoped MERGE upsert (S6 at scale, VERDICT r12 #3): the
+    target is a `partition_col`-partitioned parquet table and the
+    rewrite is bounded to the partitions the batch actually touches —
+    at 100 TB a daily ingest rewrites a few date directories, never the
+    table (the whole-table `merge_upsert` swap is the right shape only
+    for small dimension tables).
+
+    Mechanics, all existing machinery:
+      1. touched = distinct `partition_col` values in the batch — a
+         dictionary-class collect (a daily batch touches days, not a
+         corpus; same bounded-collect class as the MV dictionary reads);
+      2. the existing side reads ONLY those partitions (the isin filter
+         is a partition filter, so the scan prunes to the touched
+         directories — asserted via inputFiles in the test);
+      3. the S6/S7 merge runs on that pruned slice (`_merge_frames`,
+         shared with the whole-table path);
+      4. the write goes through `replace_window`'s dynamic partition
+         overwrite, which replaces exactly the touched directories and
+         leaves every other partition's files byte-identical.
+
+    `partition_col` must be one of `keys`: an update that MOVED a row
+    across partitions would have to delete it from a partition the
+    batch's values don't name, which a touched-partition rewrite cannot
+    see — so that contract is refused loudly rather than silently
+    leaving a duplicate behind. (The reference's natural keys include
+    the date for every date-partitioned rollup —
+    `crisis_event_rollups.py:108-137` — so this matches its semantics.)
+
+    Concurrency: same advisory lock as `merge_upsert`; on a managed
+    table format this whole function is Delta/Iceberg `MERGE INTO` with
+    partition predicates, whose commit protocol replaces both the lock
+    and the directory swap."""
+    if partition_col not in keys:
+        raise ValueError(
+            "merge_upsert_partitioned: partition_col "
+            f"{partition_col!r} must be part of the natural key "
+            f"{keys} — a partition-crossing update cannot be merged "
+            "partition-locally (see docstring)."
+        )
+    if partition_col not in updates.columns:
+        raise ValueError(
+            f"merge_upsert_partitioned: updates lack {partition_col!r}"
+        )
+    with _ingest_lock(target_path):
+        if not os.path.exists(target_path):
+            updates.write.partitionBy(partition_col).parquet(target_path)
+            return spark.read.parquet(target_path)
+        touched = [
+            r[0]
+            for r in updates.select(partition_col).distinct().collect()
+        ]
+        existing = (
+            spark.read.parquet(target_path)
+            .where(F.col(partition_col).isin(touched))
+        )
+        # Partition-column values come back from the directory names;
+        # align column ORDER to the batch so the merged write's schema
+        # is stable regardless of partition-discovery ordering.
+        existing = existing.select(*updates.columns)
+        merged = _merge_frames(existing, updates, keys, conditional)
+        replace_window(spark, target_path, merged, date_col=partition_col)
+        return spark.read.parquet(target_path)
 
 
 def write_date_partitioned(df: DataFrame, path: str, date_col: str = "date") -> None:

@@ -16,6 +16,7 @@ from risk_dashboard_database_spark.sources.sinks import (
     csv_sink,
     json_rows,
     merge_upsert,
+    merge_upsert_partitioned,
     replace_window,
     write_date_partitioned,
 )
@@ -137,6 +138,145 @@ def test_merge_upsert_concurrent_writers_no_lost_update(spark, tmp_path):
     # conflicting key: last writer to commit wins
     assert got[1] == order[-1]
     assert not os.path.exists(target + ".lock")
+
+
+def _partition_files(path: str) -> dict[str, tuple[int, int]]:
+    """Every data file under a partitioned table ->
+    (size, mtime_ns), keyed by path relative to the table root."""
+    out = {}
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if fn.startswith(("_", ".")):
+                continue
+            fp = os.path.join(root, fn)
+            st = os.stat(fp)
+            out[os.path.relpath(fp, path)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_merge_upsert_partitioned_leaves_untouched_partitions_alone(
+    spark, tmp_path
+):
+    """VERDICT r12 #3 'done' condition: after a partition-scoped
+    upsert touching ONE date of a 30-date table, every other
+    partition's files are unmodified — same paths, sizes, AND
+    mtimes — and the touched date carries the merged values."""
+    target = str(tmp_path / "tgt_part")
+    base = spark.createDataFrame(
+        [(f"2024-01-{d:02d}", u, 10 * u) for d in range(1, 31) for u in (1, 2)],
+        "date string, user_id int, total int",
+    )
+    merge_upsert_partitioned(
+        spark, target, base, keys=["date", "user_id"], partition_col="date"
+    )
+    before = _partition_files(target)
+    assert len([p for p in before if p.startswith("date=")]) >= 30
+
+    updates = spark.createDataFrame(
+        [("2024-01-05", 1, 999), ("2024-01-05", 3, 33)],
+        "date string, user_id int, total int",
+    )
+    merged = merge_upsert_partitioned(
+        spark, target, updates, keys=["date", "user_id"], partition_col="date"
+    )
+    after = _partition_files(target)
+    untouched_before = {
+        p: v for p, v in before.items() if not p.startswith("date=2024-01-05")
+    }
+    untouched_after = {
+        p: v for p, v in after.items() if not p.startswith("date=2024-01-05")
+    }
+    assert untouched_before == untouched_after  # byte-identical, not rewritten
+
+    got = {
+        (str(r["date"]), r["user_id"]): r["total"]
+        for r in merged.where(F.col("date") == "2024-01-05").collect()
+    }
+    assert got == {
+        ("2024-01-05", 1): 999,   # updated in place
+        ("2024-01-05", 2): 20,    # existing row in the touched date survives
+        ("2024-01-05", 3): 33,    # inserted
+    }
+    assert merged.count() == 61
+
+    # Idempotence: re-applying the batch changes values nowhere.
+    # (materialize first — the re-merge's dynamic overwrite replaces
+    # the touched partition's files under the old DataFrame)
+    before_rows = {tuple(r) for r in merged.collect()}
+    again = merge_upsert_partitioned(
+        spark, target, updates, keys=["date", "user_id"], partition_col="date"
+    )
+    assert {tuple(r) for r in again.collect()} == before_rows
+
+
+def test_merge_upsert_partitioned_reads_only_touched_partitions(spark, tmp_path):
+    """The mechanism the bounded rewrite rests on: an isin filter on
+    the partition column prunes the existing-side scan to the touched
+    directories (inputFiles), so the merge's read cost is proportional
+    to the batch's dates, not the table."""
+    target = str(tmp_path / "tgt_prune")
+    base = spark.createDataFrame(
+        [(f"2024-02-{d:02d}", 1, d) for d in range(1, 21)],
+        "date string, user_id int, total int",
+    )
+    merge_upsert_partitioned(
+        spark, target, base, keys=["date", "user_id"], partition_col="date"
+    )
+    pruned = spark.read.parquet(target).where(
+        F.col("date").isin(["2024-02-03", "2024-02-07"])
+    )
+    # Runtime truth (inputFiles() reports the pre-pruning relation):
+    # every file actually opened belongs to a touched directory, and
+    # the plan carries the isin as a PartitionFilter.
+    files = [
+        r["f"]
+        for r in pruned.withColumn("f", F.input_file_name())
+        .select("f")
+        .distinct()
+        .collect()
+    ]
+    assert files and all(
+        "date=2024-02-03" in f or "date=2024-02-07" in f for f in files
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "2024-02-03" in plan
+
+
+def test_merge_upsert_partitioned_conditionals_and_contract(spark, tmp_path):
+    """S7 conditional semantics survive the partition-scoped path, and
+    a partition column outside the natural key is refused loudly (a
+    partition-crossing update cannot be merged partition-locally)."""
+    target = str(tmp_path / "tgt_cond")
+    base = spark.createDataFrame(
+        [("2024-03-01", 1, "old", 5, 10)],
+        "date string, id int, label string, first_seen int, last_seen int",
+    )
+    merge_upsert_partitioned(
+        spark, target, base, keys=["date", "id"], partition_col="date"
+    )
+    updates = spark.createDataFrame(
+        [("2024-03-01", 1, None, 7, 8)],
+        "date string, id int, label string, first_seen int, last_seen int",
+    )
+    merged = merge_upsert_partitioned(
+        spark,
+        target,
+        updates,
+        keys=["date", "id"],
+        partition_col="date",
+        conditional={
+            "label": "coalesce",
+            "first_seen": "least",
+            "last_seen": "greatest",
+        },
+    )
+    r = merged.collect()[0]
+    assert (r["label"], r["first_seen"], r["last_seen"]) == ("old", 5, 10)
+
+    with pytest.raises(ValueError, match="must be part of the natural key"):
+        merge_upsert_partitioned(
+            spark, target, updates, keys=["id"], partition_col="date"
+        )
 
 
 def test_json_rows_clamps_to_limit(spark):

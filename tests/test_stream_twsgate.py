@@ -21,14 +21,55 @@ SF_DIR = "/root/testdata/sf0.001"
 # protocol to the state server; without google.protobuf the streaming
 # runner crashes at init (verified: STREAMING_PYTHON_RUNNER_
 # INITIALIZATION_FAILURE -> ImportError StateMessage_pb2). The
-# container ships no protobuf and installs are not permitted, so
-# these parity tests skip-unless-importable — the same flag-gated
-# stance as the real-kernel smokes (F1/F3).
-pytest.importorskip(
-    "google.protobuf",
+# container ships no protobuf and installs are not permitted, so the
+# STREAMING parity tests skip-unless-importable — the same flag-gated
+# stance as the real-kernel smokes (F1/F3). The BATCH half of the gate
+# (batch_user_activity, the relation every parity assertion folds to,
+# including the ns-timestamp convention) runs UNCONDITIONALLY below
+# against a DuckDB oracle (ADVICE r12: pin the half that CAN run, so
+# only the transformWithState plumbing itself waits on protobuf).
+try:
+    import google.protobuf  # noqa: F401
+
+    _HAS_PROTOBUF = True
+except ImportError:
+    _HAS_PROTOBUF = False
+
+needs_protobuf = pytest.mark.skipif(
+    not _HAS_PROTOBUF,
     reason="transformWithState needs protobuf (environment-blocked; "
     "see streaming/twsgate.py seam note)",
 )
+
+
+def test_batch_user_activity_matches_duckdb_oracle(spark):
+    """The gate's batch twin — per-user (n_events, floor-cents sum,
+    max ts in NANOSECONDS) — asserted value-exact against DuckDB
+    unconditionally. This pins everything about the gate that is not
+    transformWithState plumbing: the money quantization
+    (floor(value*100) as BIGINT), the count, and the ns-epoch
+    convention the stream fold's pandas Timestamp.value keeps."""
+    import duckdb
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    got = sorted(
+        (r["user_id"], r["n_events"], r["value_cents"], r["max_ts_ns"])
+        for r in batch_user_activity(ev).collect()
+    )
+    want = sorted(
+        duckdb.sql(
+            f"""
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT))
+                        AS BIGINT) AS value_cents,
+                   CAST(epoch_us(MAX(ts)) * 1000 AS BIGINT) AS max_ts_ns
+            FROM read_parquet('{SF_DIR}/events.parquet')
+            GROUP BY user_id
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
 
 _ROCKSDB = (
     "org.apache.spark.sql.execution.streaming.state."
@@ -68,6 +109,7 @@ def _last_emissions(streamed):
     return out
 
 
+@needs_protobuf
 def test_tws_matches_batch_one_shot(spark, tmp_path, rocksdb_state):
     ev_dir = tmp_path / "events_tws"
     ev_dir.mkdir()
@@ -80,6 +122,7 @@ def test_tws_matches_batch_one_shot(spark, tmp_path, rocksdb_state):
     assert _last_emissions(streamed) == _batch_want(spark)
 
 
+@needs_protobuf
 def test_tws_matches_batch_per_file_batches(spark, tmp_path, rocksdb_state):
     """Three row-slice files, one per trigger: the ValueState must
     carry across micro-batches (a fold that reset per batch would
