@@ -162,6 +162,9 @@ HEADLINE = [
     "w15_funnel_steps",
     "w16_retention_cohorts",
     "s3_props_json",
+    "t_fertility",
+    "d70_length_bucket_batches",
+    "d71_eval_diversity_sample",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the

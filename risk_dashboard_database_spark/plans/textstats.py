@@ -1690,3 +1690,68 @@ def t_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("at_risk_ppm"),
     )
+
+
+# ---------------------------------------------------------- t_fertility
+@query(
+    "t_fertility",
+    oracle="""
+    WITH t AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS words,
+             len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS toks,
+             length(text) AS chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(words) AS BIGINT) AS total_words,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(toks) AS DOUBLE) / NULLIF(SUM(words), 0), 6)
+             AS fertility,
+           ROUND(CAST(SUM(chars) AS DOUBLE) / NULLIF(SUM(toks), 0), 6)
+             AS chars_per_token
+    FROM t
+    GROUP BY lang
+    """,
+)
+def t_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility card per language: BPE-ish tokens per
+    whitespace word (fertility — the standard 'how many subwords does
+    a word cost HERE' diagnostic for multilingual mixture design) and
+    chars per token (compression rate), over the same BPE-ish regex
+    segmentation t_token_count budgets with. A language whose
+    fertility runs hot is under-served by the tokenizer and its token
+    budget buys fewer words — the reason mixture weights (d18/d54) and
+    token budgets (d21) need this card next to the corpus counts.
+
+    Scale shape: one map-side-combinable agg on lang — integer sums
+    into a dictionary-grain output; the ratios are BIGINT-exact
+    divisions done once per GROUP, so double equality is engine-safe
+    (same two integers, same IEEE divide, rounded 6dp both sides)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("words"),
+        F.size(
+            F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+        )
+        .cast("long")
+        .alias("toks"),
+        F.length("text").cast("long").alias("chars"),
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("words").cast("long").alias("total_words"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        F.round(
+            F.sum("toks").cast("double")
+            / F.expr("NULLIF(SUM(words), 0)"),
+            6,
+        ).alias("fertility"),
+        F.round(
+            F.sum("chars").cast("double")
+            / F.expr("NULLIF(SUM(toks), 0)"),
+            6,
+        ).alias("chars_per_token"),
+    )

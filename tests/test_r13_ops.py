@@ -113,3 +113,129 @@ def test_j12_query_end_to_end_still_guarded(spark):
             os.environ["SPARK_GRAFT_J12_PAIR_CAP"] = old
     joins._J12_GUARD_MEMO.clear()
     assert joins.j12_purchase_attribution(spark, SF_DIR).count() > 0
+
+
+# ---------------------------------------------------------------------
+# r13 additions: plain-Python brute-force parity at sf0.001
+# (t_fertility / d70_length_bucket_batches / d71_eval_diversity_sample)
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+
+
+def _bpe_tokens(text: str) -> int:
+    import re
+
+    return len(re.findall(r"[a-z]+|[0-9]+|[^a-z0-9 ]", text))
+
+
+def test_t_fertility_matches_python_bruteforce(spark):
+    from collections import defaultdict
+
+    from risk_dashboard_database_spark.plans.textstats import t_fertility
+
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # docs, words, toks, chars
+    for r in _docs(spark):
+        a = agg[r["lang"]]
+        a[0] += 1
+        a[1] += len(r["text"].split(" "))
+        a[2] += _bpe_tokens(r["text"])
+        a[3] += len(r["text"])
+    want = {
+        lang: (d, w, t, round(t / w, 6), round(c / t, 6))
+        for lang, (d, w, t, c) in agg.items()
+    }
+    got = {
+        r["lang"]: (
+            r["n_docs"],
+            r["total_words"],
+            r["total_tokens"],
+            r["fertility"],
+            r["chars_per_token"],
+        )
+        for r in t_fertility(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_d70_length_buckets_match_python_bruteforce(spark):
+    from collections import defaultdict
+
+    from risk_dashboard_database_spark.plans.dedup import (
+        D70_BATCH_SIZE,
+        d70_length_bucket_batches,
+    )
+
+    def bucket(toks: int) -> int:
+        for b in (32, 64, 128, 256, 512, 1024, 2048, 4096):
+            if toks <= b:
+                return b
+        return ((toks + 4095) // 4096) * 4096
+
+    agg = defaultdict(lambda: [0, 0])  # n_docs, real_tokens
+    for r in _docs(spark):
+        t = _bpe_tokens(r["text"])
+        a = agg[bucket(t)]
+        a[0] += 1
+        a[1] += t
+    want = {}
+    for b, (n, real) in agg.items():
+        padded = n * b
+        want[b] = (
+            n,
+            (n + D70_BATCH_SIZE - 1) // D70_BATCH_SIZE,
+            real,
+            padded,
+            (padded - real) * 1_000_000 // padded,
+        )
+    got = {
+        r["bucket_len"]: (
+            r["n_docs"],
+            r["n_batches"],
+            r["real_tokens"],
+            r["padded_tokens"],
+            r["waste_ppm"],
+        )
+        for r in d70_length_bucket_batches(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_d71_diversity_sample_matches_python_bruteforce(spark):
+    import hashlib
+    from collections import defaultdict
+
+    from risk_dashboard_database_spark.plans.dedup import (
+        D71_BITS,
+        D71_TOPK,
+        d71_eval_diversity_sample,
+    )
+
+    def bit(tok: str, j: int) -> int:
+        h = hashlib.md5(tok.encode()).hexdigest()
+        return (int(h[j // 4], 16) >> (j % 4)) & 1
+
+    groups = defaultdict(lambda: [0, None])  # size, min doc_id
+    for r in _docs(spark):
+        toks = set(r["text"].split(" "))
+        acc = 0
+        for j in range(D71_BITS):
+            s = sum(2 * bit(t, j) - 1 for t in toks)
+            acc = acc * 2 + (1 if s >= 0 else 0)
+        g = groups[(r["lang"], acc)]
+        g[0] += 1
+        g[1] = r["doc_id"] if g[1] is None else min(g[1], r["doc_id"])
+    want = sorted(
+        ((lang, b, size, rep) for (lang, b), (size, rep) in groups.items()),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )[:D71_TOPK]
+    got = [
+        (r["lang"], r["bucket"], r["bucket_size"], r["rep_doc_id"])
+        for r in d71_eval_diversity_sample(spark, SF_DIR)
+        .orderBy(
+            ["bucket_size", "lang", "bucket"], ascending=[False, True, True]
+        )
+        .collect()
+    ]
+    assert got == want
