@@ -42,7 +42,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   outrank stale-green ones, the standing precedent; each was
 #   oracle-exact at sf0.01 AND sf0.001 on arrival, vanilla-checked,
 #   with python brute-force parity tests).
-# 43 + 2 + 3 = 48 under the 50-cap (the first two r10 rows fill the
+# 43 + 2 + 4 = 49 under the 50-cap (the first r10 row fills the
 # remainder); the rest of the r10 cohort (listed below the cap) leads
 # the r14 queue.
 _SAMPLE_FIRST = [
@@ -73,7 +73,7 @@ _SAMPLE_FIRST = [
     # (each oracle-exact at sf0.01 AND sf0.001 on arrival, vanilla
     # -checked, with python brute-force parity in tests/test_r13_ops)
     "t_fertility", "d70_length_bucket_batches",
-    "d71_eval_diversity_sample",
+    "d71_eval_diversity_sample", "d72_bloom_decontam",
     # beyond the 50-cap: the r10 cohort in name order leads the r14
     # queue (44 rows; freshest r11/r12 greens follow implicitly via
     # the registry-order fallback in queries())

@@ -165,6 +165,7 @@ HEADLINE = [
     "t_fertility",
     "d70_length_bucket_batches",
     "d71_eval_diversity_sample",
+    "d72_bloom_decontam",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the

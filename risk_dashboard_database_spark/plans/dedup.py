@@ -8460,3 +8460,166 @@ def d71_eval_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bucket_size").desc(), "lang", "bucket")
         .limit(D71_TOPK)
     )
+
+
+# ------------------------------------------------------------- d72
+# Bloom-filter decontamination: the d15 flag computed through a
+# Bloom membership structure instead of a broadcast of the raw gram
+# set. At test scale d15's exact broadcast is fine; at 100 TB with a
+# LARGE held-out suite (every eval benchmark x every paraphrase
+# window), the gram set itself stops being broadcastable — a Bloom
+# filter is the classic answer: k deterministic bit positions per
+# gram, M bits total, false positives only (the SAFE direction for
+# decontamination: you can only over-remove). Both engines compute
+# the SAME filter (md5-derived positions), so the oracle reproduces
+# the bloom verdict exactly — false positives included — and the
+# query self-audits by carrying the exact flag beside it.
+D72_M = 1 << 17   # filter bits; production sizes this ~10-16 bits/gram
+D72_K = 4         # probes per gram
+
+
+def _d72_pos_spark(h_sql: str, i: int, m: int) -> str:
+    """Bit position i for gram `h_sql` (Spark spelling): fold the
+    first 8 md5 hex chars of 'gram#i' to a 32-bit int (d11's proven
+    conv(substring(md5..)) pattern), mod m."""
+    return (
+        f"pmod(CAST(conv(substring(md5(concat({h_sql}, '#{i}')), 1, 8),"
+        f" 16, 10) AS BIGINT), {m})"
+    )
+
+
+def bloom_bits_from_grams(bench_grams, m: int = D72_M, k: int = D72_K) -> str:
+    """Build the filter as a '0'/'1' string of length m from a
+    DataFrame with a gram column `h`. The collect is bounded by the
+    BENCHMARK (k x its distinct grams — benchmarks are small by
+    definition; the d3-probes bounded-collect class); the corpus
+    never collects."""
+    pos_cols = [
+        F.expr(_d72_pos_spark("h", i, m)).cast("int") for i in range(k)
+    ]
+    positions = {
+        r["p"]
+        for r in bench_grams.select(
+            F.explode(F.array(*pos_cols)).alias("p")
+        )
+        .distinct()
+        .collect()
+    }
+    bits = bytearray(b"0" * m)
+    for p in positions:
+        bits[p] = ord("1")
+    return bits.decode("ascii")
+
+
+def _d72_oracle() -> str:
+    # NB: the fold's internal lambda variable is `i` — the outer range
+    # variable must NOT shadow it (it did, and every probe collapsed to
+    # one position; caught by the oracle gate).
+    fold = _md5_fold_sql("h || '#' || CAST(bi AS VARCHAR)")
+    return f"""
+    WITH d AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT DISTINCT
+        unnest(list_transform(range(1, greatest(len(w) - 2, 1)),
+               i -> array_to_string(list_slice(w, i, i + 3), ' '))) AS h
+      FROM d WHERE doc_id % 97 = 0
+    ),
+    bp AS (
+      SELECT DISTINCT ({fold}) % {D72_M} AS pos
+      FROM bg, range(0, {D72_K}) t(bi)
+    ),
+    nb AS (
+      SELECT doc_id, lang,
+             list_transform(range(1, greatest(len(w) - 2, 1)),
+               i -> array_to_string(list_slice(w, i, i + 3), ' ')) AS hs
+      FROM d WHERE doc_id % 97 <> 0
+    ),
+    expl AS (
+      SELECT doc_id, lang,
+             unnest(CASE WHEN len(hs) = 0 THEN [NULL] ELSE hs END) AS h
+      FROM nb
+    ),
+    probes AS (
+      SELECT doc_id, lang, h, ({fold}) % {D72_M} AS pos
+      FROM expl, range(0, {D72_K}) t(bi)
+    ),
+    gram_hits AS (
+      SELECT p.doc_id, p.lang, p.h,
+             SUM(CASE WHEN bp.pos IS NOT NULL THEN 1 ELSE 0 END) AS hits
+      FROM probes p LEFT JOIN bp ON bp.pos = p.pos
+      GROUP BY p.doc_id, p.lang, p.h
+    )
+    SELECT doc_id, lang,
+           CAST(MAX(CASE WHEN hits = {D72_K} THEN 1 ELSE 0 END) AS INTEGER)
+             AS bloom_contaminated,
+           CAST(MAX(CASE WHEN h IN (SELECT h FROM bg) THEN 1 ELSE 0 END)
+                AS INTEGER) AS contaminated,
+           CAST(MAX(CASE WHEN hits = {D72_K} THEN 1 ELSE 0 END)
+                - MAX(CASE WHEN h IN (SELECT h FROM bg) THEN 1 ELSE 0 END)
+                AS INTEGER) AS false_positive
+    FROM gram_hits
+    GROUP BY doc_id, lang
+    """
+
+
+@query("d72_bloom_decontam", oracle=_d72_oracle())
+def d72_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d15's decontamination flag answered through a Bloom filter,
+    with the exact flag carried beside it so every false positive is
+    visible in the output (false NEGATIVES are impossible by
+    construction — a set member's k bits are all set).
+
+    Spark shape: the benchmark grams fold into an M-bit '0'/'1'
+    string (bounded driver-side build, k x |bench grams| positions),
+    shipped as a ONE-ROW broadcast relation (t_keyword_topk's anchor
+    pattern — no megabyte literal in the plan); each corpus gram
+    probes k substring positions JVM-side; ONE doc-keyed exchange
+    with map-side partial agg, exactly d15's shape. The exact-flag
+    branch reuses d15's broadcast gram join, so at test scale the
+    query costs ~one d15. At 100 TB the exact branch is the one that
+    stops scaling (the broadcast gram set grows with the benchmark
+    suite) and the bloom branch keeps the cost at M bits per executor
+    — this card is the measured argument for that switch.
+
+    The oracle reproduces the SAME filter (md5-fold positions, the
+    d11 conv/fold parity pair) via joins, so the driver hash-compares
+    the bloom verdicts exactly, false positives included. Streaming
+    twin: streaming/bloomgate.py (gate #31)."""
+    g = _decon_grams(spark, sf_dir)
+    bench_g = (
+        g.where((F.col("doc_id") % 97 == 0) & F.col("h").isNotNull())
+        .select("h")
+        .distinct()
+    )
+    bits = bloom_bits_from_grams(bench_g)
+    anchor = spark.createDataFrame([(bits,)], "bloom_bits string")
+    hit = F.lit(True)
+    for i in range(D72_K):
+        hit = hit & F.expr(
+            f"substring(bloom_bits, CAST({_d72_pos_spark('h', i, D72_M)}"
+            " AS INT) + 1, 1) = '1'"
+        )
+    return (
+        g.where(F.col("doc_id") % 97 != 0)
+        .crossJoin(F.broadcast(anchor))
+        .join(
+            F.broadcast(bench_g.withColumn("__hit", F.lit(1))), "h", "left"
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.max(F.when(hit, 1).otherwise(0))
+            .cast("int")
+            .alias("bloom_contaminated"),
+            F.max(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("int")
+            .alias("contaminated"),
+            (
+                F.max(F.when(hit, 1).otherwise(0))
+                - F.max(F.coalesce(F.col("__hit"), F.lit(0)))
+            )
+            .cast("int")
+            .alias("false_positive"),
+        )
+    )

@@ -239,3 +239,56 @@ def test_d71_diversity_sample_matches_python_bruteforce(spark):
         .collect()
     ]
     assert got == want
+
+
+def test_d72_bloom_decontam_matches_python_bruteforce(spark):
+    """The full d72 card recomputed in plain Python: same md5-fold bit
+    positions, same M/k filter, same exact flag — bloom verdicts match
+    including (at an honest M) the absence of false positives."""
+    import hashlib
+
+    from risk_dashboard_database_spark.plans.dedup import (
+        D72_K,
+        D72_M,
+        _DECON_N,
+        d72_bloom_decontam,
+    )
+
+    def grams(text: str) -> list[str]:
+        w = text.split(" ")
+        if len(w) < _DECON_N:
+            return []
+        return [
+            " ".join(w[i : i + _DECON_N])
+            for i in range(len(w) - _DECON_N + 1)
+        ]
+
+    def pos(g: str, i: int) -> int:
+        h = hashlib.md5(f"{g}#{i}".encode()).hexdigest()
+        return int(h[:8], 16) % D72_M
+
+    docs = _docs(spark)
+    bench = set()
+    for r in docs:
+        if r["doc_id"] % 97 == 0:
+            bench.update(grams(r["text"]))
+    bits = {pos(g, i) for g in bench for i in range(D72_K)}
+    want = {}
+    for r in docs:
+        if r["doc_id"] % 97 == 0:
+            continue
+        gs = grams(r["text"])
+        bloom = int(
+            any(all(pos(g, i) in bits for i in range(D72_K)) for g in gs)
+        )
+        exact = int(any(g in bench for g in gs))
+        want[(r["doc_id"], r["lang"])] = (bloom, exact, bloom - exact)
+    got = {
+        (r["doc_id"], r["lang"]): (
+            r["bloom_contaminated"],
+            r["contaminated"],
+            r["false_positive"],
+        )
+        for r in d72_bloom_decontam(spark, SF_DIR).collect()
+    }
+    assert got == want and any(v[1] == 1 for v in want.values())
