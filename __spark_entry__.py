@@ -42,9 +42,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #   outrank stale-green ones, the standing precedent; each was
 #   oracle-exact at sf0.01 AND sf0.001 on arrival, vanilla-checked,
 #   with python brute-force parity tests).
-# 43 + 2 + 4 = 49 under the 50-cap (the first r10 row fills the
-# remainder); the rest of the r10 cohort (listed below the cap) leads
-# the r14 queue.
+# 43 + 2 + 5 = 50 exactly; the r10 cohort (listed below the cap)
+# leads the r14 queue.
 _SAMPLE_FIRST = [
     # tier 1 — r12-deferred queue head (latest driver green r09)
     "d21_token_budget_mix", "d22_epoch_shuffle", "d26_kmv_distinct",
@@ -69,11 +68,14 @@ _SAMPLE_FIRST = [
     "j12_purchase_attribution", "o9_diversified_topk",
     # tier 4 — r13 additions, never driver-sampled: tokenizer
     # fertility by language, length-bucketed inference batches with
-    # padding-waste ppm, and the SimHash-bucket diversity sampler
-    # (each oracle-exact at sf0.01 AND sf0.001 on arrival, vanilla
-    # -checked, with python brute-force parity in tests/test_r13_ops)
+    # padding-waste ppm, the SimHash-bucket diversity sampler, the
+    # Bloom decontamination card (gate #31's batch twin), and the
+    # Spark-4 VARIANT extraction card (each oracle-exact at sf0.01
+    # AND sf0.001 on arrival, vanilla-checked, with python
+    # brute-force parity in tests/test_r13_ops.py)
     "t_fertility", "d70_length_bucket_batches",
     "d71_eval_diversity_sample", "d72_bloom_decontam",
+    "s5_props_variant",
     # beyond the 50-cap: the r10 cohort in name order leads the r14
     # queue (44 rows; freshest r11/r12 greens follow implicitly via
     # the registry-order fallback in queries())

@@ -166,6 +166,7 @@ HEADLINE = [
     "d70_length_bucket_batches",
     "d71_eval_diversity_sample",
     "d72_bloom_decontam",
+    "s5_props_variant",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the

@@ -332,3 +332,99 @@ def s3_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").cast("long").alias("k_max"),
         )
     )
+
+
+# ---------------------------------------------------------------- s5
+# Spark 4 VARIANT surface (the third new-API exercise after r12's
+# Python DataSource and transformWithState): semi-structured event
+# properties parsed ONCE into the binary VARIANT encoding, then typed
+# paths extracted without re-parsing — the open-schema ingestion shape
+# (shredded at scan time on managed tables). The corpus's stored props
+# are uniform {"k": int}, so the card CONSTRUCTS its semi-structured
+# payload deterministically from event fields — nested object, array,
+# a json-null leg (event_id % 7) and a truncated/malformed leg
+# (event_id % 13) — with ONE builder SQL text shared by both engines,
+# so every edge class the r12 s3 lesson catalogued (malformed JSON,
+# json null vs missing, typed extraction) is value-checked.
+_S5_JSON_BUILD = """
+  '{"id": ' || CAST(event_id AS STRING)
+  || ', "meta": {"type": "' || event_type
+  || '", "vals": [' || CAST(user_id AS STRING)
+  || ', ' || CAST(event_id % 100 AS STRING)
+  || ']}, "score": '
+  || CASE WHEN event_id % 7 = 0 THEN 'null'
+          ELSE CAST(event_id % 5 AS STRING) END
+  || '}'
+"""
+_S5_MANGLE = (
+    "CASE WHEN event_id % 13 = 0 THEN substring(j0, 1, length(j0) - 1)"
+    " ELSE j0 END"
+)
+
+
+@query(
+    "s5_props_variant",
+    oracle=f"""
+    WITH built AS (
+      SELECT event_id, ({_S5_JSON_BUILD}) AS j0 FROM events
+    ),
+    src AS (
+      SELECT event_id, {_S5_MANGLE} AS j FROM built
+    )
+    SELECT event_id,
+           CAST(json_valid(j) AS INTEGER) AS parsed,
+           CASE WHEN json_valid(j)
+                THEN json_extract_string(j, '$.meta.type') END AS etype,
+           CASE WHEN json_valid(j)
+                THEN TRY_CAST(json_extract(j, '$.meta.vals[1]') AS BIGINT)
+           END AS val1,
+           CASE WHEN json_valid(j)
+                 AND json_type(j, '$.score') IN ('BIGINT', 'UBIGINT')
+                THEN TRY_CAST(json_extract(j, '$.score') AS BIGINT)
+           END AS score,
+           CASE WHEN json_valid(j)
+                THEN CAST(json_type(j, '$.score') = 'NULL' AS INTEGER)
+           END AS score_is_null
+    FROM src
+    """,
+)
+def s5_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from a VARIANT column: parse the (built)
+    payload with try_parse_json — malformed rows become a NULL
+    variant, never an error — then pull '$.meta.type' as string,
+    '$.meta.vals[1]' as bigint (0-based JSON path, verified equal on
+    both engines), '$.score' as bigint (json-null -> NULL value), and
+    the json-null DISCRIMINATOR via is_variant_null, which
+    distinguishes 'score was json null' from 'row did not parse'
+    (Spark's is_variant_null(NULL variant) is false, not null — so
+    the parsed-guard is explicit, mirroring the oracle's CASE).
+
+    Scale shape: map-only — one pass, no exchange at all; on a
+    managed table the same variant column arrives shredded so the
+    typed paths prune like ordinary columns. The parse happens ONCE
+    per row into the binary encoding; every path extraction after is
+    a binary traversal, which is the point of VARIANT over
+    from_json-per-field at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    built = ev.select("event_id", F.expr(_S5_JSON_BUILD).alias("j0"))
+    src = built.select("event_id", F.expr(_S5_MANGLE).alias("j"))
+    v = F.try_parse_json(F.col("j"))
+    s = src.select("event_id", v.alias("v"))
+    parsed = F.col("v").isNotNull()
+    return s.select(
+        "event_id",
+        parsed.cast("int").alias("parsed"),
+        F.try_variant_get(F.col("v"), "$.meta.type", "string").alias("etype"),
+        F.try_variant_get(F.col("v"), "$.meta.vals[1]", "bigint").alias(
+            "val1"
+        ),
+        F.try_variant_get(F.col("v"), "$.score", "bigint").alias("score"),
+        F.when(
+            parsed,
+            F.is_variant_null(
+                F.try_variant_get(F.col("v"), "$.score", "variant")
+            ),
+        )
+        .cast("int")
+        .alias("score_is_null"),
+    )

@@ -292,3 +292,52 @@ def test_d72_bloom_decontam_matches_python_bruteforce(spark):
         for r in d72_bloom_decontam(spark, SF_DIR).collect()
     }
     assert got == want and any(v[1] == 1 for v in want.values())
+
+
+def test_s5_variant_matches_python_bruteforce(spark):
+    """The VARIANT card recomputed with Python's json module: build
+    the same payload (truncated for event_id % 13, json-null score
+    for % 7), parse, and extract the same typed paths."""
+    import json
+
+    from risk_dashboard_database_spark.plans.sources_q import (
+        s5_props_variant,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "event_type", "user_id"
+    )
+    want = {}
+    for r in ev.collect():
+        eid = r["event_id"]
+        score = "null" if eid % 7 == 0 else str(eid % 5)
+        j = (
+            f'{{"id": {eid}, "meta": {{"type": "{r["event_type"]}", '
+            f'"vals": [{r["user_id"]}, {eid % 100}]}}, "score": {score}}}'
+        )
+        if eid % 13 == 0:
+            j = j[:-1]
+        try:
+            doc = json.loads(j)
+            want[eid] = (
+                1,
+                doc["meta"]["type"],
+                doc["meta"]["vals"][1],
+                doc["score"],
+                int(doc["score"] is None),
+            )
+        except json.JSONDecodeError:
+            want[eid] = (0, None, None, None, None)
+    got = {
+        r["event_id"]: (
+            r["parsed"],
+            r["etype"],
+            r["val1"],
+            r["score"],
+            r["score_is_null"],
+        )
+        for r in s5_props_variant(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert any(v[0] == 0 for v in want.values())        # malformed leg hit
+    assert any(v[4] == 1 for v in want.values() if v[0])  # json-null leg hit
