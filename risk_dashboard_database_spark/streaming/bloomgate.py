@@ -47,29 +47,31 @@ def benchmark_bloom_bits(
 
 
 def _bloom_flag(bits: str, k: int = D72_K) -> F.Column:
-    """exists(grams, g -> all k bits set) over the bound split column
-    `__w` — the same positions the batch d72 probe checks, folded to
+    """exists(grams, g -> all k bits set) over the bound `__grams`
+    column — the same positions the batch d72 probe checks, folded to
     one per-document int without exploding the stream. m is DERIVED
     from the filter itself (len(bits)): a probe that hashed mod a
     different m than the build would silently read off the end of the
     string and miss set members — the false negative the whole design
-    forbids (caught by the tiny-filter test)."""
+    forbids (caught by the tiny-filter test). The bits ride as ONE
+    bound column (`__bits`, see `_with_grams`), not as an inline
+    literal per probe — k copies of an M-char literal in the
+    expression text would bloat the plan k-fold for nothing."""
     m = len(bits)
     probes = " AND ".join(
-        f"substring('{{B}}', CAST({_d72_pos_spark('g', i, m)} AS INT)"
+        f"substring(__bits, CAST({_d72_pos_spark('g', i, m)} AS INT)"
         " + 1, 1) = '1'"
         for i in range(k)
     )
-    # the bits string rides as ONE literal; placeholder-substituted to
-    # keep the position expressions readable above
-    probes = probes.replace("{B}", bits)
     return F.expr(
         f"exists(__grams, g -> {probes})"
     ).cast("int")
 
 
-def _with_grams(df: DataFrame) -> DataFrame:
-    return df.withColumn("__grams", _gram_expr(F.col("__w")))
+def _with_grams(df: DataFrame, bits: str) -> DataFrame:
+    return df.withColumn("__grams", _gram_expr(F.col("__w"))).withColumn(
+        "__bits", F.lit(bits)
+    )
 
 
 def batch_bloom_decontam(docs: DataFrame, bits: str) -> DataFrame:
@@ -77,7 +79,7 @@ def batch_bloom_decontam(docs: DataFrame, bits: str) -> DataFrame:
     w = docs.where(F.col("doc_id") % 97 != 0).select(
         "doc_id", "lang", F.split(F.col("text"), " ").alias("__w")
     )
-    return _with_grams(w).select(
+    return _with_grams(w, bits).select(
         "doc_id",
         "lang",
         _bloom_flag(bits).alias("bloom_contaminated"),
@@ -103,7 +105,7 @@ def stream_bloom_decontam(
         "doc_id", "lang", F.split(F.col("text"), " ").alias("__w")
     )
     return (
-        _with_grams(w)
+        _with_grams(w, bits)
         .select(
             "doc_id",
             "lang",
