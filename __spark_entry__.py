@@ -42,8 +42,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #   outrank stale-green ones, the standing precedent; each was
 #   oracle-exact at sf0.01 AND sf0.001 on arrival, vanilla-checked,
 #   with python brute-force parity tests).
-# 43 + 2 + 5 = 50 exactly; the r10 cohort (listed below the cap)
-# leads the r14 queue.
+# 43 + 2 + 6 = 51: one row over the 50-cap, so the cap cuts at the
+# LAST tier-4 row (d73_hot_key_audit) — of every row in the sample it
+# carries the freshest compensating evidence (landed this round,
+# oracle-exact at both SFs + vanilla + python parity on arrival). It
+# leads the r14 queue ahead of the r10 cohort.
 _SAMPLE_FIRST = [
     # tier 1 — r12-deferred queue head (latest driver green r09)
     "d21_token_budget_mix", "d22_epoch_shuffle", "d26_kmv_distinct",
@@ -75,7 +78,7 @@ _SAMPLE_FIRST = [
     # brute-force parity in tests/test_r13_ops.py)
     "t_fertility", "d70_length_bucket_batches",
     "d71_eval_diversity_sample", "d72_bloom_decontam",
-    "s5_props_variant",
+    "s5_props_variant", "d73_hot_key_audit",
     # beyond the 50-cap: the r10 cohort in name order leads the r14
     # queue (44 rows; freshest r11/r12 greens follow implicitly via
     # the registry-order fallback in queries())

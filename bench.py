@@ -167,6 +167,7 @@ HEADLINE = [
     "d71_eval_diversity_sample",
     "d72_bloom_decontam",
     "s5_props_variant",
+    "d73_hot_key_audit",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the

@@ -8623,3 +8623,99 @@ def d72_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("false_positive"),
         )
     )
+
+
+# ------------------------------------------------------------- d73
+# Hot-key skew audit: the reusable form of j12b's disclosure card.
+# Before shuffling a 100 TB relation on a key, ask what the key's
+# concentration looks like — the top-k hot keys, each one's share of
+# all rows (ppm), and the cumulative share of the head. A feed whose
+# top-10 keys own half the rows needs salting/AQE-skew handling on
+# that join, and this card is how the pipeline finds out for the cost
+# of one map-side-combinable count.
+D73_TOPK = 10
+
+
+@query(
+    "d73_hot_key_audit",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    ),
+    t AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_keys
+      FROM c
+    ),
+    top AS (
+      SELECT user_id, n,
+             CAST(ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS BIGINT)
+               AS rk
+      FROM c
+    )
+    SELECT rk, user_id, n,
+           n_keys,
+           CAST(n * 1000000 / total AS BIGINT) AS share_ppm,
+           CAST(CAST(SUM(n) OVER (ORDER BY rk) AS BIGINT) * 1000000 / total
+                AS BIGINT) AS cum_share_ppm
+    FROM top, t
+    WHERE rk <= {D73_TOPK}
+    ORDER BY rk
+    """,
+)
+def d73_hot_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{D73_TOPK} hottest events.user_id keys with per-key and
+    cumulative row share in ppm, plus the key-domain size — the
+    skew disclosure a planner wants BEFORE keying a shuffle on
+    user_id (j12's guard consumes exactly this distribution; d73 is
+    the standing card any relation/key pair can reuse).
+
+    Scale shape: one map-side-combinable per-key count (the only
+    corpus-sized exchange), a 1-row total/cardinality agg crossJoined
+    back (the anchor pattern), TakeOrderedAndProject for the head,
+    and a {D73_TOPK}-row cumulative window (the documented
+    tiny-relation singleton-exchange class). Integer ppm throughout —
+    n * 1e6 stays under 2^63 until a single key holds ~9e12 rows.
+    Deliberately NO HHI column: sum(n^2) overflows BIGINT on large
+    key domains and a double sum would be partition-order-dependent —
+    the head shares carry the same operational signal exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("n"))
+    t = c.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_keys"),
+    )
+    top = (
+        c.orderBy(F.col("n").desc(), "user_id")
+        .limit(D73_TOPK)
+        .crossJoin(F.broadcast(t))
+    )
+    return (
+        top.withColumn(
+            "rk",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), "user_id"))
+            .cast("long"),
+        )
+        .select(
+            "rk",
+            "user_id",
+            "n",
+            "n_keys",
+            F.expr("CAST(n * 1000000 DIV total AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            F.expr("n").alias("__n2"),
+            F.col("total"),
+        )
+        .withColumn(
+            "cum_share_ppm",
+            F.expr(
+                "CAST(SUM(__n2) OVER (ORDER BY rk) * 1000000 DIV total"
+                " AS BIGINT)"
+            ),
+        )
+        .drop("__n2", "total")
+        .orderBy("rk")
+    )

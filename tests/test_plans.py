@@ -55,6 +55,9 @@ BNLJ_OK = {
                         # t_keyword_topk anchor pattern)
     "d64_doremi_mix",   # 1-row corpus-mean/total-tokens anchor
                         # crossJoin (t_tfidf's pattern)
+    "d73_hot_key_audit",  # 1-row total/cardinality anchor crossJoin
+                          # (t_tfidf's pattern; the corpus-sized work
+                          # is the single per-key count exchange)
     "d66_nprobe_sweep",  # the 3-row nprobe routing non-equi join over
                          # the kernel's bounded per-cell tops, and a
                          # 1-row true_k anchor crossJoin

@@ -341,3 +341,42 @@ def test_s5_variant_matches_python_bruteforce(spark):
     assert got == want
     assert any(v[0] == 0 for v in want.values())        # malformed leg hit
     assert any(v[4] == 1 for v in want.values() if v[0])  # json-null leg hit
+
+
+def test_d73_hot_key_audit_matches_python_bruteforce(spark):
+    from collections import Counter
+
+    from risk_dashboard_database_spark.plans.dedup import (
+        D73_TOPK,
+        d73_hot_key_audit,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    counts = Counter(r["user_id"] for r in ev)
+    total = sum(counts.values())
+    head = sorted(counts.items(), key=lambda t: (-t[1], t[0]))[:D73_TOPK]
+    want, cum = [], 0
+    for rk, (uid, n) in enumerate(head, start=1):
+        cum += n
+        want.append(
+            (
+                rk,
+                uid,
+                n,
+                len(counts),
+                n * 1_000_000 // total,
+                cum * 1_000_000 // total,
+            )
+        )
+    got = [
+        (
+            r["rk"],
+            r["user_id"],
+            r["n"],
+            r["n_keys"],
+            r["share_ppm"],
+            r["cum_share_ppm"],
+        )
+        for r in d73_hot_key_audit(spark, SF_DIR).orderBy("rk").collect()
+    ]
+    assert got == want
