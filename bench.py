@@ -168,6 +168,7 @@ HEADLINE = [
     "d72_bloom_decontam",
     "s5_props_variant",
     "d73_hot_key_audit",
+    "w17_trailing_distinct",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the

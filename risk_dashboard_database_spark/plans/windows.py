@@ -776,3 +776,85 @@ def w16_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention_ppm"
         ),
     )
+
+
+# ----------------------------------------------------------------- w17
+# Trailing 7-day distinct users per day — the sliding COUNT DISTINCT
+# every engagement dashboard needs and naive SQL answers with a
+# day-spine x events self-join (a range join that re-scans the fact
+# table per day). The scalable form is the window-contribution
+# explode: each (day, user) pair contributes itself to the 7 window
+# END days it falls inside — a bounded x7 fan-out of the already-
+# deduplicated day-user relation, then ONE distinct-agg. No self-join,
+# no range join, no per-day rescan, at any corpus size.
+W17_DAYS = 7
+
+
+@query(
+    "w17_trailing_distinct",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    contrib AS (
+      SELECT d, user_id,
+             unnest(generate_series(d, d + {W17_DAYS - 1},
+                                    INTERVAL 1 DAY))::DATE AS wend
+      FROM du
+    )
+    SELECT STRFTIME(wend, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT CASE WHEN wend = d THEN user_id END)
+                AS BIGINT) AS dau,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau_7d,
+           CAST(COUNT(DISTINCT CASE WHEN wend = d THEN user_id END)
+                AS BIGINT) * 1000000
+             // CAST(COUNT(DISTINCT user_id) AS BIGINT) AS stickiness_ppm
+    FROM contrib
+    GROUP BY wend
+    """,
+)
+def w17_trailing_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per day: that day's distinct users (dau), the trailing
+    {W17_DAYS}-day distinct users (wau_7d), and dau/wau stickiness in
+    integer ppm. Days with no events of their own still appear while
+    inside some active user's trailing window (dau 0) — the COALESCE
+    leg both engines share.
+
+    Scale shape: ONE distinct over (day, user) — the only corpus-
+    sized exchange, map-side combined — then a x{W17_DAYS} explode of
+    that deduplicated relation (sequence + explode, linear and
+    bounded) into ONE window-end aggregation that answers dau and
+    wau together (dau = distinct users whose window end IS their own
+    day — no second agg, no day-grain join; the first shipped form
+    carried both and compiled to 5 exchanges, over the audit budget).
+    The naive day-spine self-join this replaces re-scans the fact
+    table once per day; this never reads a fact row twice."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    contrib = du.select(
+        "d",
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), W17_DAYS - 1))
+        ).alias("wend"),
+    )
+    dau = F.count_distinct(
+        F.when(F.col("wend") == F.col("d"), F.col("user_id"))
+    ).cast("long")
+    wau = F.count_distinct(F.col("user_id")).cast("long")
+    return contrib.groupBy("wend").agg(
+        dau.alias("dau"),
+        wau.alias("wau_7d"),
+        F.expr(
+            "CAST(CAST(COUNT(DISTINCT CASE WHEN wend = d THEN user_id END)"
+            " AS BIGINT) * 1000000"
+            " DIV COUNT(DISTINCT user_id) AS BIGINT)"
+        ).alias("stickiness_ppm"),
+    ).select(
+        F.date_format("wend", "yyyy-MM-dd").alias("day"),
+        "dau",
+        "wau_7d",
+        "stickiness_ppm",
+    )

@@ -380,3 +380,39 @@ def test_d73_hot_key_audit_matches_python_bruteforce(spark):
         for r in d73_hot_key_audit(spark, SF_DIR).orderBy("rk").collect()
     ]
     assert got == want
+
+
+def test_w17_trailing_distinct_matches_python_bruteforce(spark):
+    import datetime as dt
+    from collections import defaultdict
+
+    from risk_dashboard_database_spark.plans.windows import (
+        W17_DAYS,
+        w17_trailing_distinct,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    by_day = defaultdict(set)
+    for r in ev:
+        by_day[r["ts"].date()].add(r["user_id"])
+    want = {}
+    for d, users in by_day.items():
+        for off in range(W17_DAYS):
+            wend = d + dt.timedelta(days=off)
+            want.setdefault(wend, set()).update(users)
+    rows = {}
+    for wend, wau in want.items():
+        dau = len(by_day.get(wend, ()))
+        rows[wend.isoformat()] = (
+            dau,
+            len(wau),
+            dau * 1_000_000 // len(wau),
+        )
+    got = {
+        r["day"]: (r["dau"], r["wau_7d"], r["stickiness_ppm"])
+        for r in w17_trailing_distinct(spark, SF_DIR).collect()
+    }
+    assert got == rows
+    # trailing-tail days exist: window-end days beyond the last event
+    # day appear with dau 0
+    assert any(v[0] == 0 for v in rows.values())
