@@ -207,6 +207,14 @@ def merge_upsert_partitioned(
             r[0]
             for r in updates.select(partition_col).distinct().collect()
         ]
+        if any(v is None for v in touched):
+            raise ValueError(
+                "merge_upsert_partitioned: the batch contains NULL "
+                f"{partition_col!r} values — NULL lands in the default "
+                "partition and an isin() filter can never match it, so "
+                "the merge would silently drop those rows. Clean or "
+                "default the partition key upstream."
+            )
         existing = (
             spark.read.parquet(target_path)
             .where(F.col(partition_col).isin(touched))

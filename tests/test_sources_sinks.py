@@ -279,6 +279,25 @@ def test_merge_upsert_partitioned_conditionals_and_contract(spark, tmp_path):
         )
 
 
+def test_merge_upsert_partitioned_refuses_null_partition_values(spark, tmp_path):
+    """NULL partition keys land in the default partition where isin()
+    can never match them — refused loudly instead of silently dropped."""
+    target = str(tmp_path / "tgt_null")
+    base = spark.createDataFrame(
+        [("2024-04-01", 1, 1)], "date string, id int, total int"
+    )
+    merge_upsert_partitioned(
+        spark, target, base, keys=["date", "id"], partition_col="date"
+    )
+    bad = spark.createDataFrame(
+        [(None, 2, 2)], "date string, id int, total int"
+    )
+    with pytest.raises(ValueError, match="NULL 'date' values"):
+        merge_upsert_partitioned(
+            spark, target, bad, keys=["date", "id"], partition_col="date"
+        )
+
+
 def test_json_rows_clamps_to_limit(spark):
     df = spark.range(5000).select(F.col("id").cast("int").alias("id"))
     assert len(json_rows(df)) == 1000          # default endpoint clamp
