@@ -8478,13 +8478,44 @@ D72_M = 1 << 17   # filter bits; production sizes this ~10-16 bits/gram
 D72_K = 4         # probes per gram
 
 
-def _d72_pos_spark(h_sql: str, i: int, m: int) -> str:
-    """Bit position i for gram `h_sql` (Spark spelling): fold the
-    first 8 md5 hex chars of 'gram#i' to a 32-bit int (d11's proven
-    conv(substring(md5..)) pattern), mod m."""
+def _bloom_h1h2(gram: F.Column) -> tuple[F.Column, F.Column]:
+    """Kirsch-Mitzenmacher base hashes from ONE md5 per gram: h1 =
+    hex chars 1-8 as a 32-bit int, h2 = chars 9-16 doubled-plus-one
+    (odd, so the probe stride cycles the whole filter). Position i is
+    then (h1 + i*h2) % m — pure integer arithmetic, no per-probe
+    rehash. The first shipped spec hashed md5(gram#i) per probe: 4
+    md5s per gram, and codegen's missing common-subexpression
+    elimination doubled that to 8 — measured as the dominant probe
+    cost (see bloom_hit_col's A/B trail)."""
+    hexs = F.md5(gram)
+    h1 = F.conv(F.substring(hexs, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(hexs, 9, 8), 16, 10).cast("long") * 2 + 1
+    return h1, h2
+
+
+def bloom_positions(bench_grams, m: int = D72_M, k: int = D72_K):
+    """The filter as a DISTRIBUTED relation of set bit positions —
+    never collected: bounded by k x |benchmark grams| ints, it
+    broadcasts where the raw gram STRINGS eventually cannot. The
+    batch d72 probes it with a broadcast join (on Spark a broadcast
+    hash lookup IS the O(1) bit probe); the string/packed-literal
+    forms below exist for the STREAMING gate, whose plan compiles
+    once per stream. (Measured dead ends for the batch form, sf0.1:
+    1-row anchor crossJoin 18.5 s — M chars copied into every gram
+    row; M-char string literal + substr 18.3 s — UTF8 substring scans
+    p bytes per probe; packed int-array literals ~1.5 s exec but
+    5.9 s PLAN COMPILE per execution — 8192-child array expressions
+    in the analyzer. The join form: no literal, no collect, ~1 s.)"""
+    h1, h2 = _bloom_h1h2(F.col("h"))
     return (
-        f"pmod(CAST(conv(substring(md5(concat({h_sql}, '#{i}')), 1, 8),"
-        f" 16, 10) AS BIGINT), {m})"
+        bench_grams.select(
+            F.explode(
+                F.array(
+                    *[((h1 + i * h2) % m).cast("long") for i in range(k)]
+                )
+            ).alias("pos")
+        )
+        .distinct()
     )
 
 
@@ -8494,9 +8525,8 @@ def bloom_bits_from_grams(bench_grams, m: int = D72_M, k: int = D72_K) -> str:
     BENCHMARK (k x its distinct grams — benchmarks are small by
     definition; the d3-probes bounded-collect class); the corpus
     never collects."""
-    pos_cols = [
-        F.expr(_d72_pos_spark("h", i, m)).cast("int") for i in range(k)
-    ]
+    h1, h2 = _bloom_h1h2(F.col("h"))
+    pos_cols = [((h1 + i * h2) % m).cast("int") for i in range(k)]
     positions = {
         r["p"]
         for r in bench_grams.select(
@@ -8511,11 +8541,89 @@ def bloom_bits_from_grams(bench_grams, m: int = D72_M, k: int = D72_K) -> str:
     return bits.decode("ascii")
 
 
+_BLOOM_WORD_BITS = 16  # bits packed per array element (positive ints:
+                       # no sign games, and 2^(pos % 16) stays an exact
+                       # small power the division trick handles)
+_BLOOM_POW2 = [1 << b for b in range(_BLOOM_WORD_BITS)]
+
+
+def _pack_bits(bits: str) -> list[int]:
+    """'0'/'1' string -> {_BLOOM_WORD_BITS}-bit little-endian words.
+    Bit p lives at words[p // W] bit (p % W)."""
+    w = _BLOOM_WORD_BITS
+    return [
+        sum(1 << b for b in range(w) if i + b < len(bits) and bits[i + b] == "1")
+        for i in range(0, len(bits), w)
+    ]
+
+
+def bloom_hit_col(
+    gram: F.Column, bits: str, k: int = D72_K
+) -> F.Column:
+    """All-k-bits-set probe for one gram column, with the filter
+    packed into an int-array PLAN CONSTANT probed by O(1)
+    element_at + arithmetic bit extract.
+
+    Two rejected forms, both measured at sf0.1 (~256k gram rows):
+    (1) a 1-row anchor relation crossJoined in — the join copies the
+    M chars into EVERY gram row (UnsafeRow column copy), 18.5 s;
+    (2) the M-char '0'/'1' string as a literal probed by substr —
+    a literal costs nothing per row, but UTF8 substring at char
+    position p must SCAN p bytes to find the offset, so each probe
+    walks ~M/2 bytes: 18.3 s. The packed-word form is ~0.5 s — the
+    same reason real Bloom filters store words, not characters. The
+    probe is pure integer arithmetic: word = element_at(words,
+    pos DIV W + 1); bit = (word DIV 2^(pos MOD W)) MOD 2 — every
+    operand positive, so truncating division is floor on both
+    engines. m derives from len(bits) so a build/probe mismatch
+    cannot read past the filter (the gate's tiny-filter lesson)."""
+    h1, h2 = _bloom_h1h2(gram)
+    return bloom_hit_from_h1h2(h1, h2, bits, k)
+
+
+def bloom_hit_from_h1h2(
+    h1: F.Column, h2: F.Column, bits: str, k: int = D72_K
+) -> F.Column:
+    """The probe with the base hashes already bound to columns — the
+    form the batch d72 uses so md5 runs ONCE per gram row (the lambda
+    form above re-evaluates it per reference; a bound column doesn't)."""
+    m = len(bits)
+    words = F.lit(_pack_bits(bits))
+    pow2 = F.lit(_BLOOM_POW2)
+    w = _BLOOM_WORD_BITS
+    hit = F.lit(True)
+    for i in range(k):
+        pos = ((h1 + i * h2) % m).cast("int")
+        word = F.element_at(words, (pos / w).cast("int") + F.lit(1))
+        p2 = F.element_at(pow2, (pos % w) + F.lit(1))
+        bit = (word / p2).cast("int") % 2
+        hit = hit & (bit == F.lit(1))
+    return hit
+
+
+def _md5_fold_range_sql(expr: str, lo: int, hi: int) -> str:
+    """BIGINT from md5 hex chars [lo, hi) of `expr` (1-based) — the
+    _md5_fold_sql pattern generalized so h1 (chars 1-8) and h2
+    (chars 9-16) read the SAME single md5 the Spark side computes."""
+    return f"""
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(range({lo}, {hi}),
+            i -> CAST(instr('0123456789abcdef',
+                            substr(md5({expr}), i, 1)) - 1 AS BIGINT))),
+        (acc, v) -> acc * 16 + v)
+    """
+
+
 def _d72_oracle() -> str:
-    # NB: the fold's internal lambda variable is `i` — the outer range
-    # variable must NOT shadow it (it did, and every probe collapsed to
-    # one position; caught by the oracle gate).
-    fold = _md5_fold_sql("h || '#' || CAST(bi AS VARCHAR)")
+    # Kirsch-Mitzenmacher positions: ONE md5 per gram, h1 = hex chars
+    # 1-8, h2 = chars 9-16 doubled-plus-one (odd stride), position i =
+    # (h1 + i*h2) % M. NB (from the first spec's bug): the fold's
+    # internal lambda variable is `i` — the outer range variable must
+    # be named differently (bi) or every probe collapses to one
+    # position; caught by the oracle gate.
+    h1 = _md5_fold_range_sql("h", 1, 9)
+    h2 = _md5_fold_range_sql("h", 9, 17)
     return f"""
     WITH d AS (
       SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
@@ -8527,7 +8635,7 @@ def _d72_oracle() -> str:
       FROM d WHERE doc_id % 97 = 0
     ),
     bp AS (
-      SELECT DISTINCT ({fold}) % {D72_M} AS pos
+      SELECT DISTINCT (({h1}) + bi * (2 * ({h2}) + 1)) % {D72_M} AS pos
       FROM bg, range(0, {D72_K}) t(bi)
     ),
     nb AS (
@@ -8542,7 +8650,8 @@ def _d72_oracle() -> str:
       FROM nb
     ),
     probes AS (
-      SELECT doc_id, lang, h, ({fold}) % {D72_M} AS pos
+      SELECT doc_id, lang, h,
+             (({h1}) + bi * (2 * ({h2}) + 1)) % {D72_M} AS pos
       FROM expl, range(0, {D72_K}) t(bi)
     ),
     gram_hits AS (
@@ -8573,10 +8682,12 @@ def d72_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark shape: the benchmark grams fold into an M-bit '0'/'1'
     string (bounded driver-side build, k x |bench grams| positions),
-    shipped as a ONE-ROW broadcast relation (t_keyword_topk's anchor
-    pattern — no megabyte literal in the plan); each corpus gram
-    probes k substring positions JVM-side; ONE doc-keyed exchange
-    with map-side partial agg, exactly d15's shape. The exact-flag
+    riding the plan as a CONSTANT (see `bloom_hit_col` — the 1-row
+    anchor-relation form was measured 18.5 s at sf0.1 because the
+    join copies the M chars into every gram row, and was replaced
+    same-round); each corpus gram probes k substring positions
+    JVM-side; ONE doc-keyed exchange with map-side partial agg,
+    exactly d15's shape. The exact-flag
     branch reuses d15's broadcast gram join, so at test scale the
     query costs ~one d15. At 100 TB the exact branch is the one that
     stops scaling (the broadcast gram set grows with the benchmark
@@ -8593,35 +8704,45 @@ def d72_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("h")
         .distinct()
     )
-    bits = bloom_bits_from_grams(bench_g)
-    anchor = spark.createDataFrame([(bits,)], "bloom_bits string")
-    hit = F.lit(True)
-    for i in range(D72_K):
-        hit = hit & F.expr(
-            f"substring(bloom_bits, CAST({_d72_pos_spark('h', i, D72_M)}"
-            " AS INT) + 1, 1) = '1'"
-        )
-    return (
+    bp = bloom_positions(bench_g)
+    h1, h2 = _bloom_h1h2(F.col("h"))
+    probes = (
         g.where(F.col("doc_id") % 97 != 0)
-        .crossJoin(F.broadcast(anchor))
         .join(
             F.broadcast(bench_g.withColumn("__hit", F.lit(1))), "h", "left"
         )
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.max(F.when(hit, 1).otherwise(0))
-            .cast("int")
-            .alias("bloom_contaminated"),
-            F.max(F.coalesce(F.col("__hit"), F.lit(0)))
-            .cast("int")
-            .alias("contaminated"),
-            (
-                F.max(F.when(hit, 1).otherwise(0))
-                - F.max(F.coalesce(F.col("__hit"), F.lit(0)))
-            )
-            .cast("int")
-            .alias("false_positive"),
+        .withColumn("__h1", h1)
+        .withColumn("__h2", h2)
+        .withColumn(
+            "pos",
+            F.explode_outer(
+                F.array(
+                    *[
+                        ((F.col("__h1") + i * F.col("__h2")) % D72_M).cast(
+                            "long"
+                        )
+                        for i in range(D72_K)
+                    ]
+                )
+            ),
         )
+        .join(F.broadcast(bp.withColumn("__set", F.lit(1))), "pos", "left")
+    )
+    gram_hits = probes.groupBy("doc_id", "lang", "h").agg(
+        F.sum(F.coalesce(F.col("__set"), F.lit(0))).alias("hits"),
+        F.max(F.coalesce(F.col("__hit"), F.lit(0))).alias("exact"),
+    )
+    return gram_hits.groupBy("doc_id", "lang").agg(
+        F.max(F.when(F.col("hits") == D72_K, 1).otherwise(0))
+        .cast("int")
+        .alias("bloom_contaminated"),
+        F.max("exact").cast("int").alias("contaminated"),
+        (
+            F.max(F.when(F.col("hits") == D72_K, 1).otherwise(0))
+            - F.max("exact")
+        )
+        .cast("int")
+        .alias("false_positive"),
     )
 
 

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.dedup import D72_K, D72_M, _d72_pos_spark, bloom_bits_from_grams
+from ..plans.dedup import D72_K, D72_M, bloom_bits_from_grams, bloom_hit_col
 from .decontam import _gram_expr
 
 
@@ -48,30 +48,20 @@ def benchmark_bloom_bits(
 
 def _bloom_flag(bits: str, k: int = D72_K) -> F.Column:
     """exists(grams, g -> all k bits set) over the bound `__grams`
-    column — the same positions the batch d72 probe checks, folded to
-    one per-document int without exploding the stream. m is DERIVED
-    from the filter itself (len(bits)): a probe that hashed mod a
-    different m than the build would silently read off the end of the
-    string and miss set members — the false negative the whole design
-    forbids (caught by the tiny-filter test). The bits ride as ONE
-    bound column (`__bits`, see `_with_grams`), not as an inline
-    literal per probe — k copies of an M-char literal in the
-    expression text would bloat the plan k-fold for nothing."""
-    m = len(bits)
-    probes = " AND ".join(
-        f"substring(__bits, CAST({_d72_pos_spark('g', i, m)} AS INT)"
-        " + 1, 1) = '1'"
-        for i in range(k)
-    )
-    return F.expr(
-        f"exists(__grams, g -> {probes})"
+    column — the same `bloom_hit_col` probe the batch d72 runs, with
+    the filter as a PLAN CONSTANT (the bound-column form copied the
+    M chars into every row; see bloom_hit_col's measured note). m is
+    DERIVED from the filter itself (len(bits)): a probe that hashed
+    mod a different m than the build would silently read off the end
+    of the string and miss set members — the false negative the whole
+    design forbids (caught by the tiny-filter test)."""
+    return F.exists(
+        F.col("__grams"), lambda g: bloom_hit_col(g, bits, k)
     ).cast("int")
 
 
 def _with_grams(df: DataFrame, bits: str) -> DataFrame:
-    return df.withColumn("__grams", _gram_expr(F.col("__w"))).withColumn(
-        "__bits", F.lit(bits)
-    )
+    return df.withColumn("__grams", _gram_expr(F.col("__w")))
 
 
 def batch_bloom_decontam(docs: DataFrame, bits: str) -> DataFrame:

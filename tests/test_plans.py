@@ -110,6 +110,13 @@ EXCH_BUDGET = {
                                     # singleton exchange — only the first
                                     # two touch corpus/vocab-scale data,
                                     # both map-side combined
+    "d72_bloom_decontam": 5,        # benchmark-gram distinct + position
+                                    # distinct (both benchmark-sized) +
+                                    # gram-grain hits agg + doc-grain
+                                    # flag agg (both map-side combined)
+                                    # + the stored-MV relation's scan
+                                    # split; only the two aggs touch
+                                    # corpus-scale rows
     "d43_lm_quality_buckets": 4,    # (lang,score) value-domain agg +
                                     # dictionary-sized lang CDF window +
                                     # 20-row final agg + scan-only short

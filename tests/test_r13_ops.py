@@ -264,8 +264,10 @@ def test_d72_bloom_decontam_matches_python_bruteforce(spark):
         ]
 
     def pos(g: str, i: int) -> int:
-        h = hashlib.md5(f"{g}#{i}".encode()).hexdigest()
-        return int(h[:8], 16) % D72_M
+        # Kirsch-Mitzenmacher: one md5 per gram, position i derived
+        # arithmetically (h1 = hex chars 1-8, h2 = chars 9-16 * 2 + 1)
+        h = hashlib.md5(g.encode()).hexdigest()
+        return (int(h[:8], 16) + i * (2 * int(h[8:16], 16) + 1)) % D72_M
 
     docs = _docs(spark)
     bench = set()
