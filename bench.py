@@ -659,7 +659,41 @@ BUDGET_R12 = {
                               # (normalized 0.331, 1.5x -> 0.497 ->
                               # 0.5; JSON-parse scan-rate class)
 }
-BUDGET = {**BUDGET_GENERATED, **BUDGET, **BUDGET_R10, **BUDGET_R12}
+# ----------------------------------------------------------------
+# r13 pins: the seven new queries, uniform recipe (1.5x the worst
+# in-harness guard-normalized median across the round's two full
+# runs — one calm-gating, one all-windows-contended — floor 0.35,
+# roundup 0.05). Normalized medians in comments are from the
+# contended run (the higher of the two, so the pins lean wide).
+BUDGET_R13 = {
+    "t_fertility": 0.4,        # 0.254 normalized (1.5x -> 0.38 -> 0.4)
+    "d70_length_bucket_batches": 0.35,  # floor: 0.222 normalized
+    "d71_eval_diversity_sample": 2.0,   # 1.325 normalized (1.5x ->
+                              # 1.99 -> 2.0; the 8 per-token sign
+                              # folds over distinct tokens — d6's
+                              # simhash family, already one-md5
+                              # -per-token optimized: 1.88 -> 1.33
+                              # calm solo A/B this round)
+    "d72_bloom_decontam": 1.2,  # 0.792 normalized (1.5x -> 1.19 ->
+                              # 1.2; d15's gram-grain class + the
+                              # positions build — join-form probe
+                              # after the 18.5 -> 1.4 s A/B trail)
+    "s5_props_variant": 1.1,   # 0.724 normalized (1.5x -> 1.086 ->
+                              # 1.1; builds AND parses a JSON payload
+                              # per event row — s3's scan-rate class
+                              # doubled by the in-query construction)
+    "d73_hot_key_audit": 0.35,  # floor: 0.232 normalized
+    "w17_trailing_distinct": 0.7,  # 0.438 normalized (1.5x -> 0.66
+                              # -> 0.7; one corpus distinct + x7
+                              # explode + one multi-distinct agg)
+}
+BUDGET = {
+    **BUDGET_GENERATED,
+    **BUDGET,
+    **BUDGET_R10,
+    **BUDGET_R12,
+    **BUDGET_R13,
+}
 
 # ----------------------------------------------------------------
 # Over-the-line pin registry (VERDICT r8 #8). BASELINE.md derives a
@@ -714,6 +748,15 @@ PINS_ABOVE_WORKING_BUDGET = {
     "d66_nprobe_sweep": "exact recall@3 at three nprobe operating points "
                         "over the trained index (d25's audit class; both "
                         "scoring legs through the d3 brute-force kernel)",
+    "d71_eval_diversity_sample": "8 per-token sign folds over each doc's "
+                                 "distinct tokens (d6's simhash family, "
+                                 "one-md5-per-token form)",
+    "d72_bloom_decontam": "d15's gram-grain class + the bloom positions "
+                          "build and probe (join form; A/B trail in "
+                          "bloom_positions' docstring)",
+    "s5_props_variant": "builds and variant-parses a JSON payload per "
+                        "event row (s3's scan-rate class doubled by the "
+                        "in-query construction)",
 }
 _over_line = {n for n, b in BUDGET.items() if b > WORKING_BUDGET_SEC}
 assert _over_line == set(PINS_ABOVE_WORKING_BUDGET), (
