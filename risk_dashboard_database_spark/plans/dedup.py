@@ -8416,7 +8416,8 @@ def d71_eval_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     {D71_BITS} sign-folds run over those precomputed ints — bit j is
     (v div 2^(j+4 if j<4 else j-4)) % 2, the same LSB-first-within-
     nibble order as d6's `_BIT_SQL` (char 1 is the HIGH nibble of v).
-    Measured 1.88 -> ~0.6 s at sf0.1 for identical output.
+    Measured 1.88 -> 1.33 s calm solo at sf0.1 for identical output
+    (in-harness 1.45 under its 2.0 pin).
 
     Scale shape: the signature is map-only ({D71_BITS} integer folds
     + one md5 per distinct token), then ONE agg exchange on

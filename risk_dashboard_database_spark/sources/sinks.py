@@ -169,7 +169,9 @@ def merge_upsert_partitioned(
          corpus; same bounded-collect class as the MV dictionary reads);
       2. the existing side reads ONLY those partitions (the isin filter
          is a partition filter, so the scan prunes to the touched
-         directories — asserted via inputFiles in the test);
+         directories — asserted at runtime via input_file_name in
+         the test; DataFrame.inputFiles() reports the PRE-pruning
+         relation and cannot witness this);
       3. the S6/S7 merge runs on that pruned slice (`_merge_frames`,
          shared with the whole-table path);
       4. the write goes through `replace_window`'s dynamic partition
