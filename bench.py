@@ -169,6 +169,7 @@ HEADLINE = [
     "s5_props_variant",
     "d73_hot_key_audit",
     "w17_trailing_distinct",
+    "m8_payload_byte_stats",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
@@ -686,6 +687,12 @@ BUDGET_R13 = {
     "w17_trailing_distinct": 0.7,  # 0.438 normalized (1.5x -> 0.66
                               # -> 0.7; one corpus distinct + x7
                               # explode + one multi-distinct agg)
+    "m8_payload_byte_stats": 2.5,  # landed AFTER run C, so no
+                              # in-harness median this round: pin =
+                              # 1.5x the 1.92 s calm SOLO median
+                              # rounded up (byte-grain per-row
+                              # arrays); re-derive from the r14
+                              # harness median
 }
 BUDGET = {
     **BUDGET_GENERATED,
@@ -757,6 +764,9 @@ PINS_ABOVE_WORKING_BUDGET = {
     "s5_props_variant": "builds and variant-parses a JSON payload per "
                         "event row (s3's scan-rate class doubled by the "
                         "in-query construction)",
+    "m8_payload_byte_stats": "per-row byte histograms (hex-pair arrays + "
+                             "sorted-run modal fold) — t_repetition's "
+                             "class at byte rather than bigram grain",
 }
 _over_line = {n for n, b in BUDGET.items() if b > WORKING_BUDGET_SEC}
 assert _over_line == set(PINS_ABOVE_WORKING_BUDGET), (

@@ -569,3 +569,125 @@ def m7_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("over_budget"),
         )
     )
+
+
+# ------------------------------------------------------------------ m8
+# Byte-level payload screening — the binary analytics a media lake can
+# run WITHOUT decoding: per-payload byte histogram stats (distinct
+# byte values, modal-byte concentration) rolled up per media type.
+# A payload whose single most frequent byte owns >20% of its bytes is
+# flagged uniformity-suspect (truncated/zero-padded/corrupt files look
+# exactly like this; real compressed media is near-uniform). Unlike
+# m2's decode seam this needs NO codec — it runs on real bytes today.
+M8_TOP_SHARE_PPM = 200_000  # modal byte > 20% of payload -> suspect
+M8_MIN_BYTES = 16           # ignore trivially short payloads
+
+
+@query(
+    "m8_payload_byte_stats",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             CASE WHEN substr(text, 1, 4) = 'key ' THEN 'KEY0'
+                  WHEN octet_length(encode(text)) % 3 = 0 THEN 'IMG'
+                  WHEN octet_length(encode(text)) % 3 = 1 THEN 'AUD'
+                  ELSE 'VID' END AS media_type,
+             regexp_extract_all(hex(encode(text)), '..') AS bytes_hex
+      FROM documents
+    ),
+    per_byte AS (
+      SELECT doc_id, unnest(bytes_hex) AS b FROM p
+    ),
+    counts AS (
+      SELECT doc_id, b, COUNT(*) AS c FROM per_byte GROUP BY doc_id, b
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS distinct_bytes,
+             CAST(MAX(c) AS BIGINT) AS top_count
+      FROM counts GROUP BY doc_id
+    )
+    SELECT p.media_type,
+           CAST(COUNT(*) AS BIGINT) AS n_payloads,
+           CAST(SUM(p.n_bytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(d.distinct_bytes) AS BIGINT) AS sum_distinct_bytes,
+           CAST(SUM(CASE WHEN p.n_bytes >= {M8_MIN_BYTES}
+                          AND d.top_count * 1000000
+                              > {M8_TOP_SHARE_PPM} * p.n_bytes
+                         THEN 1 ELSE 0 END) AS BIGINT) AS uniform_suspect,
+           CAST(SUM(CASE WHEN p.n_bytes >= {M8_MIN_BYTES}
+                          AND d.top_count * 1000000
+                              > {M8_TOP_SHARE_PPM} * p.n_bytes
+                         THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+                AS BIGINT) AS uniform_suspect_ppm
+    FROM p JOIN per_doc d USING (doc_id)
+    GROUP BY p.media_type
+    """,
+)
+def m8_payload_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per media type: payload count, total bytes, summed distinct
+    byte values, and the uniformity-suspect count/ppm (modal byte
+    > {M8_TOP_SHARE_PPM} ppm of a >= {M8_MIN_BYTES}-byte payload —
+    the decode-free corruption screen). The threshold compare is the
+    cross-multiplied integer form (top * 1e6 > ppm * n_bytes), so no
+    division ever runs on a zero-length payload and every value is
+    BIGINT-exact on both engines.
+
+    Spark shape: per-row byte histogram via hex(payload) split into
+    2-char groups (regexp_extract_all), distinct count from
+    array_distinct, modal count from t_repetition's O(len)
+    sorted-run fold — NO corpus exchange; the only shuffle is the
+    4-row media-type rollup (map-side combined). The oracle uses the
+    relational unnest/GROUP BY form as the clearer spec, exactly the
+    t_repetition oracle precedent. At 100 TB this is one scan of the
+    binary column with per-row arrays bounded by payload size."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    n_bytes = F.octet_length(payload)
+    d = docs.select(
+        F.expr(
+            "CASE WHEN substring(text, 1, 4) = 'key ' THEN 'KEY0' "
+            "WHEN octet_length(encode(text, 'utf-8')) % 3 = 0 THEN 'IMG' "
+            "WHEN octet_length(encode(text, 'utf-8')) % 3 = 1 THEN 'AUD' "
+            "ELSE 'VID' END"
+        ).alias("media_type"),
+        n_bytes.cast("long").alias("n_bytes"),
+        F.expr(
+            "regexp_extract_all(hex(encode(text, 'utf-8')), '..', 0)"
+        ).alias("bytes_hex"),
+    )
+    s = d.select(
+        "media_type",
+        "n_bytes",
+        F.size(F.array_distinct("bytes_hex"))
+        .cast("long")
+        .alias("distinct_bytes"),
+        F.expr(
+            "aggregate(array_sort(bytes_hex),"
+            " named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),"
+            " (acc, x) -> named_struct("
+            "   'prev', x,"
+            "   'run', IF(x <=> acc.prev, acc.run + 1, 1),"
+            "   'best', GREATEST(acc.best, IF(x <=> acc.prev, acc.run + 1, 1))),"
+            " acc -> acc.best)"
+        )
+        .cast("long")
+        .alias("top_count"),
+    )
+    suspect = F.when(
+        (F.col("n_bytes") >= M8_MIN_BYTES)
+        & (F.col("top_count") * 1000000 > M8_TOP_SHARE_PPM * F.col("n_bytes")),
+        1,
+    ).otherwise(0)
+    return s.groupBy("media_type").agg(
+        F.count("*").cast("long").alias("n_payloads"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.sum("distinct_bytes").cast("long").alias("sum_distinct_bytes"),
+        F.sum(suspect).cast("long").alias("uniform_suspect"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN n_bytes >= {M8_MIN_BYTES}"
+            f" AND top_count * 1000000 > {M8_TOP_SHARE_PPM} * n_bytes"
+            " THEN 1 ELSE 0 END) * 1000000 DIV COUNT(*) AS BIGINT)"
+        ).alias("uniform_suspect_ppm"),
+    )

@@ -418,3 +418,50 @@ def test_w17_trailing_distinct_matches_python_bruteforce(spark):
     # trailing-tail days exist: window-end days beyond the last event
     # day appear with dau 0
     assert any(v[0] == 0 for v in rows.values())
+
+
+def test_m8_payload_byte_stats_matches_python_bruteforce(spark):
+    from collections import Counter, defaultdict
+
+    from risk_dashboard_database_spark.plans.multimodal import (
+        M8_MIN_BYTES,
+        M8_TOP_SHARE_PPM,
+        m8_payload_byte_stats,
+    )
+
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # n, bytes, distinct, suspect
+    for r in _docs(spark):
+        b = r["text"].encode()
+        if b[:4] == b"key ":
+            mt = "KEY0"
+        elif len(b) % 3 == 0:
+            mt = "IMG"
+        elif len(b) % 3 == 1:
+            mt = "AUD"
+        else:
+            mt = "VID"
+        c = Counter(b)
+        top = max(c.values(), default=0)
+        a = agg[mt]
+        a[0] += 1
+        a[1] += len(b)
+        a[2] += len(c)
+        a[3] += int(
+            len(b) >= M8_MIN_BYTES
+            and top * 1_000_000 > M8_TOP_SHARE_PPM * len(b)
+        )
+    want = {
+        mt: (n, tb, dist, sus, sus * 1_000_000 // n)
+        for mt, (n, tb, dist, sus) in agg.items()
+    }
+    got = {
+        r["media_type"]: (
+            r["n_payloads"],
+            r["total_bytes"],
+            r["sum_distinct_bytes"],
+            r["uniform_suspect"],
+            r["uniform_suspect_ppm"],
+        )
+        for r in m8_payload_byte_stats(spark, SF_DIR).collect()
+    }
+    assert got == want and len(want) >= 3
