@@ -687,12 +687,11 @@ BUDGET_R13 = {
     "w17_trailing_distinct": 0.7,  # 0.438 normalized (1.5x -> 0.66
                               # -> 0.7; one corpus distinct + x7
                               # explode + one multi-distinct agg)
-    "m8_payload_byte_stats": 2.5,  # landed AFTER run C, so no
-                              # in-harness median this round: pin =
-                              # 1.5x the 1.92 s calm SOLO median
-                              # rounded up (byte-grain per-row
-                              # arrays); re-derive from the r14
-                              # harness median
+    "m8_payload_byte_stats": 2.2,  # 1.454 normalized in-harness
+                              # median (run D, guard 1.272, zero
+                              # contended windows; 1.5x -> 2.18 ->
+                              # 2.2 — the uniform recipe; byte-grain
+                              # per-row arrays, t_repetition's class)
 }
 BUDGET = {
     **BUDGET_GENERATED,
