@@ -42,12 +42,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #   outrank stale-green ones, the standing precedent; each was
 #   oracle-exact at sf0.01 AND sf0.001 on arrival, vanilla-checked,
 #   with python brute-force parity tests).
-# 43 + 2 + 8 = 53: three rows over the 50-cap, so the cap cuts the
-# LAST three tier-4 rows (d73_hot_key_audit, w17_trailing_distinct,
-# m8_payload_byte_stats) — of every row in the sample they carry the
-# freshest compensating evidence (landed this round, oracle-exact at
-# both SFs + vanilla + python parity on arrival). They lead the r14
-# queue ahead of the r10 cohort.
+# 43 + 2 + 9 = 54: four rows over the 50-cap, so the cap cuts the
+# LAST four tier-4 rows (d73_hot_key_audit, w17_trailing_distinct,
+# m8_payload_byte_stats, d74_source_drift) — of every row in the
+# sample they carry the freshest compensating evidence (landed this
+# round, oracle-exact at both SFs + vanilla + python parity on
+# arrival). They lead the r14 queue ahead of the r10 cohort.
 _SAMPLE_FIRST = [
     # tier 1 — r12-deferred queue head (latest driver green r09)
     "d21_token_budget_mix", "d22_epoch_shuffle", "d26_kmv_distinct",
@@ -75,7 +75,8 @@ _SAMPLE_FIRST = [
     # padding-waste ppm, the SimHash-bucket diversity sampler, the
     # Bloom decontamination card (gate #31's batch twin), the Spark-4
     # VARIANT extraction card, the hot-key skew audit, trailing
-    # 7-day distinct users, and the decode-free payload byte screen
+    # 7-day distinct users, the decode-free payload byte screen, and
+    # the per-source distribution-drift monitor
     # (each oracle-exact at sf0.01 AND sf0.001 on arrival,
     # vanilla-checked, with python brute-force parity in
     # tests/test_r13_ops.py)
@@ -83,6 +84,7 @@ _SAMPLE_FIRST = [
     "d71_eval_diversity_sample", "d72_bloom_decontam",
     "s5_props_variant", "d73_hot_key_audit",
     "w17_trailing_distinct", "m8_payload_byte_stats",
+    "d74_source_drift",
     # beyond the 50-cap: the r10 cohort in name order leads the r14
     # queue (44 rows; freshest r11/r12 greens follow implicitly via
     # the registry-order fallback in queries())

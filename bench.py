@@ -170,6 +170,7 @@ HEADLINE = [
     "d73_hot_key_audit",
     "w17_trailing_distinct",
     "m8_payload_byte_stats",
+    "d74_source_drift",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
@@ -692,6 +693,11 @@ BUDGET_R13 = {
                               # contended windows; 1.5x -> 2.18 ->
                               # 2.2 — the uniform recipe; byte-grain
                               # per-row arrays, t_repetition's class)
+    "d74_source_drift": 1.6,  # landed after run D: pin = 1.5x the
+                              # 1.07 s calm SOLO median (MV-consumer
+                              # class — 100x MV-warm reads FASTER,
+                              # 0.66 s, corpus-independent by
+                              # construction); re-derive at r14
 }
 BUDGET = {
     **BUDGET_GENERATED,
@@ -766,6 +772,9 @@ PINS_ABOVE_WORKING_BUDGET = {
     "m8_payload_byte_stats": "per-row byte histograms (hex-pair arrays + "
                              "sorted-run modal fold) — t_repetition's "
                              "class at byte rather than bigram grain",
+    "d74_source_drift": "stored-MV consumer (all exchanges dictionary-"
+                        "grain; 100x MV-warm faster than sf0.1) — the "
+                        "s_table_profile class",
 }
 _over_line = {n for n, b in BUDGET.items() if b > WORKING_BUDGET_SEC}
 assert _over_line == set(PINS_ABOVE_WORKING_BUDGET), (

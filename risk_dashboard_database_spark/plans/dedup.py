@@ -8841,3 +8841,176 @@ def d73_hot_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__n2", "total")
         .orderBy("rk")
     )
+
+
+# ------------------------------------------------------------- d74
+# Source-drift monitor: which ingest source's distribution deviates
+# from the corpus profile, per dimension — the mixture-monitoring
+# card that catches a feed going bad (language mix shifts, documents
+# suddenly truncate) BEFORE it skews training. Distance is total
+# variation (TVD = sum|p - q| / 2) over ppm-floored shares: pure
+# integer arithmetic, engine-exact, no log (a PSI would need one).
+# Dimensions: language, and d70's length-bucket ladder (reused
+# verbatim, so "length" means the same thing on every card).
+
+
+def _d74_dim_tvd_sql(dim_expr: str, alias: str) -> str:
+    """Per-source TVD in ppm against the corpus over one dimension.
+    Shares are floored ppm on BOTH sides (same floors both engines),
+    so the distance is BIGINT-exact."""
+    return f"""
+      WITH dd AS (
+        SELECT source, {dim_expr} AS dim FROM base
+      ),
+      sd AS (
+        SELECT source, dim, CAST(COUNT(*) AS BIGINT) AS n
+        FROM dd GROUP BY source, dim
+      ),
+      st AS (
+        SELECT source, CAST(SUM(n) AS BIGINT) AS n_src FROM sd GROUP BY source
+      ),
+      cd AS (
+        SELECT dim, CAST(SUM(n) AS BIGINT) AS n_dim FROM sd GROUP BY dim
+      ),
+      ct AS (SELECT CAST(SUM(n) AS BIGINT) AS n_all FROM sd),
+      -- every (source, dim) pair, INCLUDING dims a source lacks
+      -- (p = 0 there; missing pairs would under-count the distance)
+      grid AS (
+        SELECT st.source, cd.dim, st.n_src, cd.n_dim, ct.n_all
+        FROM st, cd, ct
+      ),
+      shares AS (
+        SELECT g.source,
+               COALESCE(sd.n, 0) * 1000000 // g.n_src AS p_ppm,
+               g.n_dim * 1000000 // g.n_all AS q_ppm
+        FROM grid g
+        LEFT JOIN sd ON sd.source = g.source AND sd.dim = g.dim
+      )
+      SELECT source,
+             CAST(SUM(CASE WHEN p_ppm > q_ppm THEN p_ppm - q_ppm
+                           ELSE q_ppm - p_ppm END) // 2 AS BIGINT)
+               AS {alias}
+      FROM shares GROUP BY source
+    """
+
+
+def _d74_oracle() -> str:
+    len_bucket = _d70_bucket_case(
+        "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))"
+        " AS BIGINT)"
+    )
+    lang_leg = _d74_dim_tvd_sql("lang", "tvd_lang_ppm")
+    len_leg = _d74_dim_tvd_sql(f"CAST(({len_bucket}) AS VARCHAR)", "tvd_len_ppm")
+    return f"""
+    WITH base AS (
+      SELECT source, lang, text FROM documents
+    ),
+    counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM base GROUP BY source
+    ),
+    lang_tvd AS ({lang_leg}),
+    len_tvd AS ({len_leg})
+    SELECT c.source, c.n_docs, l.tvd_lang_ppm, b.tvd_len_ppm
+    FROM counts c
+    JOIN lang_tvd l ON l.source = c.source
+    JOIN len_tvd b ON b.source = c.source
+    """
+
+
+def _d74_tvd_all_dims(sd: DataFrame) -> DataFrame:
+    """TVD per (source, dimension) from the STORED tagged count
+    relation (source, dname, dval, n): every grouping below reads the
+    dictionary-sized MV, so the corpus is scanned once per dataset —
+    at MV build — not once per consumer. (Two rejected forms: per-
+    dimension legs compiled to 9 parquet scans / 22 executed
+    exchanges with zero runtime reuse — aliasing defeats
+    ReuseExchange — and an un-stored tagged union still recomputed
+    the corpus agg once per consumer, 4x. The MV seam is the repo's
+    standing answer for exactly this: d2's signatures, d15's grams.)"""
+    st = sd.groupBy("source", "dname").agg(
+        F.sum("n").cast("long").alias("n_src")
+    )
+    cd = sd.groupBy("dname", "dval").agg(
+        F.sum("n").cast("long").alias("n_dim")
+    )
+    ct = sd.groupBy("dname").agg(F.sum("n").cast("long").alias("n_all"))
+    grid = st.join(F.broadcast(cd), "dname").join(
+        F.broadcast(ct), "dname"
+    )
+    shares = grid.join(
+        F.broadcast(sd), ["source", "dname", "dval"], "left"
+    ).select(
+        "source",
+        "dname",
+        F.expr("COALESCE(n, 0) * 1000000 DIV n_src").alias("p_ppm"),
+        F.expr("n_dim * 1000000 DIV n_all").alias("q_ppm"),
+    )
+    return shares.groupBy("source", "dname").agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN p_ppm > q_ppm THEN p_ppm - q_ppm"
+            " ELSE q_ppm - p_ppm END) DIV 2 AS BIGINT)"
+        ).alias("tvd_ppm")
+    )
+
+
+@query("d74_source_drift", oracle=_d74_oracle())
+def d74_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per ingest source: document count and total-variation distance
+    (integer ppm) between the source's distribution and the corpus
+    profile, over two dimensions — language, and d70's length-bucket
+    ladder. A source whose feed goes bad (language mix shifts, docs
+    truncate) lights up here before it skews a training mixture; TVD
+    is the no-log drift distance, so every value is floored-ppm
+    BIGINT arithmetic, exact on both engines. The share grid is built
+    source x dim INCLUDING empty cells (a dimension value a source
+    lacks contributes its full corpus share to the distance — a LEFT
+    join from the grid, not from the observed pairs).
+
+    Scale shape: per dimension, ONE map-side-combinable (source, dim)
+    count is the only corpus-sized exchange; everything after is
+    sources x dim-domain dictionary arithmetic (grid crossJoins are
+    broadcast, sources x langs / sources x ~10 buckets rows). The
+    final card is one row per source at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(
+        F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+    ).cast("long")
+    base = docs.select("source", F.col("lang"), toks.alias("toks"))
+    len_bucket = F.expr(_d70_bucket_case("toks")).cast("string")
+
+    def _build_sd() -> DataFrame:
+        dims = base.select(
+            "source",
+            F.lit("lang").alias("dname"),
+            F.col("lang").alias("dval"),
+        ).unionByName(
+            base.select(
+                "source",
+                F.lit("len").alias("dname"),
+                len_bucket.alias("dval"),
+            )
+        )
+        return dims.groupBy("source", "dname", "dval").agg(
+            F.count("*").cast("long").alias("n")
+        )
+
+    from .relcache import cached_relation
+
+    sd = cached_relation("d74_dims_v1", sf_dir, _build_sd)
+    tvd = _d74_tvd_all_dims(sd)
+    counts = (
+        sd.where(F.col("dname") == "lang")
+        .groupBy("source")
+        .agg(F.sum("n").cast("long").alias("n_docs"))
+    )
+    wide = (
+        tvd.groupBy("source")
+        .pivot("dname", ["lang", "len"])
+        .agg(F.first("tvd_ppm"))
+        .withColumnRenamed("lang", "tvd_lang_ppm")
+        .withColumnRenamed("len", "tvd_len_ppm")
+    )
+    return counts.join(wide, "source").select(
+        "source", "n_docs", "tvd_lang_ppm", "tvd_len_ppm"
+    )

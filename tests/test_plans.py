@@ -110,6 +110,13 @@ EXCH_BUDGET = {
                                     # singleton exchange — only the first
                                     # two touch corpus/vocab-scale data,
                                     # both map-side combined
+    "d74_source_drift": 9,          # every exchange moves the stored
+                                    # (source, dname, dval, n) MV or a
+                                    # grouping of it — sources x dims
+                                    # dictionary rows; the corpus is
+                                    # scanned ONLY in the once-per-
+                                    # dataset MV build (consumer plan
+                                    # verified: 0 corpus scans)
     "d72_bloom_decontam": 5,        # benchmark-gram distinct + position
                                     # distinct (both benchmark-sized) +
                                     # gram-grain hits agg + doc-grain

@@ -465,3 +465,48 @@ def test_m8_payload_byte_stats_matches_python_bruteforce(spark):
         for r in m8_payload_byte_stats(spark, SF_DIR).collect()
     }
     assert got == want and len(want) >= 3
+
+
+def test_d74_source_drift_matches_python_bruteforce(spark):
+    from collections import Counter
+
+    from risk_dashboard_database_spark.plans.dedup import d74_source_drift
+
+    def bucket(toks: int) -> int:
+        for b in (32, 64, 128, 256, 512, 1024, 2048, 4096):
+            if toks <= b:
+                return b
+        return ((toks + 4095) // 4096) * 4096
+
+    docs = _docs(spark)
+    dims = {
+        "tvd_lang_ppm": lambda r: r["lang"],
+        "tvd_len_ppm": lambda r: str(bucket(_bpe_tokens(r["text"]))),
+    }
+    want = {}
+    for alias, keyfn in dims.items():
+        sd = Counter((r["source"], keyfn(r)) for r in docs)
+        st = Counter()
+        cd = Counter()
+        for (src, dim), n in sd.items():
+            st[src] += n
+            cd[dim] += n
+        n_all = sum(sd.values())
+        for src in st:
+            tvd = 0
+            for dim in cd:  # full grid incl. dims the source lacks
+                p = sd.get((src, dim), 0) * 1_000_000 // st[src]
+                q = cd[dim] * 1_000_000 // n_all
+                tvd += abs(p - q)
+            want.setdefault(src, {})[alias] = tvd // 2
+        for src in st:
+            want[src]["n_docs"] = st[src]
+    got = {
+        r["source"]: {
+            "n_docs": r["n_docs"],
+            "tvd_lang_ppm": r["tvd_lang_ppm"],
+            "tvd_len_ppm": r["tvd_len_ppm"],
+        }
+        for r in d74_source_drift(spark, SF_DIR).collect()
+    }
+    assert got == want and len(want) > 1
