@@ -8279,12 +8279,18 @@ D70_BATCH_SIZE = 32
 def _d70_bucket_case(toks: str) -> str:
     """ONE bucket expression, shared verbatim by both engines (the
     d68/d69 discipline): a CASE ladder over integer comparisons plus
-    integer ceil math for the tail — nothing dialect-sensitive."""
+    integer ceil math for the tail. The tail ceil wraps an explicit
+    FLOOR before the BIGINT cast: a bare CAST(DOUBLE AS BIGINT)
+    diverges between engines (DuckDB rounds to nearest, Spark
+    truncates — toks=7000 gave 12288 vs 8192; ADVICE r13), while
+    FLOOR over a positive exact-magnitude double is identical on
+    both."""
     ladder = " ".join(
         f"WHEN {toks} <= {b} THEN {b}" for b in (32, 64, 128, 256, 512, 1024, 2048, 4096)
     )
     return (
-        f"CASE {ladder} ELSE (CAST(({toks} + 4095) / 4096 AS BIGINT)) * 4096 END"
+        f"CASE {ladder} ELSE "
+        f"(CAST(FLOOR(({toks} + 4095) / 4096) AS BIGINT)) * 4096 END"
     )
 
 
@@ -8646,9 +8652,15 @@ def _d72_oracle() -> str:
       FROM d WHERE doc_id % 97 <> 0
     ),
     expl AS (
-      SELECT doc_id, lang,
-             unnest(CASE WHEN len(hs) = 0 THEN [NULL] ELSE hs END) AS h
-      FROM nb
+      -- DISTINCT per (doc, gram): without it a gram occurring twice
+      -- in one document contributes 2k probe rows and the per-gram
+      -- hit sum reads 2k != k — a member classified NOT-member, the
+      -- false negative the design declares impossible (ADVICE r13).
+      SELECT DISTINCT doc_id, lang, h FROM (
+        SELECT doc_id, lang,
+               unnest(CASE WHEN len(hs) = 0 THEN [NULL] ELSE hs END) AS h
+        FROM nb
+      )
     ),
     probes AS (
       SELECT doc_id, lang, h,
@@ -8679,7 +8691,10 @@ def d72_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """d15's decontamination flag answered through a Bloom filter,
     with the exact flag carried beside it so every false positive is
     visible in the output (false NEGATIVES are impossible by
-    construction — a set member's k bits are all set).
+    construction — a set member's k bits are all set; this requires
+    the per-(doc, gram) DISTINCT below, since a gram repeated inside
+    one document would sum 2k probe hits and fail the hits == k test
+    — the r13 advice bug, fixture-pinned in tests/test_r14_ops.py).
 
     Spark shape: the benchmark grams fold into an M-bit '0'/'1'
     string (bounded driver-side build, k x |bench grams| positions),
@@ -8707,8 +8722,19 @@ def d72_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bp = bloom_positions(bench_g)
     h1, h2 = _bloom_h1h2(F.col("h"))
+    # Distinct per (doc, gram) BEFORE probing: a gram repeated inside
+    # one document would otherwise contribute 2k probe rows and the
+    # per-gram hit sum would read 2k != k — a set member classified
+    # not-contaminated, the false negative the Bloom construction is
+    # supposed to rule out (ADVICE r13; fixture in tests). The
+    # distinct's exchange is ON the gram_hits grouping key, so the
+    # downstream groupBy reuses the partitioning — and at 100 TB it
+    # SHRINKS the probe relation (probe work scales with distinct
+    # grams per doc, not occurrences).
     probes = (
         g.where(F.col("doc_id") % 97 != 0)
+        .select("doc_id", "lang", "h")
+        .distinct()
         .join(
             F.broadcast(bench_g.withColumn("__hit", F.lit(1))), "h", "left"
         )
@@ -8778,8 +8804,8 @@ D73_TOPK = 10
     )
     SELECT rk, user_id, n,
            n_keys,
-           CAST(n * 1000000 / total AS BIGINT) AS share_ppm,
-           CAST(CAST(SUM(n) OVER (ORDER BY rk) AS BIGINT) * 1000000 / total
+           CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
+           CAST(CAST(SUM(n) OVER (ORDER BY rk) AS BIGINT) * 1000000 // total
                 AS BIGINT) AS cum_share_ppm
     FROM top, t
     WHERE rk <= {D73_TOPK}

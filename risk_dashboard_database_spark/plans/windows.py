@@ -817,8 +817,12 @@ def w17_trailing_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per day: that day's distinct users (dau), the trailing
     {W17_DAYS}-day distinct users (wau_7d), and dau/wau stickiness in
     integer ppm. Days with no events of their own still appear while
-    inside some active user's trailing window (dau 0) — the COALESCE
-    leg both engines share.
+    inside some active user's trailing window (dau 0) — both engines
+    emit them from the same explode. Output property (deliberate,
+    ADVICE r13): the explode also emits the {W17_DAYS - 1} window-end
+    days PAST the last data day (dau 0, wau shrinking as the tail
+    drains) — the trailing-window view of a feed that just stopped,
+    consistent across engines by construction.
 
     Scale shape: ONE distinct over (day, user) — the only corpus-
     sized exchange, map-side combined — then a x{W17_DAYS} explode of

@@ -1,0 +1,176 @@
+"""Round-14: ADVICE r13 regression fixtures.
+
+Three dialect/semantics bugs the r13 advice caught, each pinned here on
+BOTH engines (the Spark plan AND its DuckDB oracle over the same
+planted corpus), so the driver's hash compare and the streaming twins
+can never silently diverge on these cases again:
+
+- d72: a benchmark gram occurring TWICE in one document summed 2k
+  probe hits != k and was classified NOT-contaminated — a false
+  negative the Bloom design declares impossible (fixed with a
+  per-(doc, gram) DISTINCT on both sides);
+- d70: the tail bucket's bare CAST(DOUBLE AS BIGINT) rounded in DuckDB
+  but truncated in Spark (toks=7000 -> 12288 vs 8192; fixed with an
+  explicit FLOOR in the ONE shared CASE text);
+- d73: the oracle's `n * 1000000 / total` was DuckDB FLOAT division +
+  round-to-nearest while the plan uses DIV (floor) — 2/3 gave 666667
+  vs 666666 (fixed with `//`, the _d74_dim_tvd_sql pattern).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _plant_docs(tmp_path, rows):
+    """rows: (doc_id, text, lang)."""
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": [r[1] for r in rows],
+                "lang": [r[2] for r in rows],
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+
+
+def _oracle_df(name: str, tmp_path, table: str = "documents"):
+    from risk_dashboard_database_spark.plans.registry import ORACLES
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW {table} AS SELECT * FROM '{tmp_path}/{table}.parquet'"
+    )
+    return con.execute(ORACLES[name]).fetchdf()
+
+
+def test_d72_repeated_contaminated_gram_flagged_on_both_engines(spark, tmp_path):
+    """ADVICE r13 #1 repro: doc 1 contains the benchmark 4-gram
+    'a b c d' twice; pre-fix both engines read hits=2k != k and
+    emitted bloom_contaminated=0 / false_positive=-1."""
+    from risk_dashboard_database_spark.plans.dedup import d72_bloom_decontam
+
+    _plant_docs(
+        tmp_path,
+        [
+            (0, "a b c d", "en"),  # benchmark doc (0 % 97 == 0)
+            (1, "a b c d a b c d", "en"),  # the bench gram occurs TWICE
+            (2, "p q r s t u", "en"),  # clean grams
+            (3, "q", "en"),  # too short for any 4-gram
+        ],
+    )
+    got = {
+        r["doc_id"]: (
+            r["bloom_contaminated"],
+            r["contaminated"],
+            r["false_positive"],
+        )
+        for r in d72_bloom_decontam(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (1, 1, 0)  # pre-fix: (0, 1, -1)
+    assert got[2] == (0, 0, 0)
+    assert got[3] == (0, 0, 0)
+    # No false negatives anywhere — the property the card's design
+    # statement promises.
+    assert all(fp >= 0 for (_, _, fp) in got.values())
+    o = {
+        int(r.doc_id): (
+            int(r.bloom_contaminated),
+            int(r.contaminated),
+            int(r.false_positive),
+        )
+        for r in _oracle_df("d72_bloom_decontam", tmp_path).itertuples()
+    }
+    assert o == got
+
+
+def test_d70_tail_bucket_ceil_identical_on_both_engines(spark, tmp_path):
+    """ADVICE r13 #3 repro: toks=7000 must land in bucket 8192 on BOTH
+    engines (pre-fix DuckDB's CAST rounded (7000+4095)/4096 = 2.709 up
+    to 3 -> bucket 12288 while Spark truncated to 2 -> 8192)."""
+    from risk_dashboard_database_spark.plans.dedup import (
+        d70_length_bucket_batches,
+    )
+
+    _plant_docs(
+        tmp_path,
+        [
+            (1, "a " * 6999 + "a", "en"),  # 7000 single-letter tokens
+            (2, "b b b", "en"),  # 3 tokens -> ladder bucket 32
+        ],
+    )
+    rows = d70_length_bucket_batches(spark, str(tmp_path)).collect()
+    got = {
+        r["bucket_len"]: (
+            r["n_docs"],
+            r["n_batches"],
+            r["real_tokens"],
+            r["padded_tokens"],
+            r["waste_ppm"],
+        )
+        for r in rows
+    }
+    assert set(got) == {32, 8192}
+    assert got[8192][0] == 1 and got[8192][2] == 7000
+    assert got[8192][3] == 8192  # 1 doc padded to ONE 8192 bucket
+    o = {
+        int(r.bucket_len): (
+            int(r.n_docs),
+            int(r.n_batches),
+            int(r.real_tokens),
+            int(r.padded_tokens),
+            int(r.waste_ppm),
+        )
+        for r in _oracle_df(
+            "d70_length_bucket_batches", tmp_path
+        ).itertuples()
+    }
+    assert o == got
+
+
+def test_d73_share_ppm_floors_on_both_engines(spark, tmp_path):
+    """ADVICE r13 #2 repro: a key owning 2 of 3 rows must read
+    share_ppm 666666 (floor) on BOTH engines — the oracle's pre-fix
+    `/` + CAST rounded to 666667 while the plan's DIV floored."""
+    from risk_dashboard_database_spark.plans.dedup import d73_hot_key_audit
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(1, 7), (2, 7), (3, 8)]  # user 7 owns 2/3 of the rows
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([e for e, _ in rows], pa.int64()),
+                "ts": pa.array(
+                    [base + datetime.timedelta(hours=e) for e, _ in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([u for _, u in rows], pa.int64()),
+                "event_type": ["view"] * len(rows),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": ["{}"] * len(rows),
+            }
+        ),
+        f"{tmp_path}/events.parquet",
+    )
+    got = [
+        (r["rk"], r["user_id"], r["n"], r["share_ppm"], r["cum_share_ppm"])
+        for r in d73_hot_key_audit(spark, str(tmp_path))
+        .orderBy("rk")
+        .collect()
+    ]
+    # cum_share_ppm floors the cumulative COUNT (3*1e6 // 3 at rk 2),
+    # not the sum of the per-key floors — hence 1000000, not 999999.
+    assert got == [(1, 7, 2, 666666, 666666), (2, 8, 1, 333333, 1000000)]
+    o = [
+        (int(r.rk), int(r.user_id), int(r.n), int(r.share_ppm), int(r.cum_share_ppm))
+        for r in _oracle_df("d73_hot_key_audit", tmp_path, table="events")
+        .sort_values("rk")
+        .itertuples()
+    ]
+    assert o == got
