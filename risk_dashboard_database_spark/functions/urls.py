@@ -14,11 +14,19 @@ path):
   rules, always-controlled domains, brand-token-in-host, CEO path
   keywords, company handle/page checks for x/linkedin/youtube.
 
-Deliberate divergences (documented, driver-test-invisible): query
+r14 completes the `risk_rules.py:141-265` slug/handle tail: brand
+YouTube channels (`:141-163`), LinkedIn company pages + token-overlap
+slug matching (`:165-201`), LinkedIn person profiles (`:204-225`),
+X/Twitter company and person handles (`:228-265`), publisher-name
+matching (`:91-116`) and per-company registered domains
+(`:267-281,334-340`) — the latter three behind optional columns
+(person_name / publisher / company_domains) since the synthetic schema
+doesn't carry them; passing them exercises the full reference rule
+order.
+
+Deliberate divergence (documented, driver-test-invisible): query
 values are not percent-re-encoded (reference round-trips through
-parse_qsl/urlencode), and publisher-name matching
-(`_publisher_matches_company`) needs the publisher string, which the
-synthetic schema doesn't carry.
+parse_qsl/urlencode).
 """
 
 from __future__ import annotations
@@ -121,25 +129,217 @@ def _norm_token(c: Column) -> Column:
     return F.regexp_replace(F.lower(c), r"[^a-z0-9]", "")
 
 
-def classify_control(
-    company: Column, url: Column, entity_type: Column
-) -> Column:
-    """Boolean controlled/uncontrolled classification — the
-    expression-representable core of `src/risk_rules.py:284-346`
-    (publisher matching and person-profile slug matching are omitted:
-    they need columns the synthetic schema lacks; see module doc).
+# src/risk_rules.py:54-62
+NAME_IGNORE_TOKENS = [
+    "inc", "incorporated", "corporation", "corp", "company", "co",
+    "llc", "ltd", "limited", "plc", "group", "holdings", "holding",
+    "the", "and", "of", "services",
+]
+PUBLISHER_SUFFIX_TOKENS = [
+    "news", "newsroom", "media", "press", "wire", "blog", "official",
+]
 
-    Rule order is preserved exactly: ceo-uncontrolled domains, social
-    path rules, brand handles/pages, always-controlled domains,
-    brand-token-in-host, ceo controlled-path keywords."""
+
+def _name_tokens(value: Column, min_len: int) -> Column:
+    """`_name_tokens` (`risk_rules.py:76-88`): split on [\\W_]+, norm
+    each piece, drop empties / ignore tokens / tokens shorter than
+    min_len."""
+    raw = F.split(F.coalesce(value, F.lit("")), r"[\W_]+")
+    toks = F.transform(raw, _norm_token)
+    return F.filter(
+        toks,
+        lambda t: (t != "")
+        & ~t.isin(*NAME_IGNORE_TOKENS)
+        & (F.length(t) >= min_len),
+    )
+
+
+def _words(value: Column) -> Column:
+    # the handle-token splitters use \W+ (underscore SURVIVES the
+    # split, unlike _name_tokens' [\W_]+) — risk_rules.py:118,127
+    return F.filter(
+        F.split(F.coalesce(value, F.lit("")), r"\W+"), lambda w: w != ""
+    )
+
+
+def _company_handle_tokens(company: Column) -> Column:
+    """`_company_handle_tokens` (`risk_rules.py:117-126`): the full
+    normalized name plus the first two words concatenated (or the
+    first word alone), each kept only at >= 4 chars."""
+    w = _words(company)
+    full = _norm_token(company)
+    second = F.when(
+        F.size(w) >= 2, _norm_token(F.concat(F.get(w, 0), F.get(w, 1)))
+    ).otherwise(_norm_token(F.get(w, 0)))
+    return F.array_distinct(
+        F.filter(
+            F.array(full, second),
+            lambda t: t.isNotNull() & (F.length(t) >= 4),
+        )
+    )
+
+
+def _person_handle_tokens(name: Column) -> Column:
+    """`_person_handle_tokens` (`risk_rules.py:129-139`): full name,
+    first-two / last-two word concatenations, first word, last word —
+    each kept only at >= 3 chars."""
+    w = _words(name)
+    n = F.size(w)
+    full = _norm_token(name)
+    first = _norm_token(F.get(w, 0))
+    last = _norm_token(F.get(w, n - 1))
+    first2 = F.when(n >= 2, _norm_token(F.concat(F.get(w, 0), F.get(w, 1))))
+    last2 = F.when(n >= 2, _norm_token(F.concat(F.get(w, n - 2), F.get(w, n - 1))))
+    return F.array_distinct(
+        F.filter(
+            F.array(full, first2, last2, first, last),
+            lambda t: t.isNotNull() & (F.length(t) >= 3),
+        )
+    )
+
+
+def publisher_matches_company(company: Column, publisher: Column) -> Column:
+    """`_publisher_matches_company` (`risk_rules.py:91-116`): exact
+    normalized-name match; multi-token company fully contained in the
+    publisher tokens; or single-token brand with a known publisher
+    suffix (AcmeNews, AcmePress, ...)."""
+    brand = _norm_token(F.coalesce(company, F.lit("")))
+    pub = _norm_token(F.coalesce(publisher, F.lit("")))
+    exact = (brand != "") & (brand == pub)
+    ct = _name_tokens(company, 4)
+    pt = _name_tokens(publisher, 3)
+    subset = (F.size(ct) >= 2) & (F.size(F.array_except(ct, pt)) == 0)
+    suffix = F.substring(pub, F.length(brand) + 1, F.length(pub))
+    single = (
+        (F.size(ct) == 1)
+        & (brand != "")
+        & (
+            (pub == brand)
+            | (
+                pub.startswith(brand)
+                & (suffix != "")
+                & suffix.isin(*PUBLISHER_SUFFIX_TOKENS)
+            )
+        )
+    )
+    return exact | subset | single
+
+
+def _stripped_path(url: Column) -> Column:
+    """Parsed path with leading/trailing slashes stripped — the
+    reference's `path.strip('/')` over every slug matcher."""
+    p = F.coalesce(F.parse_url(F.trim(url), F.lit("PATH")), F.lit(""))
+    return F.regexp_replace(p, r"^/+|/+$", "")
+
+
+def _is_brand_youtube_channel(company: Column, host: Column, p: Column) -> Column:
+    """`_is_brand_youtube_channel` (`risk_rules.py:141-163`): exact
+    youtube.com / m.youtube.com host, slug = remainder after 'user/'
+    or '@' (slashes and all — _norm_token erases them) else the first
+    path segment; brand token contained in the slug token."""
+    brand = _norm_token(company)
+    slug = (
+        F.when(F.lower(p).startswith("user/"), F.substring(p, F.lit(6), F.length(p)))
+        .when(p.startswith("@"), F.substring(p, F.lit(2), F.length(p)))
+        .otherwise(F.split_part(p, F.lit("/"), F.lit(1)))
+    )
+    st = _norm_token(slug)
+    return (
+        host.isin("youtube.com", "m.youtube.com")
+        & (brand != "")
+        & (p != "")
+        & (st != "")
+        & st.contains(brand)
+    )
+
+
+def _linkedin_slug_overlap(company: Column, slug: Column) -> Column:
+    """`_linkedin_slug_matches_company` (`risk_rules.py:185-201`):
+    any company token (>=4, ignore-list dropped) substring-matches any
+    slug token (>=3) in either direction."""
+    ct = _name_tokens(company, 4)
+    st = F.filter(
+        F.transform(F.split(F.lower(F.coalesce(slug, F.lit(""))), r"[\W_]+"), _norm_token),
+        lambda t: (t != "") & (F.length(t) >= 3),
+    )
+    return (
+        (F.size(ct) > 0)
+        & (F.size(st) > 0)
+        & F.exists(ct, lambda c: F.exists(st, lambda s: c.contains(s) | s.contains(c)))
+    )
+
+
+def _is_linkedin_company_page(company: Column, host: Column, p: Column) -> Column:
+    """`_is_linkedin_company_page` (`risk_rules.py:165-183`): exact
+    linkedin.com host, company/<slug> path; brand token in the slug
+    token, else the token-overlap match."""
+    slug = F.split_part(p, F.lit("/"), F.lit(2))
+    brand = _norm_token(company)
+    st = _norm_token(slug)
+    return (
+        (host == "linkedin.com")
+        & F.lower(p).startswith("company/")
+        & (slug != "")
+        & (((brand != "") & st.contains(brand)) | _linkedin_slug_overlap(company, slug))
+    )
+
+
+def _is_linkedin_person_profile(name: Column, host: Column, p: Column) -> Column:
+    """`_is_linkedin_person_profile` (`risk_rules.py:204-225`): exact
+    linkedin.com host, in/<slug> or pub/<slug> path; any person handle
+    token contained in the slug token."""
+    slug = F.split_part(p, F.lit("/"), F.lit(2))
+    st = _norm_token(slug)
+    return (
+        (host == "linkedin.com")
+        & (F.lower(p).startswith("in/") | F.lower(p).startswith("pub/"))
+        & (st != "")
+        & F.exists(_person_handle_tokens(name), lambda t: st.contains(t))
+    )
+
+
+def _x_handle_matches(tokens: Column, host: Column, p: Column) -> Column:
+    """`_is_x_company_handle` / `_is_x_person_handle`
+    (`risk_rules.py:228-265`): first path segment as the handle; any
+    token contained in the handle token."""
+    ht = _norm_token(F.split_part(p, F.lit("/"), F.lit(1)))
+    return (
+        host.isin("x.com", "twitter.com")
+        & (ht != "")
+        & F.exists(tokens, lambda t: ht.contains(t))
+    )
+
+
+def classify_control(
+    company: Column,
+    url: Column,
+    entity_type: Column,
+    person_name: Column | None = None,
+    publisher: Column | None = None,
+    company_domains: Column | None = None,
+) -> Column:
+    """Boolean controlled/uncontrolled classification — the FULL
+    `src/risk_rules.py:284-346` rule chain, in the reference's exact
+    order: publisher match, empty host, ceo-uncontrolled domains, ceo
+    person-profile/handle checks, facebook/instagram/threads
+    post-vs-page paths, brand YouTube channel, LinkedIn company page,
+    X /status/ posts, X company handle, always-controlled domains,
+    registered company domains, brand-token-in-host.
+
+    `person_name` (ceo checks), `publisher`, and `company_domains`
+    (array<string> of the company's registered domains —
+    `parse_company_domains`, `risk_rules.py:267-281`) are optional
+    columns; omitted legs evaluate exactly as the reference does when
+    the corresponding argument is absent/empty."""
     host = hostname(url)
+    p = _stripped_path(url)
     path = F.lower(F.coalesce(F.parse_url(F.trim(url), F.lit("PATH")), F.lit("")))
     brand = _norm_token(company)
     host_parts = F.split(host, r"\.")
     # brand token among the non-TLD host labels (parts[:-1])
     brand_in_host = F.exists(
         F.slice(host_parts, 1, F.greatest(F.size(host_parts) - 1, F.lit(0))),
-        lambda p: (_norm_token(p) == brand) & (brand != ""),
+        lambda part: (_norm_token(part) == brand) & (brand != ""),
     )
     ceo_uncontrolled = F.lit(False)
     for d in CEO_UNCONTROLLED_DOMAINS:
@@ -147,40 +347,56 @@ def classify_control(
     always_controlled = F.lit(False)
     for d in ALWAYS_CONTROLLED_DOMAINS:
         always_controlled = always_controlled | _host_matches(host, d)
-    ceo_path_kw = F.lit(False)
-    for kw in CEO_CONTROLLED_PATH_KEYWORDS:
-        ceo_path_kw = ceo_path_kw | path.contains(kw)
 
     is_ceo = entity_type == "ceo"
-    social_post = (
-        ((host == "facebook.com") & (path.rlike("/posts/|/photos/|/videos/")))
-        | ((host == "instagram.com") & (path.rlike("/p/|/reels/")))
-        | ((host == "threads.net") & path.contains("/posts/"))
-        | (host.isin("x.com", "twitter.com") & path.contains("/status/"))
+    pub_match = (
+        publisher_matches_company(company, publisher)
+        if publisher is not None
+        else F.lit(False)
     )
-    x_handle = host.isin("x.com", "twitter.com") & (path == F.concat(F.lit("/"), brand))
-    linkedin_page = _host_matches(host, "linkedin.com") & path.startswith(
-        F.concat(F.lit("/company/"), brand)
+    person_match = (
+        (
+            _is_linkedin_person_profile(person_name, host, p)
+            | _x_handle_matches(_person_handle_tokens(person_name), host, p)
+        )
+        if person_name is not None
+        else F.lit(False)
     )
-    youtube_channel = _host_matches(host, "youtube.com") & (
-        path.startswith(F.concat(F.lit("/@"), brand))
-        | path.startswith(F.concat(F.lit("/c/"), brand))
+    domain_match = (
+        F.exists(
+            F.coalesce(company_domains, F.array().cast("array<string>")),
+            lambda d: (host == d) | host.endswith(F.concat(F.lit("."), d)),
+        )
+        if company_domains is not None
+        else F.lit(False)
     )
 
+    fb_post = (host == "facebook.com") & path.rlike("/posts/|/photos/|/videos/")
+    ig_post = (host == "instagram.com") & path.rlike("/p/|/reels/")
+    th_post = (host == "threads.net") & path.contains("/posts/")
+    x_status = host.isin("x.com", "twitter.com") & path.contains("/status/")
+    x_company = _x_handle_matches(_company_handle_tokens(company), host, p)
+
     return (
-        F.when(host == "", F.lit(False))
+        F.when(pub_match, F.lit(True))
+        .when(host == "", F.lit(False))
         .when(is_ceo & ceo_uncontrolled, F.lit(False))
-        .when(social_post, F.lit(False))
+        .when(is_ceo & person_match, F.lit(True))
+        .when(fb_post | ig_post | th_post, F.lit(False))
         .when(
             host.isin("facebook.com", "instagram.com", "threads.net"), F.lit(True)
         )
-        .when(youtube_channel | linkedin_page | x_handle, F.lit(True))
+        .when(_is_brand_youtube_channel(company, host, p), F.lit(True))
+        .when(_is_linkedin_company_page(company, host, p), F.lit(True))
+        .when(x_status, F.lit(False))
+        .when(x_company, F.lit(True))
         .when(always_controlled, F.lit(True))
+        .when(domain_match, F.lit(True))
         .when(brand_in_host, F.lit(True))
-        # The reference's CEO controlled-path rule can also fire via a
-        # matched company domain (risk_rules.py:335-340); with
-        # company_domains omitted here its host test collapses into
-        # brand_in_host above, so a separate branch would be dead code.
+        # The reference's final CEO controlled-path rule
+        # (risk_rules.py:345-346) returns matched_company_domain or
+        # brand-in-host — both already returned True above, so the
+        # branch is unreachable; kept out as dead code.
         .otherwise(F.lit(False))
     )
 

@@ -23,6 +23,7 @@ from ..functions.llm import classify_batch, summarize_cached
 from ..functions.urls import is_financial_routine
 from ..tables import load_table
 from .common import USER_DAY_CTE, user_day
+from .joins import DEC
 from .registry import query
 
 DATE_FMT = "yyyy-MM-dd"
@@ -238,7 +239,7 @@ def _narrative_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .relcache import cached_relation
 
     return cached_relation(
-        "narrative_rows", sf_dir, lambda: _build_narrative_rows(spark, sf_dir)
+        "narrative_rows_v2", sf_dir, lambda: _build_narrative_rows(spark, sf_dir)
     )
 
 
@@ -819,7 +820,7 @@ def _anchored_win90(spark: SparkSession, sf_dir: str) -> DataFrame:
             "anchor", F.date_sub(F.col("date"), F.row_number().over(w))
         )
 
-    return cached_relation("narr_anch90", sf_dir, build)
+    return cached_relation("narr_anch90_v2", sf_dir, build)
 
 
 def _e7_oracle() -> str:
@@ -1737,4 +1738,408 @@ def e15_processed_serps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("company", "position", "serp_result_id")
         .offset(50)
         .limit(200)
+    )
+
+
+# ------------------------------------------------------------- e16
+# Stock-data endpoint assembly (`/api/v1/stock_data`,
+# `build_stock_rows` app.py:6740-6837): snapshot-date resolution with
+# the global latest<=target fallback (app.py:6756-6783), a 120-day
+# price history window, pct-changes computed from the series tail when
+# the snapshot carries none (((last-prev)/prev)*100, app.py:6811-6825),
+# and the pipe-joined history columns of the CSV export form
+# (stock_data_csv app.py:6691-6715). Scope = the company whitelist
+# semi-join (app.py:6741-6748), modeled as j10's BUILDING segment.
+# Prices are integer cents (the synthetic feed's daily DECIMAL total
+# x100) so the pipe strings render identically on both engines; the
+# pct-changes divide those exact integers as doubles, which IEEE
+# rounds identically everywhere.
+E16_TARGET = "1998-12-31"  # past the feed's last day, so the
+# latest<=target fallback leg (app.py:6756-6783) runs every time
+E16_WINDOW_DAYS = 120
+
+
+def _e16_oracle() -> str:
+    return f"""
+    WITH daily AS (
+      SELECT o_custkey AS cust, CAST(o_orderdate AS DATE) AS date,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer
+                          WHERE c_mktsegment = 'BUILDING')
+      GROUP BY 1, 2
+    ),
+    tstar AS (
+      SELECT MAX(date) AS t FROM daily WHERE date <= DATE '{E16_TARGET}'
+    ),
+    hist AS (
+      SELECT d.cust, d.date, d.cents FROM daily d, tstar
+      WHERE d.date BETWEEN tstar.t - {E16_WINDOW_DAYS} AND tstar.t
+    ),
+    agg AS (
+      SELECT cust,
+             list(cents ORDER BY date) AS prices,
+             list(STRFTIME(date, '%Y-%m-%d') ORDER BY date) AS dates,
+             MAX(date) AS last_date
+      FROM hist GROUP BY cust
+    )
+    SELECT a.cust, c.c_name AS company,
+           a.prices[-1] AS price_cents,
+           CASE WHEN len(a.prices) >= 2 AND a.prices[-2] <> 0
+                THEN ((CAST(a.prices[-1] AS DOUBLE)
+                       - CAST(a.prices[-2] AS DOUBLE))
+                      / CAST(a.prices[-2] AS DOUBLE)) * 100
+           END AS daily_change_pct,
+           CASE WHEN len(a.prices) >= 8 AND a.prices[-8] <> 0
+                THEN ((CAST(a.prices[-1] AS DOUBLE)
+                       - CAST(a.prices[-8] AS DOUBLE))
+                      / CAST(a.prices[-8] AS DOUBLE)) * 100
+           END AS seven_day_change_pct,
+           array_to_string(a.prices, '|') AS price_history,
+           array_to_string(a.dates, '|') AS date_history,
+           CAST(len(a.prices) AS INTEGER) AS n_points
+    FROM agg a
+    JOIN customer c ON c.c_custkey = a.cust, tstar
+    WHERE a.last_date = tstar.t
+    """
+
+
+@query("e16_stock_series", oracle=_e16_oracle())
+def e16_stock_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stock-data endpoint composition: per scoped entity holding a
+    price on the resolved snapshot date, the 120-day pipe-encoded
+    price/date histories plus daily and 7-day pct-change computed from
+    the series tail — the `build_stock_rows` payload
+    (`app.py:6740-6837`) over the synthetic feed. Change math mirrors
+    `app.py:6811-6825` exactly: daily needs >=2 points and a nonzero
+    prev, 7-day needs >=8 points and a nonzero prices[-8], NULL
+    otherwise (the snapshot-carried values are modeled NULL, so the
+    computed leg always runs).
+
+    Scale shape: ONE corpus exchange (the per-(entity, day) price
+    agg, map-side combinable, scope-pruned by a broadcast semi-join
+    BEFORE the shuffle), a 1-row snapshot-date anchor crossJoined in
+    (the documented anchor pattern), then one entity-keyed
+    collect_list — bounded at {E16_WINDOW_DAYS}+1 elements per group.
+    The window filter sits under the agg, so at a date-partitioned
+    100 TB layout the scan prunes to ~4 months."""
+    orders = load_table(spark, sf_dir, "orders")
+    scope = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    daily = (
+        orders.join(scope, orders.o_custkey == scope.c_custkey, "left_semi")
+        .groupBy(
+            F.col("o_custkey").alias("cust"),
+            F.col("o_orderdate").cast("date").alias("date"),
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast(DEC)) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    tstar = F.broadcast(
+        daily.where(F.col("date") <= F.lit(E16_TARGET)).agg(
+            F.max("date").alias("t")
+        )
+    )
+    hist = daily.crossJoin(tstar).where(
+        F.col("date").between(F.date_sub(F.col("t"), E16_WINDOW_DAYS), F.col("t"))
+    )
+    pairs = F.sort_array(F.collect_list(F.struct("date", "cents")))
+    agg = hist.groupBy("cust", "t").agg(
+        F.transform(pairs, lambda p: p["cents"]).alias("prices"),
+        F.transform(pairs, lambda p: F.date_format(p["date"], DATE_FMT)).alias(
+            "dates"
+        ),
+        F.max("date").alias("last_date"),
+    )
+    n = F.size("prices")
+    last = F.element_at("prices", -1).cast("double")
+    prev = F.element_at("prices", -2)
+    prev7 = F.element_at("prices", -8)
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", F.col("c_name").alias("company")
+        )
+    )
+    return (
+        agg.where(F.col("last_date") == F.col("t"))
+        .join(cust, F.col("cust") == F.col("c_custkey"))
+        .select(
+            "cust",
+            "company",
+            F.element_at("prices", -1).alias("price_cents"),
+            F.when(
+                (n >= 2) & (prev != 0),
+                ((last - prev.cast("double")) / prev.cast("double")) * 100,
+            ).alias("daily_change_pct"),
+            F.when(
+                (n >= 8) & (prev7 != 0),
+                ((last - prev7.cast("double")) / prev7.cast("double")) * 100,
+            ).alias("seven_day_change_pct"),
+            F.array_join(
+                F.transform("prices", lambda p: p.cast("string")), "|"
+            ).alias("price_history"),
+            F.array_join("dates", "|").alias("date_history"),
+            n.cast("int").alias("n_points"),
+        )
+    )
+
+
+# ------------------------------------------------------------- e17
+# Trends-data endpoint assembly (`/api/v1/trends_data`,
+# `build_trends_rows` app.py:6840-6917): same snapshot-date fallback,
+# a 60-day interest history (daily event counts), pipe-encoded
+# history columns (trends_data_csv app.py:6718-6739), and the
+# window-average interest.
+E17_WINDOW_DAYS = 60
+E17_TARGET = "2024-12-31"  # the events feed lives in 2024 (vs the
+# orders feed's 1992-1998); still past its last day so the fallback
+# leg runs every time
+
+
+def _e17_oracle() -> str:
+    return f"""
+    WITH daily AS (
+      SELECT e.user_id AS cust, CAST(e.ts AS DATE) AS date,
+             CAST(COUNT(*) AS BIGINT) AS interest
+      FROM events e
+      WHERE e.user_id IN (SELECT c_custkey FROM customer
+                          WHERE c_mktsegment = 'BUILDING')
+      GROUP BY 1, 2
+    ),
+    tstar AS (
+      SELECT MAX(date) AS t FROM daily WHERE date <= DATE '{E17_TARGET}'
+    ),
+    hist AS (
+      SELECT d.cust, d.date, d.interest FROM daily d, tstar
+      WHERE d.date BETWEEN tstar.t - {E17_WINDOW_DAYS} AND tstar.t
+    ),
+    agg AS (
+      SELECT cust,
+             list(interest ORDER BY date) AS vals,
+             list(STRFTIME(date, '%Y-%m-%d') ORDER BY date) AS dates,
+             MAX(date) AS last_date,
+             CAST(SUM(interest) AS DOUBLE) / COUNT(*) AS avg_interest
+      FROM hist GROUP BY cust
+    )
+    SELECT a.cust, c.c_name AS company,
+           array_to_string(a.vals, '|') AS trends_history,
+           array_to_string(a.dates, '|') AS date_history,
+           STRFTIME(a.last_date, '%Y-%m-%d') AS last_updated,
+           a.avg_interest,
+           CAST(len(a.vals) AS INTEGER) AS n_points
+    FROM agg a
+    JOIN customer c ON c.c_custkey = a.cust, tstar
+    WHERE a.last_date = tstar.t
+    """
+
+
+@query("e17_trends_series", oracle=_e17_oracle())
+def e17_trends_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trends-data endpoint composition: per scoped entity active on
+    the resolved snapshot date, the {E17_WINDOW_DAYS}-day pipe-encoded
+    interest/date histories plus the window-average interest — the
+    `build_trends_rows` payload (`app.py:6840-6917`) with the same
+    global latest<=target snapshot fallback as e16. Interest = daily
+    event count (integer), so the pipe strings are engine-stable and
+    the average is an exact-integer sum divided as double.
+
+    Scale shape: identical to e16 — scope-pruned map-side-combinable
+    daily count, 1-row anchor, one bounded collect_list per entity."""
+    ev = load_table(spark, sf_dir, "events")
+    scope = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    daily = (
+        ev.join(scope, ev.user_id == scope.c_custkey, "left_semi")
+        .groupBy(
+            F.col("user_id").alias("cust"),
+            F.col("ts").cast("date").alias("date"),
+        )
+        .agg(F.count("*").alias("interest"))
+    )
+    tstar = F.broadcast(
+        daily.where(F.col("date") <= F.lit(E17_TARGET)).agg(
+            F.max("date").alias("t")
+        )
+    )
+    hist = daily.crossJoin(tstar).where(
+        F.col("date").between(F.date_sub(F.col("t"), E17_WINDOW_DAYS), F.col("t"))
+    )
+    pairs = F.sort_array(F.collect_list(F.struct("date", "interest")))
+    agg = hist.groupBy("cust", "t").agg(
+        F.transform(pairs, lambda p: p["interest"]).alias("vals"),
+        F.transform(pairs, lambda p: F.date_format(p["date"], DATE_FMT)).alias(
+            "dates"
+        ),
+        F.max("date").alias("last_date"),
+        (F.sum("interest").cast("double") / F.count("*")).alias("avg_interest"),
+    )
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", F.col("c_name").alias("company")
+        )
+    )
+    return (
+        agg.where(F.col("last_date") == F.col("t"))
+        .join(cust, F.col("cust") == F.col("c_custkey"))
+        .select(
+            "cust",
+            "company",
+            F.array_join(
+                F.transform("vals", lambda v: v.cast("string")), "|"
+            ).alias("trends_history"),
+            F.array_join("dates", "|").alias("date_history"),
+            F.date_format("last_date", DATE_FMT).alias("last_updated"),
+            "avg_interest",
+            F.size("vals").cast("int").alias("n_points"),
+        )
+    )
+
+
+# ------------------------------------------------------------- e18
+# Roster export (`roster_csv` app.py:6676-6689 behind `/api/v1/roster`
+# app.py:4211-4218): companies LEFT JOIN ceos with ''-coalesced
+# optional columns — the one reference endpoint family that is a pure
+# dim select. Synthetic mapping: customer = companies, supplier = ceos
+# via s_suppkey = c_custkey (suppliers are sparse, so most companies
+# carry the no-ceo NULL leg exactly like the reference's outer join);
+# alias/websites/ticker/favorite wheels are deterministic stand-ins
+# for the nullable columns.
+
+
+@query(
+    "e18_roster",
+    oracle="""
+    SELECT COALESCE(s.s_name, '') AS ceo,
+           c.c_name AS company,
+           COALESCE(CASE WHEN s.s_suppkey % 3 = 0
+                         THEN 'alias-' || CAST(s.s_suppkey AS VARCHAR) END,
+                    '') AS ceo_alias,
+           CASE WHEN c.c_custkey % 4 <> 0
+                THEN 'www.co' || CAST(c.c_custkey AS VARCHAR)
+                     || '.com|shop.co' || CAST(c.c_custkey AS VARCHAR) || '.net'
+                ELSE '' END AS websites,
+           CASE WHEN c.c_custkey % 5 <> 0
+                THEN 'TCK' || CAST(c.c_custkey % 997 AS VARCHAR)
+                ELSE '' END AS stock,
+           c.c_mktsegment AS sector,
+           CAST(c.c_custkey % 7 = 0 AS BOOLEAN) AS company_favorite,
+           CAST(COALESCE(s.s_suppkey % 11 = 0, FALSE) AS BOOLEAN) AS ceo_favorite
+    FROM customer c
+    LEFT JOIN supplier s ON s.s_suppkey = c.c_custkey
+    """,
+)
+def e18_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roster export endpoint: the companies-LEFT-JOIN-ceos dim select
+    with ''-coalesced nullable columns (`app.py:6676-6689`). One
+    broadcast outer join, no exchange — at any scale this is a dim
+    scan."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    ck = F.col("c_custkey")
+    sk = F.col("s_suppkey")
+    return cust.join(supp, sk == ck, "left").select(
+        F.coalesce("s_name", F.lit("")).alias("ceo"),
+        F.col("c_name").alias("company"),
+        F.coalesce(
+            F.when(sk % 3 == 0, F.concat(F.lit("alias-"), sk.cast("string"))),
+            F.lit(""),
+        ).alias("ceo_alias"),
+        F.when(
+            ck % 4 != 0,
+            F.concat(
+                F.lit("www.co"), ck.cast("string"), F.lit(".com|shop.co"),
+                ck.cast("string"), F.lit(".net"),
+            ),
+        )
+        .otherwise(F.lit(""))
+        .alias("websites"),
+        F.when(ck % 5 != 0, F.concat(F.lit("TCK"), (ck % 997).cast("string")))
+        .otherwise(F.lit(""))
+        .alias("stock"),
+        F.col("c_mktsegment").alias("sector"),
+        (ck % 7 == 0).alias("company_favorite"),
+        F.coalesce(sk % 11 == 0, F.lit(False)).alias("ceo_favorite"),
+    )
+
+
+# ------------------------------------------------------------- e19
+# Boards endpoint (`/api/v1/boards` app.py:5083-5106): boards JOIN
+# ceos JOIN companies under the company scope clause, ordered by
+# (ceo, domain). Synthetic boards = two deterministic profile URLs per
+# ceo (a linkedin /in/ slug and a crunchbase page), exploded from the
+# supplier dim.
+
+
+@query(
+    "e19_boards",
+    oracle="""
+    SELECT s.s_name AS ceo, c.c_name AS company,
+           'https://' || b.domain || b.path
+             || CAST(s.s_suppkey AS VARCHAR) AS url,
+           b.domain,
+           b.source,
+           STRFTIME(DATE '1998-01-01' + CAST(s.s_suppkey % 90 AS INTEGER),
+                    '%Y-%m-%d')
+             AS last_updated
+    FROM supplier s
+    JOIN customer c ON c.c_custkey = s.s_suppkey
+    JOIN (VALUES ('linkedin.com', '/in/exec', 'scraper'),
+                 ('crunchbase.com', '/person/exec', 'api'))
+         AS b(domain, path, source) ON TRUE
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def e19_boards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boards endpoint: per scoped ceo, the board-profile URL rows
+    (boards JOIN ceos JOIN companies with the scope clause,
+    `app.py:5083-5106`). Dim-only: a broadcast join plus a 2-element
+    explode — no exchange at any scale."""
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name")
+    )
+    boards = F.array(
+        F.struct(
+            F.lit("linkedin.com").alias("domain"),
+            F.lit("/in/exec").alias("path"),
+            F.lit("scraper").alias("source"),
+        ),
+        F.struct(
+            F.lit("crunchbase.com").alias("domain"),
+            F.lit("/person/exec").alias("path"),
+            F.lit("api").alias("source"),
+        ),
+    )
+    sk = F.col("s_suppkey")
+    return (
+        supp.join(cust, F.col("c_custkey") == sk)
+        .withColumn("b", F.explode(boards))
+        .select(
+            F.col("s_name").alias("ceo"),
+            F.col("c_name").alias("company"),
+            F.concat(
+                F.lit("https://"), F.col("b.domain"), F.col("b.path"),
+                sk.cast("string"),
+            ).alias("url"),
+            F.col("b.domain").alias("domain"),
+            F.col("b.source").alias("source"),
+            F.date_format(
+                F.date_add(F.lit("1998-01-01").cast("date"), (sk % 90).cast("int")),
+                DATE_FMT,
+            ).alias("last_updated"),
+        )
     )

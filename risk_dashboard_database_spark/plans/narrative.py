@@ -49,29 +49,28 @@ TAG_ORDER = [
 ]
 CRISIS_TAGS = set(TAG_ORDER[:10])
 
-# Tag matchers (`narrative_runtime.py:35-219`, condensed to the families
-# the phrase wheel exercises), applied in canonical order.
-TAG_MATCHERS: list[tuple[str, str]] = [
-    ("Workforce Reductions", r"(?i)\blayoff(s)?\b|\blays?\s+off\b|\blaid\s+off\b"),
-    ("Accidents & Disasters", r"(?i)\baccident(s)?\b|\bdisaster(s)?\b|\bexplosion\b"),
-    ("Data Breaches", r"(?i)\bdata breach(es)?\b|\bbreach(es)?\b|\bhack(ed|ers)?\b"),
-    ("Activist Investor Interest", r"(?i)\bactivist investor(s)?\b|\bactivist stake\b"),
-    ("Legal & Regulatory", r"(?i)\blawsuits?\b|\blegal action\b|\bregulator(s|y)?\b"),
-    ("Labor Disputes", r"(?i)\bstrike(s)?\b|\bunion\b|\bwalkout\b"),
-    ("CEO Departures (firings, resignations)", r"(?i)\bresign(s|ed|ation)?\b|\bsteps? down\b|\bfired\b"),
-    ("Fraud", r"(?i)\bfraud\b|\bembezzle(ment|d)?\b"),
-    ("Rebranding", r"(?i)\brebrand(ing|ed)?\b"),
-    ("Mergers and acquisitions", r"(?i)\bmerger(s)?\b|\bacquisition(s)?\b|\bacquir(e|es|ed|ing)\b"),
-]
+def narrative_tag(
+    title: Column,
+    snippet: Column | None = None,
+    url: Column | None = None,
+    source: Column | None = None,
+) -> Column:
+    """Item-level primary narrative tag under the reference's FULL
+    regex surface — all 30 compiled families of
+    `narrative_runtime.py:35-219` including the LOW_PRIORITY_*
+    suppressors, via `functions/narrative_rules.py`. NULL when the
+    story is suppressed as low-priority business news (e.g. a pure
+    layoff headline with no crisis/legal term), when nothing matches,
+    or when the haystack is empty; otherwise the first match in the
+    classify append order (crisis families first —
+    `narrative_runtime.py:384-404`).
 
+    Convenience single-expression form; the corpus-path MV build below
+    binds each family flag to a column first (codegen does not CSE
+    repeated rlikes)."""
+    from ..functions.narrative_rules import family_flags, primary_tag_from_flags
 
-def narrative_tag(title: Column) -> Column:
-    """First matching tag in canonical order, else null
-    (`narrative_runtime.py:349-361` primary selection over matchers)."""
-    out = F.lit(None).cast("string")
-    for tag, pattern in reversed(TAG_MATCHERS):
-        out = F.when(title.rlike(pattern), F.lit(tag)).otherwise(out)
-    return out
+    return primary_tag_from_flags(family_flags(title, snippet, url, source))
 
 
 def _tag_order_col(tag: Column) -> Column:
@@ -81,11 +80,17 @@ def _tag_order_col(tag: Column) -> Column:
     return out
 
 
-# Oracle-side: expected tag per phrase index (hand-derived; phrase 3
-# 'ceo resigns abruptly' -> CEO Departures, etc.)
+# Oracle-side: expected tag per phrase index (hand-derived under the
+# FULL reference semantics; phrase 3 'ceo resigns abruptly' -> CEO
+# Departures, etc.). Phrase 0 'massive layoffs announced' matches the
+# workforce family but is SUPPRESSED by the low-priority workforce
+# suppressor (`narrative_runtime.py:281-287`: workforce term with no
+# crisis-blocker / legal-enforcement term is routine business news),
+# so it lands in the unmatched pool — the r14 full-surface port's one
+# phrase-wheel change, which exercises the suppressor leg end-to-end.
 _PHRASE_TAG_SQL = """
     CASE ({k}) % 11
-      WHEN 0 THEN 'Workforce Reductions'
+      WHEN 0 THEN NULL
       WHEN 1 THEN 'Data Breaches'
       WHEN 2 THEN 'Legal & Regulatory'
       WHEN 3 THEN 'CEO Departures (firings, resignations)'
@@ -106,28 +111,53 @@ _TAG_ORDER_SQL = (
 
 def narrative_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The regex-tagged candidate relation (date, user_id, tag — tag
-    NULL when no phrase matched), stored through the MV seam: the ~35-
-    family regex pass over the fact table is by far the most expensive
-    narrative stage and every consumer (t1, e14's overlay, and the
-    narrative_rows relation endpoints build on) needs the same rows —
-    the reference likewise tags at ingest and stores the tag column
-    (`narrative_runtime.py:448-548`)."""
+    NULL when no family matched OR a low-priority suppressor fired),
+    stored through the MV seam: the 30-family regex pass over the fact
+    table is by far the most expensive narrative stage and every
+    consumer (t1, e14's overlay, and the narrative_rows relation
+    endpoints build on) needs the same rows — the reference likewise
+    tags at ingest and stores the tag column
+    (`narrative_runtime.py:448-548`).
+
+    Haystack = title + source host, mirroring the reference's
+    [title, snippet, source, url] assembly for the legs the synthetic
+    schema carries (its snippet/url contribute no matcher terms).
+    Build shape: three stacked narrow projections — (1) bind the
+    title/source CASE wheels once, (2) one rlike per regex family into
+    a bound boolean column (codegen does not CSE repeated rlikes, and
+    the crisis-blocker family feeds six suppressor combinations),
+    (3) combine the booleans into the tag. Still one scan, map-only."""
     from .relcache import cached_relation
+    from ..functions.narrative_rules import family_flags, primary_tag_from_flags
 
     def _build() -> DataFrame:
         ev = load_table(spark, sf_dir, "events")
         k = k_col()
         title = title_col(k)
-        return ev.where(
+        src = source_host_col(k)
+        bound = ev.where(
             (F.col("event_type") == "error")
-            & ~is_financial_routine(title, source_host_col(k))
+            & ~is_financial_routine(title, src)
         ).select(
             F.col("ts").cast("date").alias("date"),
             "user_id",
-            narrative_tag(title).alias("tag"),
+            title.alias("__title"),
+            src.alias("__src"),
+        )
+        flags = family_flags(F.col("__title"), source=F.col("__src"))
+        flagged = bound.select(
+            "date",
+            "user_id",
+            *[c.alias(f"__f_{name}") for name, c in flags.items()],
+        )
+        bound_flags = {name: F.col(f"__f_{name}") for name in flags}
+        return flagged.select(
+            "date",
+            "user_id",
+            primary_tag_from_flags(bound_flags).alias("tag"),
         )
 
-    return cached_relation("narr_cand", sf_dir, _build)
+    return cached_relation("narr_cand_v2", sf_dir, _build)
 
 
 

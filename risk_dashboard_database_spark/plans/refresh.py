@@ -87,9 +87,13 @@ MV_STORE_DAG: list[tuple[str, tuple[str, ...], tuple[str, ...]]] = [
     ("layouts",       ("layout_*",),                      ()),
     ("user_day",      ("user_day",),                      ("layouts",)),
     ("override_items", ("override_items",),               ("layouts",)),
-    ("narr_cand",     ("narr_cand",),                     ("layouts",)),
-    ("narrative_rows", ("narrative_rows",),               ("narr_cand",)),
-    ("narr_anch90",   ("narr_anch90",),                   ("narrative_rows",)),
+    # narrative keys at _v2 since r14: the full-regex-surface port
+    # changed the narr_cand build formula, and the two relations built
+    # ON it re-key with it (the MV store content-addresses datasets,
+    # not code — a stale key would silently serve pre-port tags).
+    ("narr_cand",     ("narr_cand_v2",),                  ("layouts",)),
+    ("narrative_rows", ("narrative_rows_v2",),            ("narr_cand",)),
+    ("narr_anch90",   ("narr_anch90_v2",),                ("narrative_rows",)),
     ("u3",            ("u3_evidence", "u3_codes", "u3_enc"), ("layouts",)),
     ("d2_sigs",       ("d2_toks", "d2_sigs"),             ("layouts",)),
     ("d9_clusters",   ("d9_clusters",),                   ("d2_sigs",)),

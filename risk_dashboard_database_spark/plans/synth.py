@@ -31,9 +31,14 @@ PHRASES = [
     "new product launch event",             # 10 unmatched
 ]
 
-# tag per phrase index (None = no narrative tag matches)
+# tag per phrase index (None = no narrative tag resolves). Phrase 0
+# matches the workforce family but the LOW-PRIORITY workforce
+# suppressor fires (a layoff headline with no crisis/legal term is
+# routine business news — `narrative_runtime.py:281-287`), so under
+# the full r14 regex surface it resolves to None and lands in the
+# unmatched pool.
 PHRASE_TAGS = [
-    "Workforce Reductions",
+    None,
     "Data Breaches",
     "Legal & Regulatory",
     "CEO Departures (firings, resignations)",

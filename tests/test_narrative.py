@@ -1,12 +1,20 @@
-"""Unit tests for narrative tag matchers and vote tie-breaks
-(`narrative_runtime.py` parity), including the non-crisis tags the
-driver queries don't exercise."""
+"""Unit tests for the FULL narrative classification surface
+(`narrative_runtime.py:35-445` parity): all 30 regex families, the
+six LOW_PRIORITY suppressor combinations, the classify append order
+for primary-tag selection, and the rollup tie-break order — over
+REAL-shaped headlines with hand-derived expected tags (no shared code
+path with the implementation)."""
 
 from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
 
+from risk_dashboard_database_spark.functions.narrative_rules import (
+    classify_narrative,
+    family_flags,
+    suppressed_from_flags,
+)
 from risk_dashboard_database_spark.plans.narrative import (
     CRISIS_TAGS,
     TAG_ORDER,
@@ -14,39 +22,166 @@ from risk_dashboard_database_spark.plans.narrative import (
 )
 
 
-@pytest.mark.parametrize(
-    "title,expected",
-    [
-        ("Company announces massive layoffs", "Workforce Reductions"),
-        ("Factory explosion injures two", "Accidents & Disasters"),
-        ("Major data breach exposes records", "Data Breaches"),
-        ("Activist investor builds stake", "Activist Investor Interest"),
-        ("Class lawsuits filed by regulators", "Legal & Regulatory"),
-        ("Union strike enters second week", "Labor Disputes"),
-        ("CEO resigns effective today", "CEO Departures (firings, resignations)"),
-        ("Executives charged with fraud", "Fraud"),
-        ("Company unveils rebranding", "Rebranding"),
-        ("Firm to acquire rival in merger", "Mergers and acquisitions"),
-        ("Quarterly results as expected", None),
-    ],
-)
-def test_tag_matchers(spark, title, expected):
+def _tag(spark, title):
     df = spark.createDataFrame([(title,)], "t string")
-    got = df.select(narrative_tag(F.col("t")).alias("x")).collect()[0]["x"]
-    assert got == expected
+    return df.select(narrative_tag(F.col("t")).alias("x")).collect()[0]["x"]
+
+
+# Golden headline fixtures, hand-derived from narrative_runtime.py
+# semantics (suppressors included). Format: (title, expected primary).
+GOLDEN = [
+    # -- suppressed low-priority business stories (primary = None) --
+    # pure workforce story, no crisis-blocker / enforcement term
+    ("Acme announces massive layoffs", None),
+    ("Company lays off 500 in restructuring plan", None),
+    # tariff + legal-action term, no blocker: suppressed even though
+    # LEGAL would otherwise tag it
+    ("Importers file lawsuit challenging tariffs", None),
+    # product-delay story
+    ("Company delays chip production rollout", None),
+    # fee-cut story
+    ("App store commission fees cut for developers", None),
+    # debt-refinancing story
+    ("Firm refinances term loan and extends maturities", None),
+    # store-closure story
+    ("Retailer closing 100 stores nationwide", None),
+    # -- suppressor BLOCKED by a crisis/enforcement term --
+    # fraud blocks the workforce suppressor; Fraud precedes Workforce
+    # in the classify append order
+    ("Acme lays off 500 amid fraud investigation", "Fraud"),
+    # EEOC/discrimination blocks the workforce suppressor
+    ("Layoffs prompt EEOC discrimination investigation", "Workforce Reductions"),
+    # antitrust blocks the tariff suppressor
+    (
+        "Importers file lawsuit challenging tariffs amid antitrust probe",
+        "Legal & Regulatory",
+    ),
+    # enforcement blocks the store-closure suppressor
+    ("Retailer closing stores amid discrimination lawsuit", "Legal & Regulatory"),
+    # -- classify append order (NOT the canonical vote order) --
+    # CEO + Fraud both match: Fraud is appended first
+    ("CEO fired after accounting fraud discovered", "Fraud"),
+    # Workforce + Labor both match (deaths blocks the suppressor;
+    # 'death' is a blocker term but NOT an accident term)
+    ("Strike follows layoffs after worker deaths", "Workforce Reductions"),
+    # -- each family on a realistic headline --
+    ("Ransomware attack compromises customer data", "Data Breaches"),
+    ("CEO resigns abruptly amid board dispute", "CEO Departures (firings, resignations)"),
+    ("Workers picket in walkout over contract talks", "Labor Disputes"),
+    ("Train derailment forces evacuation", "Accidents & Disasters"),
+    ("Activist hedge fund seeks board seats", "Activist Investor Interest"),
+    # the two families the condensed pre-r14 port never matched:
+    ("Brand faces viral backlash over tone-deaf ad campaign", "Unforced Errors"),
+    ("CEO to retire next year, names successor", "Planned Executive Turnover"),
+    ("Attorney general opens probe into billing practices", "Legal & Regulatory"),
+    # -- non-crisis families --
+    ("Company rebrands with new logo", "Rebranding"),
+    ("Rival acquires company in $2 billion takeover", "Mergers and acquisitions"),
+    ("CEO steps down as part of succession planning", "Planned Executive Turnover"),
+    # crisis beats non-crisis regardless of order
+    ("Merger announced amid fraud probe", "Fraud"),
+    # planned-exec exclude: 'ousted' kills the non-crisis read and the
+    # CEO-departure family fires instead
+    ("CEO ousted, successor named by board", "CEO Departures (firings, resignations)"),
+    # -- no match at all --
+    ("Quarterly results as expected", None),
+    ("New product wins design award", None),
+]
+
+
+@pytest.mark.parametrize("title,expected", GOLDEN)
+def test_golden_headlines(spark, title, expected):
+    assert _tag(spark, title) == expected
+
+
+def test_suppressed_flag_distinguishes_suppression_from_no_match(spark):
+    rows = [
+        ("Acme announces massive layoffs",),  # suppressed
+        ("Quarterly results as expected",),  # merely unmatched
+        ("Acme lays off 500 amid fraud investigation",),  # blocked -> live
+    ]
+    df = spark.createDataFrame(rows, "t string")
+    fl = family_flags(F.col("t"))
+    got = [
+        r["s"]
+        for r in df.select(suppressed_from_flags(fl).alias("s")).collect()
+    ]
+    assert got == [True, False, False]
+
+
+def test_classify_struct_tags_and_groups(spark):
+    df = spark.createDataFrame(
+        [("Merger announced amid fraud probe",)], "t string"
+    )
+    row = df.select(classify_narrative(F.col("t")).alias("c")).collect()[0]["c"]
+    # Fraud (crisis, append order) + Legal (probe) + M&A (non-crisis,
+    # appended after every crisis tag) — narrative_runtime.py:407-417
+    assert row["primary_tag"] == "Fraud"
+    assert row["primary_group"] == "crisis"
+    assert row["is_crisis"] is True
+    assert row["tags"] == ["Fraud", "Legal & Regulatory", "Mergers and acquisitions"]
+
+
+def test_classify_struct_non_crisis_only(spark):
+    df = spark.createDataFrame([("Company rebrands with new logo",)], "t string")
+    row = df.select(classify_narrative(F.col("t")).alias("c")).collect()[0]["c"]
+    assert row["primary_tag"] == "Rebranding"
+    assert row["primary_group"] == "non_crisis"
+    assert row["is_crisis"] is False
+    assert row["tags"] == ["Rebranding"]
+
+
+def test_classify_struct_suppressed_is_empty(spark):
+    df = spark.createDataFrame([("Acme announces massive layoffs",)], "t string")
+    row = df.select(classify_narrative(F.col("t")).alias("c")).collect()[0]["c"]
+    assert row["primary_tag"] is None
+    assert row["primary_group"] is None
+    assert row["is_crisis"] is None
+    assert row["tags"] == []
+
+
+def test_haystack_field_boundaries(spark):
+    """classify's hay keeps empty parts (double space breaks the
+    cross-field phrase), the low-priority hay skips them — the
+    reference's two haystack builders (`narrative_runtime.py:262-268`
+    vs `:380`)."""
+    df = spark.createDataFrame(
+        [("Massive data", "breach at retailer", "", "")],
+        "t string, sn string, u string, src string",
+    )
+    # snippet directly after title: 'data breach' bridges the fields
+    got = df.select(
+        narrative_tag(
+            F.col("t"), snippet=F.col("sn"), url=F.col("u"), source=F.col("src")
+        ).alias("x")
+    ).collect()[0]["x"]
+    assert got == "Data Breaches"
+    # same words arriving via SOURCE (snippet empty): classify's hay
+    # has a double space where snippet sat, so the phrase no longer
+    # bridges — no tag, exactly as the reference joins them
+    df2 = spark.createDataFrame(
+        [("Massive data", "", "", "breach at retailer")],
+        "t string, sn string, u string, src string",
+    )
+    got2 = df2.select(
+        narrative_tag(
+            F.col("t"), snippet=F.col("sn"), url=F.col("u"), source=F.col("src")
+        ).alias("x")
+    ).collect()[0]["x"]
+    assert got2 is None
+
+
+def test_empty_and_null_title(spark):
+    df = spark.createDataFrame([("",), (None,)], "t string")
+    got = [r["x"] for r in df.select(narrative_tag(F.col("t")).alias("x")).collect()]
+    assert got == [None, None]
 
 
 def test_canonical_order_prefers_earlier_tag():
+    # the ROLLUP tie-break order (not the classify append order):
     # 'layoffs' (idx 0) outranks 'strike' (idx 6) on vote ties
     assert TAG_ORDER.index("Workforce Reductions") < TAG_ORDER.index("Labor Disputes")
     # crisis tags all precede non-crisis tags
     max_crisis = max(TAG_ORDER.index(t) for t in CRISIS_TAGS)
     non_crisis = [t for t in TAG_ORDER if t not in CRISIS_TAGS]
     assert all(TAG_ORDER.index(t) > max_crisis for t in non_crisis)
-
-
-def test_first_match_in_canonical_order_wins(spark):
-    # title matching both Workforce (earlier) and Labor Disputes
-    df = spark.createDataFrame([("union strike leads to layoffs",)], "t string")
-    got = df.select(narrative_tag(F.col("t")).alias("x")).collect()[0]["x"]
-    assert got == "Workforce Reductions"

@@ -64,6 +64,9 @@ BNLJ_OK = {
     "w13_surge_shipments",  # 1-row day-count/total-orders anchor
                             # crossJoin for the integer surge
                             # threshold (t_tfidf's pattern)
+    "e16_stock_series",  # 1-row snapshot-date anchor crossJoin
+                         # (the latest<=target fallback, e4's class)
+    "e17_trends_series",  # same 1-row snapshot-date anchor
 }
 
 # Intentional statically-planned SortMergeJoins: both sides large at

@@ -84,3 +84,106 @@ def test_classify_control(spark, company, url, etype, expected):
         classify_control(F.col("c"), F.col("u"), F.col("t")).alias("x")
     ).collect()[0]["x"]
     assert got is expected
+
+
+# ---- r14: the full risk_rules.py:141-265 slug/handle tail ----------
+
+def _ctl(spark, company, url, etype="company", person=None, publisher=None,
+         domains=None):
+    df = spark.createDataFrame(
+        [(company, url, etype, person, publisher, domains)],
+        "c string, u string, t string, p string, pub string, d array<string>",
+    )
+    got = df.select(
+        classify_control(
+            F.col("c"), F.col("u"), F.col("t"),
+            person_name=F.col("p"), publisher=F.col("pub"),
+            company_domains=F.col("d"),
+        ).alias("x")
+    ).collect()[0]["x"]
+    return got
+
+
+@pytest.mark.parametrize(
+    "company,url,expected",
+    [
+        # user/<slug> keeps the remainder, slashes erased by the token
+        # norm; brand substring-matches (risk_rules.py:150-163)
+        ("Acme", "https://youtube.com/user/AcmeOfficial/videos", True),
+        # @handle on the mobile host (exact-host set incl. m.youtube.com)
+        ("Acme", "https://m.youtube.com/@TheAcmeChannel", True),
+        # two-word company: only the FULL normalized name is tested on
+        # youtube, so 'acmecorp' is not in 'acmeofficial'
+        ("Acme Corp", "https://youtube.com/user/AcmeOfficial", False),
+        # non-channel path: first segment 'watch' has no brand
+        ("Acme", "https://youtube.com/watch", False),
+    ],
+)
+def test_youtube_brand_channel(spark, company, url, expected):
+    assert _ctl(spark, company, url) is expected
+
+
+@pytest.mark.parametrize(
+    "company,url,expected",
+    [
+        # brand token inside the slug token
+        ("Acme Corp", "https://www.linkedin.com/company/acme-corporation/about", True),
+        # token-overlap fallback: 'globex' (llc dropped by the ignore
+        # list) matches the slug token bidirectionally
+        ("Globex Industries LLC", "https://linkedin.com/company/globex", True),
+        # regional subdomain is NOT linkedin.com (exact-host rule)
+        ("Acme", "https://de.linkedin.com/company/acme", False),
+        ("Acme", "https://linkedin.com/feed/update/123", False),
+    ],
+)
+def test_linkedin_company_page(spark, company, url, expected):
+    assert _ctl(spark, company, url) is expected
+
+
+def test_linkedin_person_profile_is_ceo_only(spark):
+    url = "https://linkedin.com/in/jane-doe-12345"
+    assert _ctl(spark, "Acme", url, etype="ceo", person="Jane Doe") is True
+    # pub/<slug> form
+    assert _ctl(spark, "Acme", "https://linkedin.com/pub/jdoe", etype="ceo",
+                person="Jane Doe") is True
+    # company entities never run the person checks
+    assert _ctl(spark, "Acme", url, etype="company", person="Jane Doe") is False
+    # unrelated person
+    assert _ctl(spark, "Acme", url, etype="ceo", person="Bob Smith") is False
+
+
+def test_x_handles_substring_and_case(spark):
+    # handle matching is token-normalized (case-insensitive, substring)
+    # — the pre-r14 exact-path form missed 'AcmeCorp' vs 'acmecorp'
+    assert _ctl(spark, "Acme Corp", "https://x.com/AcmeCorp") is True
+    # first-two-words token: 'acmecorp' in 'acmecorphq'
+    assert _ctl(spark, "Acme Corp", "https://twitter.com/AcmeCorpHQ") is True
+    # /status/ posts stay uncontrolled even for a brand handle
+    assert _ctl(spark, "Acme Corp", "https://x.com/AcmeCorp/status/99") is False
+    # ceo person handle
+    assert _ctl(spark, "Acme", "https://twitter.com/janedoe", etype="ceo",
+                person="Jane Doe") is True
+
+
+def test_publisher_match_overrides_everything(spark):
+    # exact normalized name
+    assert _ctl(spark, "Acme Corp", "https://other.com/x",
+                publisher="ACME-CORP") is True
+    # multi-token subset: {acme, widgets} within the publisher tokens
+    assert _ctl(spark, "Acme Widgets", "https://other.com/x",
+                publisher="Acme Widgets Blog") is True
+    # single token + known suffix
+    assert _ctl(spark, "Acme", "https://other.com/x",
+                publisher="AcmeNews") is True
+    # unknown suffix does not qualify
+    assert _ctl(spark, "Acme", "https://other.com/x",
+                publisher="AcmeAnalytics") is False
+
+
+def test_company_domains_leg(spark):
+    assert _ctl(spark, "Acme", "https://blog.acme-widgets.io/x",
+                domains=["acme-widgets.io"]) is True
+    assert _ctl(spark, "Acme", "https://acme-widgets.io/x",
+                domains=["acme-widgets.io"]) is True
+    assert _ctl(spark, "Acme", "https://acme-widgets.io.evil.com/x",
+                domains=["acme-widgets.io"]) is False
