@@ -5201,9 +5201,14 @@ def d44_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark shape: the stored assignment MV (shared with d8/d14/d24)
     supplies (vec_id, embedding, cell, norm); the self-join keys on
-    cell, so candidate pairs are cell-local — the cell-size bound,
-    not the corpus, caps the quadratic term (at 100 TB the codebook
-    grows with the corpus precisely to keep cells bounded). The
+    cell, so candidate pairs are cell-local — never corpus-quadratic.
+    100 TB caveat (VERDICT r13): under the d49 sqrt law the codebook
+    grows ~sqrt(n), so members/cell ALSO grows ~sqrt(n) and the total
+    cell-local pair count grows ~n^1.5 — the measured 3.21x wall at
+    100x is that super-linear term surfacing (BENCH_NOTES addendum
+    13). This exact form stays the oracle-checked default at harness
+    scale; the production-scale path is `d44b_semantic_prune_capped`
+    below, whose banded pair cap makes compute linear per member. The
     dominated-flag dedup and both per-cell aggs reuse the join's cell
     partitioning (subset-key clustering, no further corpus exchange);
     the cell-grain prune-count table is broadcast back onto the
@@ -5248,6 +5253,152 @@ def d44_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("kept_ppm"),
         )
+    )
+
+
+# --------------------------------------------------------------- d44b
+# The scale-safe SemDeDup leg (VERDICT r13 #3, the j12b disclosure
+# pattern): d44's cell-local self-join tests every pair inside a cell,
+# and under the d49 sqrt law (members/cell ~ sqrt(n)) that pair count
+# grows ~n^1.5 — a scale-killer in the shipped default at exactly the
+# corpus sizes this engine targets. d44b caps the candidate set: each
+# vector is tested ONLY against the D44B_CAP members immediately
+# before it in cell-local vec_id rank, so compute is <= CAP pairs per
+# member — linear in n at ANY cell size — and the join is blocked on
+# (cell, rank-band) so the bound holds for the WORK, not just the
+# output (an equi-join on cell alone would still enumerate every
+# cell-local pair before filtering the band).
+#
+# Semantics disclosure: the capped prune count is a LOWER bound on
+# d44's (a vector dominated only by a far-away-rank neighbor is
+# missed); the card carries pairs_full vs pairs_scanned per cell so
+# the coverage a given CAP buys is visible in the output, and d44's
+# exact form remains the oracle-checked default at audit scale.
+D44B_CAP = 16
+
+
+def _d44b_oracle() -> str:
+    return f"""
+    WITH centroids AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    assigned AS (
+      SELECT e.vec_id, e.embedding,
+             (SELECT c.cid FROM centroids c
+              ORDER BY {_DOT_SQL.format(a='e.embedding', b='c.ce')}
+                       / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+                          * sqrt({_DOT_SQL.format(a='c.ce', b='c.ce')})) DESC, c.cid
+              LIMIT 1) AS cell
+      FROM embeddings e
+    ),
+    ranked AS (
+      SELECT vec_id, embedding, cell,
+             CAST(ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id)
+                  AS BIGINT) AS rn
+      FROM assigned
+    ),
+    pruned AS (
+      SELECT DISTINCT a.cell, a.vec_id
+      FROM ranked a JOIN ranked b
+        ON b.cell = a.cell AND b.rn < a.rn AND b.rn >= a.rn - {D44B_CAP}
+      WHERE {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+              / (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
+                 * sqrt({_DOT_SQL.format(a='b.embedding', b='b.embedding')}))
+            >= {SEM_TAU}
+    ),
+    per_cell AS (
+      SELECT cell, COUNT(*) AS n_pruned FROM pruned GROUP BY cell
+    )
+    SELECT a.cell,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COALESCE(MAX(p.n_pruned), 0) AS BIGINT) AS n_pruned_cap,
+           CAST(COUNT(*) - COALESCE(MAX(p.n_pruned), 0) AS BIGINT) AS n_kept_cap,
+           CAST(((COUNT(*) - COALESCE(MAX(p.n_pruned), 0)) * 1000000)
+                // COUNT(*) AS BIGINT) AS kept_ppm_cap,
+           CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS pairs_full,
+           CAST(CASE WHEN COUNT(*) <= {D44B_CAP}
+                     THEN COUNT(*) * (COUNT(*) - 1) // 2
+                     ELSE {D44B_CAP * (D44B_CAP - 1) // 2}
+                          + (COUNT(*) - {D44B_CAP}) * {D44B_CAP}
+                END AS BIGINT) AS pairs_scanned
+    FROM assigned a LEFT JOIN per_cell p ON p.cell = a.cell
+    GROUP BY a.cell
+    """
+
+
+@query("d44b_semantic_prune_capped", oracle=_d44b_oracle())
+def d44b_semantic_prune_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup prune card under a per-member pair cap: each vector is
+    tested against at most {D44B_CAP} cell-local predecessors (vec_id
+    rank order), so the pairwise compute is linear in the corpus at
+    any cell size — the 100 TB form of d44 (whose exact-but-~n^1.5
+    default stays the audit path). pairs_full vs pairs_scanned make
+    the coverage trade visible per cell.
+
+    Spark shape: ONE cell-keyed window ranks members; the probe side
+    explodes each vector into its two rank-band blocks and the join is
+    equi on (cell, block) — the enumerated candidate set is <= 2 x
+    CAP^2 per block pair, so the bound caps the JOIN WORK itself, not
+    just the filtered output (the d2 banding discipline applied to
+    SemDeDup). Dominated-flag distinct + both aggs as in d44; cosines
+    fold the stored norms with the identical IEEE tree."""
+    assigned = _ivf_assigned(spark, sf_dir)
+    w = Window.partitionBy("cell").orderBy("vec_id")
+    ranked = assigned.withColumn("rn", F.row_number().over(w).cast("long"))
+    blk = ((F.col("rn") - 1) / D44B_CAP).cast("long")
+    b_side = ranked.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("norm").alias("nb"),
+        F.col("rn").alias("rb"),
+        "cell",
+        blk.alias("blk"),
+    )
+    a_side = (
+        ranked.select(
+            F.col("vec_id").alias("va"),
+            F.col("embedding").alias("ea"),
+            F.col("norm").alias("na"),
+            F.col("rn").alias("ra"),
+            "cell",
+            blk.alias("__b0"),
+        )
+        .withColumn("blk", F.explode(F.array(F.col("__b0"), F.col("__b0") - 1)))
+        .where(F.col("blk") >= 0)
+        .drop("__b0")
+    )
+    cos = _dot_spark(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    pruned = (
+        a_side.join(b_side, ["cell", "blk"])
+        .where(
+            (F.col("rb") < F.col("ra"))
+            & (F.col("rb") >= F.col("ra") - D44B_CAP)
+            & (cos >= SEM_TAU)
+        )
+        .select("cell", "va")
+        .distinct()
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_pruned"))
+    )
+    census = assigned.groupBy("cell").agg(F.count("*").alias("n_vecs"))
+    n = F.col("n_vecs")
+    return census.join(F.broadcast(pruned), "cell", "left").select(
+        "cell",
+        n.cast("long").alias("n_vecs"),
+        F.coalesce(F.col("n_pruned"), F.lit(0)).cast("long").alias("n_pruned_cap"),
+        (n - F.coalesce(F.col("n_pruned"), F.lit(0)))
+        .cast("long")
+        .alias("n_kept_cap"),
+        F.expr("((n_vecs - coalesce(n_pruned, 0)) * 1000000) div n_vecs")
+        .cast("long")
+        .alias("kept_ppm_cap"),
+        F.expr("n_vecs * (n_vecs - 1) div 2").cast("long").alias("pairs_full"),
+        F.when(
+            n <= D44B_CAP, F.expr("n_vecs * (n_vecs - 1) div 2")
+        )
+        .otherwise(D44B_CAP * (D44B_CAP - 1) // 2 + (n - D44B_CAP) * D44B_CAP)
+        .cast("long")
+        .alias("pairs_scanned"),
     )
 
 

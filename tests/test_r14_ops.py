@@ -174,3 +174,60 @@ def test_d73_share_ppm_floors_on_both_engines(spark, tmp_path):
         .itertuples()
     ]
     assert o == got
+
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_d44b_capped_prune_matches_python_bruteforce(spark):
+    """d44b recomputed in plain Python: same stub assignment (read from
+    the shared MV), same vec_id rank band, same left-fold cosine —
+    plus the lower-bound-vs-d44 and pairs arithmetic invariants."""
+    import math
+    from collections import defaultdict
+
+    from risk_dashboard_database_spark.plans.dedup import (
+        D44B_CAP,
+        SEM_TAU,
+        _ivf_assigned,
+        d44_semantic_prune,
+        d44b_semantic_prune_capped,
+    )
+
+    cells = defaultdict(list)
+    for r in _ivf_assigned(spark, SF_DIR).select(
+        "vec_id", "embedding", "cell"
+    ).collect():
+        cells[r["cell"]].append((r["vec_id"], r["embedding"]))
+    want = {}
+    for cell, members in cells.items():
+        members.sort()
+        pruned = 0
+        for i, (_, ea) in enumerate(members):
+            na = math.sqrt(sum(x * x for x in ea))
+            for j in range(max(0, i - D44B_CAP), i):
+                eb = members[j][1]
+                dot = sum(x * y for x, y in zip(ea, eb))
+                nb = math.sqrt(sum(x * x for x in eb))
+                if dot / (na * nb) >= SEM_TAU:
+                    pruned += 1
+                    break
+        want[cell] = (len(members), pruned)
+    got = {r["cell"]: r for r in d44b_semantic_prune_capped(spark, SF_DIR).collect()}
+    assert set(got) == set(want)
+    full = {
+        r["cell"]: r["n_pruned"] for r in d44_semantic_prune(spark, SF_DIR).collect()
+    }
+    for cell, (n, np_) in want.items():
+        r = got[cell]
+        assert (r["n_vecs"], r["n_pruned_cap"]) == (n, np_)
+        # the cap only ever MISSES dominations -> lower bound on d44
+        assert r["n_pruned_cap"] <= full[cell]
+        assert r["n_kept_cap"] == n - np_
+        expect_scan = (
+            n * (n - 1) // 2
+            if n <= D44B_CAP
+            else D44B_CAP * (D44B_CAP - 1) // 2 + (n - D44B_CAP) * D44B_CAP
+        )
+        assert r["pairs_scanned"] == expect_scan
+        assert r["pairs_scanned"] <= r["pairs_full"] == n * (n - 1) // 2
