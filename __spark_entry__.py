@@ -26,68 +26,52 @@ def entry(spark: SparkSession) -> DataFrame:
 # Sampling order for correctness runs: queries whose driver evidence is
 # oldest first, so a bounded per-round sample keeps every registry row's
 # latest green driver evidence at most two rounds old. Rotated each
-# round. Round 13 (VERDICT r12 #2): after r12 the cross-round ledger is
-# r12-green for 50 rows, r11 for 46, r10 for 44, r09 for 43 — the 43
-# r09 rows ARE the queue, and all fit under the 50-cap:
-# tier 1 = the 4 rows the r12 cap deferred (d21/d22/d26/d27 — named as
-#   the r13 queue head in the r12 rotation comment and the verdict);
-# tier 2 = the remaining 39 r09-green rows in the standing queue order
-#   (the d28–d56 cohort, m1–m5, the t_* text-stats family, d44/d47);
-# tier 3 = rows whose PLAN changed this round, so their r12 green no
-#   longer witnesses the current code: j12_purchase_attribution (the
-#   skew guard became memoized-on-feed-signature, VERDICT r12 #1) and
-#   o9_diversified_topk (the hard customer broadcast hint dropped,
-#   ADVICE r12 — AQE now picks the strategy);
-# tier 4 = r13 additions, never driver-sampled (never-sampled rows
-#   outrank stale-green ones, the standing precedent; each was
-#   oracle-exact at sf0.01 AND sf0.001 on arrival, vanilla-checked,
-#   with python brute-force parity tests).
-# 43 + 2 + 9 = 54: four rows over the 50-cap, so the cap cuts the
-# LAST four tier-4 rows (d73_hot_key_audit, w17_trailing_distinct,
-# m8_payload_byte_stats, d74_source_drift) — of every row in the
-# sample they carry the freshest compensating evidence (landed this
-# round, oracle-exact at both SFs + vanilla + python parity on
-# arrival). They lead the r14 queue ahead of the r10 cohort.
+# round. Round 14 (VERDICT r13 #2): after r13 the cross-round ledger is
+# r13-green for 50 rows, r12 for 49, r11 for 45, r10 for 44 (o7
+# rows-only by contract). The r14 sample:
+# tier 1 = the 4 rows the r13 cap deferred — never driver-sampled
+#   (d73/w17/m8/d74, named as the r14 queue head in the r13 rotation
+#   comment AND as VERDICT r13 task #2). d73's oracle and d74's shared
+#   length-bucket CASE were additionally FIXED this round (ADVICE r13:
+#   `//` division, FLOOR before the BIGINT cast), re-verified exact at
+#   both SFs + vanilla with planted-corpus engine-parity fixtures in
+#   tests/test_r14_ops.py;
+# tier 2 = rows whose PLAN or ORACLE changed this round, so their
+#   prior greens no longer witness the current code: the narrative
+#   family (t1/e3/e4/e7/e8/e11/e12/e14 — the full 30-family regex
+#   surface port moved phrase 0 into the suppressed/unmatched pool,
+#   both sides updated), s_control_classify (classify_control gained
+#   the full slug/handle tail), d72_bloom_decontam (per-(doc, gram)
+#   DISTINCT closes the repeated-gram false negative, ADVICE r13
+#   high #1), and d70_length_bucket_batches (the FLOOR fix);
+# tier 3 = r14 additions, never driver-sampled: the pair-capped
+#   SemDeDup leg d44b (VERDICT r13 #3), the stock/trends endpoint
+#   assemblies e16/e17, and the roster/boards dim selects e18/e19
+#   (each oracle-exact at sf0.01 AND sf0.001 on arrival,
+#   vanilla-checked; d44b with python brute-force parity);
+# tier 4 = the r10-stale cohort in name order (39 rows after its 5
+#   narrative members moved into tier 2).
+# 4 + 11 + 5 + 39 = 59: nine rows over the 50-cap, so the cap cuts the
+# LAST nine tier-4 rows (e9_negative_summary, j4_entity_daily_metrics,
+# t3_first_wins_dedup, t_fingerprint, t_lang_id, t_simpson,
+# u4_anomaly_rules, w6_anchored_windows, w9_duration_asof — all
+# r10-green and untouched this round) — they lead the r15 queue.
 _SAMPLE_FIRST = [
-    # tier 1 — r12-deferred queue head (latest driver green r09)
-    "d21_token_budget_mix", "d22_epoch_shuffle", "d26_kmv_distinct",
-    "d27_incremental_neardup",
-    # tier 2 — the rest of the r09 cohort, standing queue order
-    "d28_chunk_overlap", "d29_split_assign", "d30_span_dedup",
-    "d31_split_leakage", "d32_rag_context", "d33_dataset_card",
-    "d34_bpe_merges", "d35_oov_rate", "d36_hard_negatives",
-    "d37_minhash_calibration", "d38_quantile_sketch", "d3_ann_topk",
-    "d40_vocab_growth", "d41_cross_source_dups",
-    "d42_embed_recall", "d43_lm_quality_buckets",
-    "d45_dup_weighted_sample", "d46_sentence_dedup",
-    "d48_retention_curve", "d50_dup_centrality",
-    "d51_curation_funnel", "d52_cluster_size_hist", "d54_anneal_mix",
-    "d55_packing_efficiency", "d56_quality_dup_cross",
-    "m1_binary_meta", "m2_decode_features", "m3_frame_resize",
-    "m4_payload_dedup", "m5_frame_dedup",
-    "t_code_detect", "t_html_strip", "t_keyword_topk",
-    "t_readability", "t_tfidf", "t_ttr", "t_zipf_profile",
-    "d44_semantic_prune", "d47_semantic_decontam",
-    # tier 3 — plan changed in r13 (r12 green no longer witnesses it)
-    "j12_purchase_attribution", "o9_diversified_topk",
-    # tier 4 — r13 additions, never driver-sampled: tokenizer
-    # fertility by language, length-bucketed inference batches with
-    # padding-waste ppm, the SimHash-bucket diversity sampler, the
-    # Bloom decontamination card (gate #31's batch twin), the Spark-4
-    # VARIANT extraction card, the hot-key skew audit, trailing
-    # 7-day distinct users, the decode-free payload byte screen, and
-    # the per-source distribution-drift monitor
-    # (each oracle-exact at sf0.01 AND sf0.001 on arrival,
-    # vanilla-checked, with python brute-force parity in
-    # tests/test_r13_ops.py)
-    "t_fertility", "d70_length_bucket_batches",
-    "d71_eval_diversity_sample", "d72_bloom_decontam",
-    "s5_props_variant", "d73_hot_key_audit",
-    "w17_trailing_distinct", "m8_payload_byte_stats",
-    "d74_source_drift",
-    # beyond the 50-cap: the r10 cohort in name order leads the r14
-    # queue (44 rows; freshest r11/r12 greens follow implicitly via
-    # the registry-order fallback in queries())
+    # tier 1 — r13-deferred queue head, never driver-sampled
+    "d73_hot_key_audit", "w17_trailing_distinct",
+    "m8_payload_byte_stats", "d74_source_drift",
+    # tier 2 — plan/oracle changed in r14 (prior greens stale)
+    "t1_narrative_rollup", "e3_storylines", "e4_crisis_impact",
+    "e7_narrative_timeline", "e8_crisis_patterns",
+    "e11_industry_durations", "e12_narrative_tags",
+    "e14_narrative_overlay", "s_control_classify",
+    "d72_bloom_decontam", "d70_length_bucket_batches",
+    # tier 3 — r14 additions, never driver-sampled
+    "d44b_semantic_prune_capped", "e16_stock_series",
+    "e17_trends_series", "e18_roster", "e19_boards",
+    # tier 4 — the r10 cohort in name order (last ten cut by the cap;
+    # freshest r11/r12/r13 greens follow implicitly via the
+    # registry-order fallback in queries())
     "a10_tag_counts_map", "a11_majority_vote", "a12_bucket_counts",
     "a12b_storylines", "a14_latest_lookup",
     "a15_sector_company_count", "a16_confusion_matrix",
@@ -98,11 +82,9 @@ _SAMPLE_FIRST = [
     "d4_ngram_jaccard", "d57_span_strip",
     "d58_source_quota_rebalance", "d59_cluster_drift",
     "d5_ann_lsh_bucket", "d6_simhash", "d7_embedding_dedup",
-    "e14_narrative_overlay", "e15_processed_serps",
-    "e1_trend_summary", "e2_crisis_durations", "e4_crisis_impact",
-    "e5_evidence", "e7_narrative_timeline", "e8_crisis_patterns",
-    "e9_negative_summary", "j4_entity_daily_metrics",
-    "t1_narrative_rollup", "t3_first_wins_dedup", "t_fingerprint",
+    "e15_processed_serps", "e1_trend_summary", "e2_crisis_durations",
+    "e5_evidence", "e9_negative_summary", "j4_entity_daily_metrics",
+    "t3_first_wins_dedup", "t_fingerprint",
     "t_lang_id", "t_simpson", "u4_anomaly_rules",
     "w6_anchored_windows", "w9_duration_asof",
 ]
