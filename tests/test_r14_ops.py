@@ -231,3 +231,91 @@ def test_d44b_capped_prune_matches_python_bruteforce(spark):
         )
         assert r["pairs_scanned"] == expect_scan
         assert r["pairs_scanned"] <= r["pairs_full"] == n * (n - 1) // 2
+
+
+def test_e16_stock_series_payload_shape(spark, tmp_path):
+    """Endpoint-shape fixture (VERDICT r13 #6): planted feed with a
+    hand-computed payload — snapshot-date fallback, scope semi-join,
+    pipe-history alignment, and the reference's pct-change guards
+    (`app.py:6811-6825`): daily needs >=2 points, 7-day needs >=8
+    points and a nonzero prices[-8]; entities without a point on the
+    resolved date emit NO row."""
+    import datetime
+
+    from risk_dashboard_database_spark.plans.endpoints import (
+        e16_stock_series,
+    )
+
+    base = datetime.datetime(1998, 1, 1)
+    rows = []  # (orderkey, custkey, price, day-offset)
+    # c1: BUILDING, 9 daily points 100,200,...,900 ending at the
+    # corpus max date -> snapshot row with both pct-changes
+    for i in range(9):
+        rows.append((100 + i, 1, float(100 * (i + 1)), i))
+    # c2: BUILDING but its last point is BEFORE the resolved snapshot
+    # date -> excluded (the reference emits snapshot holders only)
+    rows.append((200, 2, 500.0, 3))
+    # c3: out-of-scope segment, has a point at the max date
+    rows.append((300, 3, 700.0, 8))
+    # c4: BUILDING, a point ONLY at the max date -> n=1, both pcts NULL
+    rows.append((400, 4, 300.0, 8))
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+                "o_orderstatus": ["O"] * len(rows),
+                "o_totalprice": pa.array([r[2] for r in rows], pa.float64()),
+                "o_orderdate": pa.array(
+                    [base + datetime.timedelta(days=r[3]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "o_orderpriority": ["1-URGENT"] * len(rows),
+            }
+        ),
+        f"{tmp_path}/orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+                "c_name": ["c1", "c2", "c3", "c4"],
+                "c_nationkey": pa.array([0] * 4, pa.int32()),
+                "c_acctbal": pa.array([0.0] * 4, pa.float64()),
+                "c_mktsegment": ["BUILDING", "BUILDING", "OTHER", "BUILDING"],
+            }
+        ),
+        f"{tmp_path}/customer.parquet",
+    )
+    got = {r["cust"]: r for r in e16_stock_series(spark, str(tmp_path)).collect()}
+    # resolved snapshot date = 1998-01-09 (max scoped date <= target);
+    # c2 (stale) and c3 (out of scope) emit no row
+    assert set(got) == {1, 4}
+    r1 = got[1]
+    cents = [i * 10000 for i in range(1, 10)]  # 100.00 .. 900.00 in cents
+    assert r1["price_history"] == "|".join(str(c) for c in cents)
+    assert r1["date_history"] == "|".join(
+        f"1998-01-{d:02d}" for d in range(1, 10)
+    )
+    assert r1["n_points"] == 9 and r1["price_cents"] == 90000
+    # ((last - prev)/prev)*100 and ((last - prev7)/prev7)*100
+    assert r1["daily_change_pct"] == ((90000.0 - 80000.0) / 80000.0) * 100
+    assert r1["seven_day_change_pct"] == ((90000.0 - 20000.0) / 20000.0) * 100
+    r4 = got[4]
+    assert r4["n_points"] == 1
+    assert r4["daily_change_pct"] is None
+    assert r4["seven_day_change_pct"] is None
+    # oracle agreement on the planted feed (both tables registered)
+    from risk_dashboard_database_spark.plans.registry import ORACLES
+
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{tmp_path}/{t}.parquet'"
+        )
+    odf = con.execute(ORACLES["e16_stock_series"]).fetchdf()
+    o = {int(r.cust): r for r in odf.itertuples()}
+    assert set(o) == {1, 4}
+    assert o[1].price_history == r1["price_history"]
+    assert o[1].daily_change_pct == r1["daily_change_pct"]
+    assert o[1].seven_day_change_pct == r1["seven_day_change_pct"]
