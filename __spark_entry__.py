@@ -49,12 +49,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #   assemblies e16/e17, the roster/boards dim selects e18/e19, and
 #   s6_control_slug_publisher (driver-checked truth table over the
 #   slug/handle/publisher/domain classify_control legs ported this
-#   round) — each oracle-exact at sf0.01 AND sf0.001 on arrival,
+#   round), and w18_anomaly_days (integer-exact two-sigma spike days
+#   over the daily series — cross-multiplied BIGINT test, no float
+#   ever reaches the hash) — each oracle-exact at sf0.01 AND sf0.001
+#   on arrival,
 #   vanilla-checked; d44b with python brute-force parity;
 # tier 4 = the r10-stale cohort in name order (39 rows after its 5
 #   narrative members moved into tier 2).
-# 4 + 11 + 6 + 39 = 60: ten rows over the 50-cap, so the cap cuts the
-# LAST ten tier-4 rows (e5_evidence, e9_negative_summary,
+# 4 + 11 + 7 + 39 = 61: eleven rows over the 50-cap, so the cap cuts
+# the LAST eleven tier-4 rows (e2_crisis_durations, e5_evidence,
+# e9_negative_summary,
 # j4_entity_daily_metrics, t3_first_wins_dedup, t_fingerprint,
 # t_lang_id, t_simpson, u4_anomaly_rules, w6_anchored_windows,
 # w9_duration_asof — all r10-green and untouched this round) — they
@@ -72,7 +76,7 @@ _SAMPLE_FIRST = [
     # tier 3 — r14 additions, never driver-sampled
     "d44b_semantic_prune_capped", "e16_stock_series",
     "e17_trends_series", "e18_roster", "e19_boards",
-    "s6_control_slug_publisher",
+    "s6_control_slug_publisher", "w18_anomaly_days",
     # tier 4 — the r10 cohort in name order (last ten cut by the cap;
     # freshest r11/r12/r13 greens follow implicitly via the
     # registry-order fallback in queries())

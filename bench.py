@@ -177,6 +177,7 @@ HEADLINE = [
     "e18_roster",
     "e19_boards",
     "s6_control_slug_publisher",
+    "w18_anomaly_days",
 ]
 
 # timed runs per query (after one warm-up); the reported number is the

@@ -862,3 +862,74 @@ def w17_trailing_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau_7d",
         "stickiness_ppm",
     )
+
+
+# --------------------------------------------------------------- w18
+# Integer-exact spike detection over the daily series: flag days whose
+# total exceeds the trailing-{W18_LOOKBACK}-day baseline by more than
+# two standard deviations — the monitoring rule every dashboard
+# implements with floats, done here in pure BIGINT cross-multiplied
+# arithmetic so the verdict is engine-exact and hash-comparable:
+#   x > mean + 2*sigma  <=>  n*x - s > 0  AND  (n*x - s)^2 > 4*(n*ss - s^2)
+# (multiply through by n, then square; n*ss - s^2 = n^2 * variance).
+# Domain bound (documented, not checked): the squared deviation stays
+# under 2^63 while per-entity daily totals are < ~1e8 with a 30-day
+# window — far above any real per-entity day.
+W18_LOOKBACK = 30
+W18_MIN_BASE = 5
+
+
+@query(
+    "w18_anomaly_days",
+    oracle=f"""
+    WITH {USER_DAY_CTE},
+    w AS (
+      SELECT user_id, date, CAST(total AS BIGINT) AS x,
+             CAST(COUNT(*) OVER win AS BIGINT) AS n,
+             CAST(SUM(total) OVER win AS BIGINT) AS s,
+             CAST(SUM(total * total) OVER win AS BIGINT) AS ss
+      FROM user_day
+      WINDOW win AS (PARTITION BY user_id ORDER BY date
+                     ROWS BETWEEN {W18_LOOKBACK} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT STRFTIME(date, '%Y-%m-%d') AS date, user_id, x AS total,
+           n AS base_n, s AS base_sum,
+           CAST(CASE WHEN n >= {W18_MIN_BASE} AND n * x > s
+                      AND (n * x - s) * (n * x - s) > 4 * (n * ss - s * s)
+                THEN 1 ELSE 0 END AS INTEGER) AS is_spike
+    FROM w
+    """,
+)
+def w18_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sigma spike days over each entity's daily total, against a
+    trailing {W18_LOOKBACK}-row baseline that EXCLUDES the current day
+    (w2's frame discipline) and requires {W18_MIN_BASE} baseline days
+    — with mean/variance never materialized: the comparison is
+    cross-multiplied into exact BIGINT arithmetic, so both engines
+    agree bit-for-bit and the driver hash never sees a float.
+
+    Scale shape: the user_day pre-agg (one map-side-combinable
+    corpus exchange, shared MV-grain with w2/t2) then ONE user-keyed
+    window pass — bounded frame, no join, no second corpus scan."""
+    ud = user_day(spark, sf_dir)
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("date")
+        .rowsBetween(-W18_LOOKBACK, -1)
+    )
+    x = F.col("total").cast("long")
+    n = F.count(F.lit(1)).over(win).cast("long")
+    s = F.sum("total").over(win).cast("long")
+    ss = F.sum(F.col("total") * F.col("total")).over(win).cast("long")
+    dev = n * x - s
+    spike = (
+        (n >= W18_MIN_BASE) & (dev > 0) & (dev * dev > 4 * (n * ss - s * s))
+    )
+    return ud.select(
+        F.date_format("date", "yyyy-MM-dd").alias("date"),
+        "user_id",
+        x.alias("total"),
+        n.alias("base_n"),
+        s.alias("base_sum"),
+        F.when(spike, 1).otherwise(0).cast("int").alias("is_spike"),
+    )

@@ -319,3 +319,57 @@ def test_e16_stock_series_payload_shape(spark, tmp_path):
     assert o[1].price_history == r1["price_history"]
     assert o[1].daily_change_pct == r1["daily_change_pct"]
     assert o[1].seven_day_change_pct == r1["seven_day_change_pct"]
+
+
+def test_w18_anomaly_days_matches_python_bruteforce(spark):
+    """w18 recomputed in plain Python over the raw parquet: same
+    trailing-30-row baseline excluding today, same cross-multiplied
+    integer two-sigma test — and the arithmetic identity vs the float
+    formulation is asserted on every row."""
+    from collections import defaultdict
+
+    import duckdb as _dd
+
+    from risk_dashboard_database_spark.plans.windows import (
+        W18_LOOKBACK,
+        W18_MIN_BASE,
+        w18_anomaly_days,
+    )
+
+    rows = _dd.sql(
+        "SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n "
+        f"FROM '{SF_DIR}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    série = defaultdict(list)
+    for uid, d, n in rows:
+        série[uid].append((str(d), int(n)))
+    want = {}
+    for uid, days in série.items():
+        for i, (d, x) in enumerate(days):
+            base = [v for _, v in days[max(0, i - W18_LOOKBACK) : i]]
+            n = len(base)
+            s = sum(base)
+            ss = sum(v * v for v in base)
+            dev = n * x - s
+            spike = int(
+                n >= W18_MIN_BASE and dev > 0 and dev * dev > 4 * (n * ss - s * s)
+            )
+            # SUM over an empty frame is NULL on both engines (COUNT is 0)
+            want[(d, uid)] = (x, n, s if n else None, spike)
+            if n:  # integer form == float two-sigma form, every row
+                mean = s / n
+                var = ss / n - mean * mean
+                float_spike = x > mean + 2 * (var ** 0.5) if var >= 0 else False
+                if n >= W18_MIN_BASE:
+                    assert bool(spike) == bool(float_spike)
+    got = {
+        (r["date"], r["user_id"]): (
+            r["total"],
+            r["base_n"],
+            r["base_sum"],
+            r["is_spike"],
+        )
+        for r in w18_anomaly_days(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert any(v[3] == 1 for v in want.values())  # non-degenerate
