@@ -740,6 +740,9 @@ BUDGET_R14 = {
                               # classify form measured 8.5 s at sf0.1
                               # and was replaced same-round (addendum
                               # 7); the JSON k-extract scan dominates
+    "w18_anomaly_days": 0.35,  # floor: 0.232 normalized (closing run
+                              # E, guard 1.631; one user-keyed window
+                              # over the user_day grain)
 }
 BUDGET = {
     **BUDGET_GENERATED,
