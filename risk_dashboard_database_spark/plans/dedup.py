@@ -5274,6 +5274,10 @@ def d44_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 # missed); the card carries pairs_full vs pairs_scanned per cell so
 # the coverage a given CAP buys is visible in the output, and d44's
 # exact form remains the oracle-checked default at audit scale.
+# Measured at sf0.1 (BENCH_NOTES r14 addendum 10): CAP 16/32/64/128
+# catches 34%/56%/91%/100% of the exact prune set while work stays
+# CAP*n — the CAP is the coverage lever, and changing it is a
+# re-sampled plan change by contract.
 D44B_CAP = 16
 
 
