@@ -317,3 +317,84 @@ class TTLCache:
         for k in doomed:
             del self._store[k]
         return len(doomed)
+
+
+def apply_item_override(
+    spark: SparkSession,
+    overrides_path: str,
+    *,
+    url_hash: str,
+    risk_override: str | None = None,
+    controlled_override: bool | None = None,
+    reason: str | None = None,
+    user_id: str | None = None,
+    created_at: str,
+) -> DataFrame:
+    """The override-write RPC (`sql/rpcs.sql:apply_item_override`):
+    validate, INSERT one row into the item-overrides table, return the
+    inserted row — the reference's basic-validation rules verbatim:
+
+    - url_hash required and non-blank after trimming
+      (`rpcs.sql:21-23`);
+    - at least one of risk_override / controlled_override
+      (`rpcs.sql:25-27`);
+    - the write is an APPEND (the reference RPC is a plain INSERT —
+      multiple overrides per url_hash accumulate; the read path's
+      latest-wins/coalesce resolution is a query-side concern).
+
+    Deliberate divergences, both documented: `id` is the sha256 of the
+    row's natural content instead of a random uuid (deterministic
+    engines don't mint randomness; collisions require identical
+    (url_hash, created_at, user_id) which the reference would also
+    conflate in effect), and `created_at` is caller-supplied instead
+    of now() (same reason — and the reference's timestamptz is the
+    DB clock, equally external to the row).
+
+    The append runs under the same advisory ingest lock as the
+    upsert sinks, so concurrent override writes serialize; MV
+    consumers re-read via the targeted refresh hook
+    (`plans/refresh.py` — refresh-on-override-write, §2.10)."""
+    trimmed = (url_hash or "").strip()
+    if not trimmed:
+        raise ValueError("url_hash is required")
+    if risk_override is None and controlled_override is None:
+        raise ValueError("Provide risk_override or controlled_override")
+    row = spark.createDataFrame(
+        [
+            (
+                trimmed,
+                risk_override,
+                controlled_override,
+                reason,
+                user_id,
+                created_at,
+            )
+        ],
+        "url_hash string, risk_override string, controlled_override boolean,"
+        " reason string, user_id string, created_at string",
+    ).select(
+        F.sha2(
+            F.concat_ws(
+                "\x1f",
+                F.col("url_hash"),
+                F.coalesce(F.col("user_id"), F.lit("")),
+                F.col("created_at"),
+            ),
+            256,
+        ).alias("id"),
+        "url_hash",
+        "risk_override",
+        "controlled_override",
+        "reason",
+        "user_id",
+        "created_at",
+    )
+    with _ingest_lock(overrides_path):
+        if os.path.exists(overrides_path):
+            merged = spark.read.parquet(overrides_path).unionByName(row)
+        else:
+            merged = row
+        tmp = overrides_path + ".tmp-" + uuid.uuid4().hex[:8]
+        merged.write.mode("overwrite").parquet(tmp)
+        _atomic_swap(tmp, overrides_path)
+    return row

@@ -375,3 +375,47 @@ def test_ttl_cache_expiry_and_prefix_invalidation():
     assert cache.invalidate_prefix("trend:") == 2
     assert cache.get("trend:acme") is None
     assert cache.get("screen:all") is None          # also past TTL
+
+
+def test_apply_item_override_rpc(spark, tmp_path):
+    """rpcs.sql:apply_item_override parity: validation rules verbatim,
+    append semantics (a second override for the same url accumulates),
+    deterministic content-hash id."""
+    import pytest as _pt
+
+    from risk_dashboard_database_spark.sources.sinks import (
+        apply_item_override,
+    )
+
+    path = str(tmp_path / "item_overrides")
+    with _pt.raises(ValueError, match="url_hash is required"):
+        apply_item_override(
+            spark, path, url_hash="  ", risk_override="negative",
+            created_at="2024-01-01T00:00:00",
+        )
+    with _pt.raises(ValueError, match="Provide risk_override or controlled_override"):
+        apply_item_override(
+            spark, path, url_hash="h1", created_at="2024-01-01T00:00:00"
+        )
+
+    r1 = apply_item_override(
+        spark, path, url_hash=" h1 ", risk_override="negative",
+        reason="manual", user_id="ana", created_at="2024-01-01T00:00:00",
+    ).collect()[0]
+    assert r1["url_hash"] == "h1"  # trimmed like the RPC
+    r2 = apply_item_override(
+        spark, path, url_hash="h1", controlled_override=True,
+        user_id="bob", created_at="2024-01-02T00:00:00",
+    ).collect()[0]
+    rows = spark.read.parquet(path).orderBy("created_at").collect()
+    assert len(rows) == 2  # plain INSERT: overrides accumulate
+    assert rows[0]["risk_override"] == "negative" and rows[0]["controlled_override"] is None
+    assert rows[1]["controlled_override"] is True and rows[1]["risk_override"] is None
+    assert r1["id"] != r2["id"] and len(r1["id"]) == 64
+    # deterministic: re-deriving the same logical row gives the same id
+    r1b = apply_item_override(
+        spark, str(tmp_path / "other"), url_hash="h1",
+        risk_override="negative", reason="manual", user_id="ana",
+        created_at="2024-01-01T00:00:00",
+    ).collect()[0]
+    assert r1b["id"] == r1["id"]
