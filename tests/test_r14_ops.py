@@ -373,3 +373,77 @@ def test_w18_anomaly_days_matches_python_bruteforce(spark):
     }
     assert got == want
     assert any(v[3] == 1 for v in want.values())  # non-degenerate
+
+
+def test_e17_trends_series_payload_shape(spark, tmp_path):
+    """e17's endpoint-shape fixture: snapshot fallback on the events
+    feed, pipe-history alignment, and the window-average —
+    hand-computed on a planted feed, both engines."""
+    import datetime
+
+    from risk_dashboard_database_spark.plans.endpoints import (
+        e17_trends_series,
+    )
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = []  # (event_id, user_id, day-offset, events-that-day)
+    plan = [(1, 0, 2), (1, 1, 3), (1, 4, 1), (2, 4, 5), (3, 2, 4)]
+    eid = 0
+    for uid, off, cnt in plan:
+        for _ in range(cnt):
+            eid += 1
+            rows.append((eid, uid, off))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [base + datetime.timedelta(days=r[2], hours=1) for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": ["view"] * len(rows),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": ["{}"] * len(rows),
+            }
+        ),
+        f"{tmp_path}/events.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3], pa.int64()),
+                "c_name": ["c1", "c2", "c3"],
+                "c_nationkey": pa.array([0] * 3, pa.int32()),
+                "c_acctbal": pa.array([0.0] * 3, pa.float64()),
+                "c_mktsegment": ["BUILDING", "BUILDING", "OTHER"],
+            }
+        ),
+        f"{tmp_path}/customer.parquet",
+    )
+    got = {r["cust"]: r for r in e17_trends_series(spark, str(tmp_path)).collect()}
+    # resolved snapshot date = 2024-03-05 (max scoped day); c1 and c2
+    # both have a point there; c3 is out of scope entirely
+    assert set(got) == {1, 2}
+    r1 = got[1]
+    assert r1["trends_history"] == "2|3|1"
+    assert r1["date_history"] == "2024-03-01|2024-03-02|2024-03-05"
+    assert r1["last_updated"] == "2024-03-05"
+    assert r1["avg_interest"] == (2 + 3 + 1) / 3.0
+    assert r1["n_points"] == 3
+    r2 = got[2]
+    assert r2["trends_history"] == "5" and r2["avg_interest"] == 5.0
+    # oracle agreement on the planted feed
+    from risk_dashboard_database_spark.plans.registry import ORACLES
+
+    con = duckdb.connect()
+    for t in ("events", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{tmp_path}/{t}.parquet'"
+        )
+    odf = con.execute(ORACLES["e17_trends_series"]).fetchdf()
+    o = {int(r.cust): r for r in odf.itertuples()}
+    assert set(o) == {1, 2}
+    assert o[1].trends_history == r1["trends_history"]
+    assert o[1].avg_interest == r1["avg_interest"]
+    assert o[2].last_updated == r2["last_updated"]
