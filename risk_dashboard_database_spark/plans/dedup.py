@@ -151,6 +151,70 @@ def _minhash_spark(shingles: F.Column) -> F.Column:
     )
 
 
+def _minhash_arrow_sigs(spark: SparkSession, toks: DataFrame) -> DataFrame:
+    """mapInArrow twin of `withColumn("mh", _minhash_spark(sh))` for the
+    d2_sigs MV BUILD (r14 optimization, guide §4.2/§4.5) — the query
+    plans that consume the MV are untouched; only how the stored bytes
+    are produced changes, and `tests/test_r14_opt.py` pins the kernel
+    bit-identical to the declarative fold.
+
+    Why: the declarative form evaluates 12 interpreted HOF lambdas per
+    shingle instance — N_MINHASH md5(j + '|' + s) calls per (doc,
+    shingle) pair — and at the harness SFs the whole build lands on ONE
+    task because the d2_toks MV is a single small parquet split, so the
+    md5 storm runs serially (~10 s of the refresh critical path at
+    sf0.1). The kernel (a) memoizes the 12 digests per DISTINCT shingle
+    once per task — shingles repeat heavily across documents, the
+    honest dedup-corpus assumption — and (b) runs on
+    defaultParallelism-many partitions (the repartition is guarded: at
+    scale, where the shingle relation already arrives in >= that many
+    splits, no exchange is added).
+
+    Bit-exactness: md5 hex digests are engine-independent; the per-j
+    minimum over hex strings compares ASCII bytes, which is exactly
+    UTF8String's unsigned-byte ordering, so `min()` over Python strings
+    reproduces `array_min` on every input."""
+    import pyarrow as pa
+
+    base = toks.where(F.size("sh") > 0)
+    n = spark.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < n:
+        base = base.repartition(n)
+
+    prefixes = [f"{j}|".encode() for j in range(N_MINHASH)]
+
+    def gen(batches):
+        import hashlib
+
+        cache: dict[str, tuple[str, ...]] = {}  # shingle -> 12 digests
+        for b in batches:
+            mh_rows = []
+            for shingles in b.column("sh").to_pylist():
+                digs = []
+                for s in shingles:
+                    d = cache.get(s)
+                    if d is None:
+                        enc = s.encode()
+                        d = tuple(
+                            hashlib.md5(p + enc).hexdigest() for p in prefixes
+                        )
+                        cache[s] = d
+                    digs.append(d)
+                mh_rows.append(list(map(min, zip(*digs))))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    b.column("sh"),
+                    pa.array(mh_rows, type=pa.list_(pa.string())),
+                ],
+                names=["doc_id", "sh", "mh"],
+            )
+
+    return base.mapInArrow(
+        gen, schema="doc_id bigint, sh array<string>, mh array<string>"
+    )
+
+
 def _shingle_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The (doc_id, shingle-set) relation through the MV seam
     (`d2_toks`) — shared by d2's signature build and d59's
@@ -223,12 +287,14 @@ def d2_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .relcache import cached_relation
 
     toks = _shingle_toks(spark, sf_dir)
+    # build via the Arrow kernel (r14): same rows bit-for-bit as the
+    # declarative `withColumn("mh", _minhash_spark(sh))` (pinned by
+    # tests/test_r14_opt.py), ~10x cheaper and parallel instead of a
+    # single-task interpreted md5 storm.
     sigs = cached_relation(
         "d2_sigs",
         sf_dir,
-        lambda: toks.where(F.size("sh") > 0).withColumn(
-            "mh", _minhash_spark(F.col("sh"))
-        ),
+        lambda: _minhash_arrow_sigs(spark, toks),
     )
     bands = sigs.select(
         "doc_id",
