@@ -135,6 +135,15 @@ def narrative_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         k = k_col()
         title = title_col(k)
         src = source_host_col(k)
+        # r14 (guide §2.5/§6.1): the scan-stage work here (title/source
+        # CASE wheels + the finance-routine screen's two
+        # large-alternation rlikes) parallelizes via the events
+        # re-layout seam (tables.py — the single-split source file was
+        # the bottleneck: 3.39 s min single-task at sf0.1). The guarded
+        # repartition below additionally spreads the 30-family regex
+        # pass over all cores; it moves only the four narrow bound
+        # columns and is a no-op wherever the scan already arrives in
+        # >= defaultParallelism splits.
         bound = ev.where(
             (F.col("event_type") == "error")
             & ~is_financial_routine(title, src)
@@ -144,6 +153,9 @@ def narrative_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             title.alias("__title"),
             src.alias("__src"),
         )
+        n = spark.sparkContext.defaultParallelism
+        if bound.rdd.getNumPartitions() < n:
+            bound = bound.repartition(n)
         flags = family_flags(F.col("__title"), source=F.col("__src"))
         flagged = bound.select(
             "date",
