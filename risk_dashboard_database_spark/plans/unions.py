@@ -275,26 +275,30 @@ def u5_segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchasers-not-erroring (EXCEPT), both (INTERSECT), and
     erroring-not-purchasing (EXCEPT, reversed).
 
-    Spark shape: the two distinct key sets each cost one user-grain
-    agg; subtract()/intersect() compile to left-anti / left-semi
-    joins over them (key-sized relations, broadcast at these
-    cardinalities, hash-partitioned co-keyed at 100 TB where AQE
-    plans the distincts first); the three branches union without a
-    shuffle. Segments are provably disjoint and their union is
-    exactly the active-user key set — both pinned in the parity
-    test."""
+    Spark shape (r14 restructure, guide §1.2/§2.4): the EXCEPT /
+    INTERSECT / EXCEPT algebra over two memberships of the SAME fact
+    is one membership aggregation — one scan, one user-grain
+    map-side-combined agg, and a flag CASE. The literal set-operator
+    form compiled each branch's inputs independently (Catalyst does
+    not share common subtrees), costing SIX scans of the fact and 9
+    exchanges for identical output; at 100 TB that is five redundant
+    corpus passes. The oracle keeps the native INTERSECT/EXCEPT
+    formulation, so the driver gate re-proves the algebraic
+    equivalence every round. Segments stay provably disjoint and
+    their union is exactly the active-user key set — both pinned in
+    the parity test."""
     ev = load_table(spark, sf_dir, "events")
-    purch = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
-    err = ev.where(F.col("event_type") == "error").select("user_id").distinct()
-    return (
-        purch.subtract(err)
-        .select(F.lit("purchase_only").alias("segment"), "user_id")
-        .unionByName(
-            purch.intersect(err).select(F.lit("both").alias("segment"), "user_id")
-        )
-        .unionByName(
-            err.subtract(purch).select(
-                F.lit("error_only").alias("segment"), "user_id"
-            )
+    flags = (
+        ev.where(F.col("event_type").isin("purchase", "error"))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("p"),
+            F.max(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("e"),
         )
     )
+    segment = (
+        F.when((F.col("p") == 1) & (F.col("e") == 0), "purchase_only")
+        .when((F.col("p") == 1) & (F.col("e") == 1), "both")
+        .otherwise("error_only")
+    )
+    return flags.select(segment.alias("segment"), "user_id")

@@ -76,7 +76,7 @@ _RELAYOUT_MIN_ROWS = {"embeddings": 20_000, "events": 40_000, "documents": 2_000
 _RELAYOUT_MIN_ROWS_DEFAULT = 150_000
 _RELAYOUT_MONO_ROWS = {"embeddings": 10_000, "events": 20_000, "documents": 1_000}
 _RELAYOUT_MONO_ROWS_DEFAULT = 100_000  # rows/row-group that counts as unsplittable
-_RELAYOUT_TARGET_ROWS = {"embeddings": 5_000, "events": 4_000, "documents": 200}
+_RELAYOUT_TARGET_ROWS = {"embeddings": 5_000, "events": 12_000, "documents": 600}
 _RELAYOUT_TARGET_ROWS_DEFAULT = 50_000  # rows per output split
 _RELAYOUT_MAX_PARTS = 64
 
