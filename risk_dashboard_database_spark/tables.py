@@ -62,21 +62,27 @@ FACT_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
 # scan splits at row-group granularity, so a 600k-row single-row-group
 # file is a single task no matter what maxPartitionBytes says.
 # r14 retune (guide §2.5/§6.1, measured): the row thresholds were set
-# for SCAN cost, but events/documents rows carry heavy per-row COMPUTE
-# (the 30-family regex pass, per-row JSON assembly, shingle/minhash
-# folds, byte histograms), so a 100k-row single-split events file
-# serializes multi-second expression work onto one task while 31 cores
-# idle — measured 3.4 s for the narr_cand build and 2.3 s for m8's
-# pre-kernel form at sf0.1. Per-table rows-per-split targets are set
-# from compute-per-row (a dim-scaled knob, the embeddings precedent),
-# and the min-rows gate keeps tiny datasets (sf0.01 and below)
-# untouched. The seam remains a no-op at 100 TB, where ingest already
-# produces thousands of well-sized files and the probe returns 0.
-_RELAYOUT_MIN_ROWS = {"embeddings": 20_000, "events": 40_000, "documents": 2_000}
+# for SCAN cost, but events rows carry heavy per-row COMPUTE (the
+# 30-family regex pass, per-row JSON assembly, byte histograms), so a
+# 100k-row single-split events file serializes multi-second expression
+# work onto one task while 31 cores idle — measured 3.4 s for the
+# narr_cand build at sf0.1. The target is deliberately COARSE (4
+# splits at sf0.1): an A/B over the full suite showed that per-stage
+# task overhead multiplies across the many small exchanges of the
+# composed queries, so a 25-way split taxed stage-heavy tiny queries
+# (d17/d18/d21/d22 +0.5 s each) more than it bought; 4-way keeps the
+# compute-heavy paths parallel at ~1/6 the tax. documents was A/B'd
+# the same way and REVERTED: its heavy consumers (shingles, token
+# stats) are kernel-parallelized internally, so the relayout was pure
+# stage tax for the d17/d18/d21/d22 family. The min-rows gate keeps
+# tiny datasets (sf0.01 and below) untouched, and the seam remains a
+# no-op at 100 TB, where ingest already produces thousands of
+# well-sized files and the probe returns 0.
+_RELAYOUT_MIN_ROWS = {"embeddings": 20_000, "events": 40_000}
 _RELAYOUT_MIN_ROWS_DEFAULT = 150_000
-_RELAYOUT_MONO_ROWS = {"embeddings": 10_000, "events": 20_000, "documents": 1_000}
+_RELAYOUT_MONO_ROWS = {"embeddings": 10_000, "events": 20_000}
 _RELAYOUT_MONO_ROWS_DEFAULT = 100_000  # rows/row-group that counts as unsplittable
-_RELAYOUT_TARGET_ROWS = {"embeddings": 5_000, "events": 12_000, "documents": 600}
+_RELAYOUT_TARGET_ROWS = {"embeddings": 5_000, "events": 25_000}
 _RELAYOUT_TARGET_ROWS_DEFAULT = 50_000  # rows per output split
 _RELAYOUT_MAX_PARTS = 64
 
