@@ -1595,32 +1595,39 @@ def t_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min doc_id — doc_id is ingest order on this corpus) is this
     document.
 
-    Spark shape: t_ngram_docfreq's inverted-index topology verbatim —
-    scan the stored `t_tri_grams` MV, ONE gram-keyed shuffle builds
-    the first-occurrence relation (MIN is map-side combinable, same
-    cost class as the docfreq COUNT), join back on the SAME gram
-    partitioning (exchange reused), one doc_id-keyed agg. Docs too
-    short for a trigram enter via a scan-only UNION branch, never a
-    corpus-wide left join. Integer ppm via `div` (truncation == floor
-    on non-negatives, both engines). At 100 TB this is the inverted-
-    index profile build: nothing beyond (gram, first_doc) pairs
-    crosses a shuffle boundary."""
+    Spark shape (r14 rewrite, guide §2.3/§2.4): the naive form joined
+    the full gram relation back to its own first-occurrence agg on
+    gram — a gram-grain join plus a gram-grain shuffle into the doc
+    agg. But both outputs are derivable without any join-back:
+    n_grams(doc) is a doc-keyed COUNT of the stored `t_tri_grams` MV
+    (map-side combined to doc grain before the exchange), and
+    n_novel(doc) is the first-occurrence relation re-aggregated by
+    its OWN value — COUNT per first_doc (a gram is novel exactly
+    once, in its min doc). Two map-side-combined aggs over the MV
+    scan and one DOC-grain left join (novel-less docs take 0)
+    replace the gram-grain join entirely: nothing wider than
+    (gram, min_doc) or (doc, count) ever crosses a shuffle, and the
+    joined relations are doc-grain, ~|grams|/|doc| times smaller.
+    Docs too short for a trigram enter via a scan-only UNION branch,
+    never a corpus-wide left join. Integer ppm via `div` (truncation
+    == floor on non-negatives, both engines)."""
     from .relcache import cached_relation
 
     docs = load_table(spark, sf_dir, "documents")
     grams = cached_relation(
         "t_tri_grams", sf_dir, lambda: _tri_gram_rows(docs)
     )
-    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    per_doc = (
-        grams.join(first, "gram")
+    n_grams = grams.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams")
+    )
+    n_novel = (
+        grams.groupBy("gram")
+        .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_grams"),
-            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
-            .cast("long")
-            .alias("n_novel"),
-        )
+        .agg(F.count("*").cast("long").alias("n_novel"))
+    )
+    per_doc = n_grams.join(n_novel, "doc_id", "left").withColumn(
+        "n_novel", F.coalesce(F.col("n_novel"), F.lit(0).cast("long"))
     )
     main = per_doc.select(
         "doc_id",
