@@ -94,7 +94,9 @@ MV_STORE_DAG: list[tuple[str, tuple[str, ...], tuple[str, ...]]] = [
     ("narr_cand",     ("narr_cand_v2",),                  ("layouts",)),
     ("narrative_rows", ("narrative_rows_v2",),            ("narr_cand",)),
     ("narr_anch90",   ("narr_anch90_v2",),                ("narrative_rows",)),
-    ("u3",            ("u3_evidence", "u3_codes", "u3_enc"), ("layouts",)),
+    # u3_evidence dropped in r14: the aligned union is no longer
+    # stored — u3_codes/u3_enc fold it in-flight (see u3_evidence_union)
+    ("u3",            ("u3_codes", "u3_enc"),             ("layouts",)),
     ("d2_sigs",       ("d2_toks", "d2_sigs"),             ("layouts",)),
     ("d9_clusters",   ("d9_clusters",),                   ("d2_sigs",)),
     ("dup_edges",     ("dup_edges",),                     ("d2_sigs",)),

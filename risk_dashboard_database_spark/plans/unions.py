@@ -151,16 +151,32 @@ def u3_evidence_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The reference reads evidence from STORED tables rather than
     re-deriving it per request (`app.py:5398-5523`), so steps (1)-(2)
-    are ingest work, not query work: the aligned union (`u3_evidence`),
-    the enum dictionary (`u3_codes`), and the encoded relation
-    (`u3_enc` — dictionary encoding at ingest, standard warehouse
-    layout) are durable MVs. The query itself is scan -> one long-max
-    hash agg -> broadcast decode. Measured at sf0.1: 0.85 s vs 1.56 s
-    re-deriving the union per query, 1.9-2.1 s for the window and
-    3.0 s for min_by(struct); at 100 TB the win is larger — no
-    3-fact-table scan per query, no full-union sort, no SortAggregate
-    spill, and the shuffle carries (long, date, int, long) instead of
-    four strings."""
+    are ingest work, not query work: the enum dictionary (`u3_codes`)
+    and the encoded relation (`u3_enc` — dictionary encoding at
+    ingest, standard warehouse layout) are durable MVs. The query
+    itself is scan -> one long-max hash agg -> broadcast decode.
+    Measured at sf0.1: 0.85 s vs 1.56 s re-deriving the union per
+    query, 1.9-2.1 s for the window and 3.0 s for min_by(struct); at
+    100 TB the win is larger — no 3-fact-table scan per query, no
+    full-union sort, no SortAggregate spill, and the shuffle carries
+    (long, date, int, long) instead of four strings.
+
+    r14 (guide §1.2/§5: don't compute things you throw away): the
+    aligned union itself is NO LONGER durably stored. The old build
+    wrote the full 3-fact-table union to parquet (`u3_evidence`) and
+    read it back twice, purely to feed the two real MVs — at 100 TB
+    that is an extra full, permanent copy of every fact table written
+    and re-read at ingest. Now the build PERSISTs the in-flight union
+    for exactly the build's lifetime (MEMORY_AND_DISK — at local SFs
+    a columnar in-memory block, at scale a spillable temp, never a
+    durable copy): `u3_codes` folds the cached union (distinct
+    (w, suf) combines to enum size map-side), `u3_enc` streams it
+    through the broadcast dictionary join into its own store, and the
+    cache is dropped. One fact scan, one temp materialization, one
+    durable write — vs scan + 2x(durable write-or-read) before. A/B
+    at sf0.1 (same process, warm I/O): old 4.1-4.5 s, persist shape
+    4.0-4.5 s — equal time, one whole durable union copy less; on the
+    warm-store query path the persist is never even materialized."""
 
     def build_evidence() -> DataFrame:
         # INVARIANT: suf comes from non-null enum columns
@@ -192,11 +208,23 @@ def u3_evidence_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return orders.unionByName(lines).unionByName(events)
 
+    # Build-scoped persisted union: created lazily by the FIRST build
+    # closure that needs it (on the warm-store query path neither runs,
+    # so nothing is ever persisted), shared by both, dropped after.
+    ev_state: dict[str, DataFrame] = {}
+
+    def _ev() -> DataFrame:
+        if "df" not in ev_state:
+            ev_state["df"] = build_evidence().persist()
+        return ev_state["df"]
+
     def build_codes() -> DataFrame:
         # enum dictionary: rank suffixes lexicographically within each
-        # weight so (max weight, min suffix) == max(packed).
+        # weight so (max weight, min suffix) == max(packed). Folds the
+        # cached union — distinct (w, suf) combines to enum size
+        # map-side, so durably storing the union first bought nothing.
         return (
-            cached_relation("u3_evidence", sf_dir, build_evidence)
+            _ev()
             .select("w", "suf")
             .distinct()
             .withColumn(
@@ -208,9 +236,8 @@ def u3_evidence_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def build_enc() -> DataFrame:
-        evidence = cached_relation("u3_evidence", sf_dir, build_evidence)
         dic = cached_relation("u3_codes", sf_dir, build_codes)
-        return evidence.join(F.broadcast(dic), ["w", "suf"]).select(
+        return _ev().join(F.broadcast(dic), ["w", "suf"]).select(
             "entity_id",
             "d",
             "ucode",
@@ -219,6 +246,8 @@ def u3_evidence_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     enc = cached_relation("u3_enc", sf_dir, build_enc)
     codes = cached_relation("u3_codes", sf_dir, build_codes)
+    if "df" in ev_state:
+        ev_state["df"].unpersist()
     best = enc.groupBy("entity_id", "d", "ucode").agg(F.max("pk").alias("pk"))
     # (4) decode and rebuild display strings. pk = w*2^32 - code with
     # code in [1, 2^32), so w = floor((pk-1)/2^32) + 1.
