@@ -215,6 +215,123 @@ def _minhash_arrow_sigs(spark: SparkSession, toks: DataFrame) -> DataFrame:
     )
 
 
+def _assign_arrow(
+    spark: SparkSession,
+    vecs: DataFrame,
+    codebook: DataFrame,
+    cid_col: str,
+    cvec_col: str,
+    vec_col: str,
+    passthrough: tuple[str, ...],
+    cell_name: str = "cell",
+    pq: bool = False,
+    norm_name: str | None = None,
+    parallelize: bool = False,
+) -> DataFrame:
+    """mapInArrow argmax-cosine cell assignment (r14, guide §4.2):
+    the vectorized twin of `vecs x broadcast(codebook) -> per-row
+    cosine fold -> groupBy(vec_id).max_by(...)` shared by the whole
+    IVF family (_ivf_assigned / _d49_assign / _trained_assigned).
+
+    Why: the declarative shape materializes the n x k fan-out as JVM
+    rows — each carrying the FULL vector array — and evaluates k
+    interpreted `aggregate` folds of D terms per vector, then pays a
+    vec_id-keyed exchange to fold the fan back down. The kernel holds
+    the k-row codebook once per task (collected driver-side — k is
+    the plan-bounded cell count, <= 65536 under the d49 sqrt law, the
+    same fixed-size-collect class as D3_PROBES) and computes every
+    cosine in one dimension-at-a-time numpy sweep per batch, emitting
+    exactly one output row per input row: the n x k relation is never
+    materialized and NO exchange remains (argmax is task-local).
+
+    Bit-exactness contract (the d3-kernel discipline): `acc += v[i] *
+    c[i]` one dimension at a time in float64 from 0.0 — the exact
+    IEEE operation sequence of `_dot_spark`'s left fold; cosine then
+    divides by (norm_v * norm_c) in that order; PQ sub-distances fold
+    `(v[i]-c[i])*(v[i]-c[i])` per dimension exactly like
+    `_sql2_spark`. Tie-breaks: centroids are sorted by cid ascending
+    and numpy arg{max,min} return the FIRST extremum, reproducing
+    max_by(cid, struct(cos, -cid)) / min_by(cid, struct(dist, cid)).
+    Parity with the declarative forms is pinned by
+    tests/test_r14_opt.py.
+
+    ``parallelize`` adds the d2_sigs guarded repartition for MV
+    builds whose source arrives in fewer splits than cores (no-op at
+    scale); query paths leave it off to keep their plans exchange-
+    free."""
+    import numpy as np
+    import pyarrow as pa
+
+    cb_rows = (
+        codebook.select(cid_col, cvec_col).orderBy(cid_col).collect()
+    )
+    cids_l = [r[0] for r in cb_rows]
+    cmat_l = [list(r[1]) for r in cb_rows]
+    bc = spark.sparkContext.broadcast((cids_l, cmat_l))
+
+    base = vecs.select(*passthrough)
+    if parallelize:
+        n = spark.sparkContext.defaultParallelism
+        if base.rdd.getNumPartitions() < n:
+            base = base.repartition(n)
+
+    types = {f.name: f.dataType.simpleString() for f in base.schema.fields}
+    out_fields = [f"{c} {types[c]}" for c in passthrough]
+    out_fields.append(f"{cell_name} bigint")
+    if pq:
+        out_fields += [f"code_{s} bigint" for s in range(1, PQ_M + 1)]
+    if norm_name:
+        out_fields.append(f"{norm_name} double")
+    schema = ", ".join(out_fields)
+
+    def gen(batches):
+        cids_l, cmat_l = bc.value
+        cids = np.asarray(cids_l, dtype=np.int64)
+        C = np.asarray(cmat_l, dtype=np.float64)  # (k, D), cid-ascending
+        k, D = C.shape
+        # centroid dot fold: ((0 + c0*c0) + c1*c1) + ... per centroid
+        cacc = np.zeros(k)
+        for i in range(D):
+            cacc += C[:, i] * C[:, i]
+        cn = np.sqrt(cacc)
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            V = np.asarray(
+                b.column(vec_col).to_pylist(), dtype=np.float64
+            )  # (n, D)
+            n_rows = V.shape[0]
+            acc = np.zeros((n_rows, k))
+            for i in range(D):
+                acc += V[:, i : i + 1] * C[:, i]
+            vacc = np.zeros(n_rows)
+            for i in range(D):
+                vacc += V[:, i] * V[:, i]
+            vn = np.sqrt(vacc)
+            cos = acc / (vn[:, None] * cn[None, :])
+            cols = [b.column(c) for c in passthrough]
+            names = list(passthrough)
+            cols.append(pa.array(cids[np.argmax(cos, axis=1)], type=pa.int64()))
+            names.append(cell_name)
+            if pq:
+                for s in range(1, PQ_M + 1):
+                    lo = (s - 1) * PQ_SUBDIM
+                    dacc = np.zeros((n_rows, k))
+                    for i in range(lo, lo + PQ_SUBDIM):
+                        d = V[:, i : i + 1] - C[:, i]
+                        dacc += d * d
+                    cols.append(
+                        pa.array(cids[np.argmin(dacc, axis=1)], type=pa.int64())
+                    )
+                    names.append(f"code_{s}")
+            if norm_name:
+                cols.append(pa.array(vn, type=pa.float64()))
+                names.append(norm_name)
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    return base.mapInArrow(gen, schema=schema)
+
+
 def _shingle_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The (doc_id, shingle-set) relation through the MV seam
     (`d2_toks`) — shared by d2's signature build and d59's
@@ -1059,32 +1176,22 @@ def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .relcache import cached_relation
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = _ivf_centroids(spark, sf_dir)
-    cos_to_centroid = _dot_spark(F.col("embedding"), F.col("ce")) / (
-        F.sqrt(_dot_spark(F.col("embedding"), F.col("embedding")))
-        * F.sqrt(_dot_spark(F.col("ce"), F.col("ce")))
-    )
 
     def _build_assigned() -> DataFrame:
-        return (
-            emb.join(centroids)
-            .select("vec_id", "label", "embedding", "cid", cos_to_centroid.alias("__cos"))
-            .groupBy("vec_id")
-            .agg(
-                F.any_value("label").alias("label"),
-                F.any_value("embedding").alias("embedding"),
-                F.max_by(
-                    F.col("cid"),
-                    F.struct(F.col("__cos").alias("c"), (-F.col("cid")).alias("nc")),
-                ).alias("cell"),
-            )
-            # L2 norm stored WITH the index (same trick as d3's
-            # _normed_embeddings): the search join then folds ONE dot
-            # per candidate pair instead of three. Exact expression the
-            # inline form used -> cosines stay bit-identical.
-            .withColumn(
-                "norm", F.sqrt(_dot_spark(F.col("embedding"), F.col("embedding")))
-            )
+        # r14: _assign_arrow kernel — same rows bit-for-bit as the old
+        # n x k broadcast-join + max_by fold (pinned by
+        # tests/test_r14_opt.py); the norm column keeps d3's
+        # store-the-norm trick (sqrt of the same left fold).
+        return _assign_arrow(
+            spark,
+            emb,
+            _ivf_centroids(spark, sf_dir),
+            cid_col="cid",
+            cvec_col="ce",
+            vec_col="embedding",
+            passthrough=("vec_id", "label", "embedding"),
+            norm_name="norm",
+            parallelize=True,
         )
 
     # key bumped (v2) when the norm column was added: the store is
@@ -3100,12 +3207,13 @@ def d27_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", _shingles_spark(F.col("text")).alias("sh")
         ),
     )
+    # build via the same Arrow kernel as d2 (r14): a cold-store first
+    # touch must pay the cheap parallel build, not the single-task
+    # interpreted md5 storm the kernel replaced.
     sigs = cached_relation(
         "d2_sigs",
         sf_dir,
-        lambda: toks.where(F.size("sh") > 0).withColumn(
-            "mh", _minhash_spark(F.col("sh"))
-        ),
+        lambda: _minhash_arrow_sigs(spark, toks),
     )
     bands = sigs.select(
         "doc_id",
@@ -4214,12 +4322,13 @@ def d37_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         lambda: docs.select("doc_id", _shingles_spark(F.col("text")).alias("sh")),
     )
+    # build via the same Arrow kernel as d2 (r14): a cold-store first
+    # touch must pay the cheap parallel build, not the single-task
+    # interpreted md5 storm the kernel replaced.
     sigs = cached_relation(
         "d2_sigs",
         sf_dir,
-        lambda: toks.where(F.size("sh") > 0).withColumn(
-            "mh", _minhash_spark(F.col("sh"))
-        ),
+        lambda: _minhash_arrow_sigs(spark, toks),
     )
     bands = sigs.select(
         "doc_id",
@@ -5924,25 +6033,21 @@ def _d49_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", "label", ppb_vector(F.col("embedding")).alias("v"))
 
 
-def _d49_assign(vecs: DataFrame, codebook: DataFrame) -> DataFrame:
-    """Argmax-cosine cell assignment: broadcast codebook (k rows),
-    map-side-combinable max_by — never a window over the n*k score
-    relation. Shuffles ~n rows once."""
-    cos = _dot_spark(F.col("v"), F.col("c")) / (
-        F.sqrt(_dot_spark(F.col("v"), F.col("v")))
-        * F.sqrt(_dot_spark(F.col("c"), F.col("c")))
-    )
-    return (
-        vecs.join(F.broadcast(codebook))
-        .select("vec_id", "v", "cid", cos.alias("__cos"))
-        .groupBy("vec_id")
-        .agg(
-            F.any_value("v").alias("v"),
-            F.max_by(
-                F.col("cid"),
-                F.struct(F.col("__cos").alias("c"), (-F.col("cid")).alias("nc")),
-            ).alias("cell"),
-        )
+def _d49_assign(spark: SparkSession, vecs: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Argmax-cosine cell assignment, as the `_assign_arrow` kernel
+    (r14): one output row per vector straight off the scan — the n*k
+    score relation is never materialized and the old vec_id-keyed
+    re-fold exchange is gone entirely (the kernel's argmax is
+    task-local). Bit-identical to the broadcast-join + max_by form
+    (tests/test_r14_opt.py)."""
+    return _assign_arrow(
+        spark,
+        vecs,
+        codebook,
+        cid_col="cid",
+        cvec_col="c",
+        vec_col="v",
+        passthrough=("vec_id", "v"),
     )
 
 
@@ -5970,7 +6075,7 @@ def _d49_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(_ivf_cells(spark, sf_dir))
             .select(F.col("vec_id").alias("cid"), F.col("v").alias("c"))
         )
-        a1 = _d49_assign(vecs, gen0)
+        a1 = _d49_assign(spark, vecs, gen0)
         return (
             a1.select("cell", F.posexplode("v").alias("dim0", "val"))
             .groupBy("cell", (F.col("dim0") + 1).alias("dim"))
@@ -6030,7 +6135,7 @@ def d49_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stored codebook equals retraining from scratch."""
     vecs = _d49_vecs(spark, sf_dir).select("vec_id", "v")
     gen1 = _d49_codebook(spark, sf_dir)
-    a2 = _d49_assign(vecs, gen1)
+    a2 = _d49_assign(spark, vecs, gen1)
     digest = gen1.select(
         "cid",
         F.aggregate(F.col("c"), F.lit(0).cast("long"), lambda acc, x: acc + x)
@@ -6093,33 +6198,23 @@ def _trained_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     cm = _trained_centroids(spark, sf_dir)
 
     def _build() -> DataFrame:
-        cos = _dot_spark(F.col("v"), F.col("ce")) / (
-            F.sqrt(_dot_spark(F.col("v"), F.col("v")))
-            * F.sqrt(_dot_spark(F.col("ce"), F.col("ce")))
+        # r14: _assign_arrow kernel — cell argmax AND all PQ_M sub-code
+        # argmins in one batch sweep, one output row per vector, no
+        # n x k fan-out and no re-fold exchange. Rows bit-identical to
+        # the old broadcast-join + max_by/min_by form (pinned by
+        # tests/test_r14_opt.py); vnorm keeps d3's store-the-norm trick.
+        return _assign_arrow(
+            spark,
+            vecs,
+            cm,
+            cid_col="cid",
+            cvec_col="ce",
+            vec_col="v",
+            passthrough=("vec_id", "label", "v"),
+            pq=True,
+            norm_name="vnorm",
+            parallelize=True,
         )
-        subdists = [
-            _sql2_spark(
-                F.slice(F.col("v"), (s - 1) * PQ_SUBDIM + 1, PQ_SUBDIM),
-                F.slice(F.col("ce"), (s - 1) * PQ_SUBDIM + 1, PQ_SUBDIM),
-            ).alias(f"d_{s}")
-            for s in range(1, PQ_M + 1)
-        ]
-        fan = vecs.join(F.broadcast(cm)).select(
-            "vec_id", "label", "v", "cid", cos.alias("__cos"), *subdists
-        )
-        return fan.groupBy("vec_id").agg(
-            F.any_value("label").alias("label"),
-            F.any_value("v").alias("v"),
-            F.max_by(
-                F.col("cid"),
-                F.struct(F.col("__cos").alias("c"), (-F.col("cid")).alias("nc")),
-            ).alias("cell"),
-            *[
-                F.min_by(F.col("cid"), F.struct(F.col(f"d_{s}"), F.col("cid")))
-                .alias(f"code_{s}")
-                for s in range(1, PQ_M + 1)
-            ],
-        ).withColumn("vnorm", F.sqrt(_dot_spark(F.col("v"), F.col("v"))))
 
     # key bumped from "d25b_assigned": label + vnorm columns added when
     # the whole IVF family graduated to the trained codebook (r10) —
@@ -6858,11 +6953,17 @@ def d57_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark shape: the positional gram relation is the stored d30_grams
     MV; the shared-gram flag is d30's ONE map-side-combinable min!=max
     agg; duplicated starts collect per doc (sorted list — gram-grain
-    agg); the rebuild is a PER-ROW expression on the docs scan (filter
-    each position against the doc's own start list — O(tokens x
-    starts) locally, zero extra exchange), so the only corpus-scale
-    shuffles are the gram agg and the doc-keyed join of the
-    (usually sparse) dup-starts relation back to the corpus."""
+    agg); the rebuild is a PER-ROW expression on the docs scan, zero
+    extra exchange. r14 (guide §1.2 per-task work): the first form
+    tested every position against every start — O(tokens x starts)
+    interpreted-HOF work per row, quadratic on span-dense docs. Now
+    the start list expands once into the covered-position set
+    (starts x SPAN_L elements) and keep_pos is ONE hash-lookup pass:
+    array_except(all_positions, covered) — O(tokens + starts x
+    SPAN_L), order-preserving and duplicate-free because positions
+    are unique. The only corpus-scale shuffles remain the gram agg
+    and the doc-keyed join of the (usually sparse) dup-starts
+    relation back to the corpus."""
     docs = load_table(spark, sf_dir, "documents")
     grams = _span_grams(spark, sf_dir)
     shared = shared_span_grams(spark, sf_dir)
@@ -6875,13 +6976,12 @@ def d57_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split(F.col("text"), " ").alias("tk")
     ).join(dup, "doc_id", "left")
     starts = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
-    keep_pos = F.filter(
-        F.sequence(F.lit(0), F.size("tk") - 1),
-        lambda p: F.size(
-            F.filter(starts, lambda s: (p >= s) & (p < s + SPAN_L))
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(starts, lambda s: F.sequence(s, s + SPAN_L - 1))
         )
-        == 0,
     )
+    keep_pos = F.array_except(F.sequence(F.lit(0), F.size("tk") - 1), covered)
     s = t.select(
         "doc_id",
         F.size("tk").alias("n_tokens"),

@@ -26,3 +26,156 @@ def test_d2_sigs_arrow_kernel_matches_declarative_fold(spark):
     b = {r["doc_id"]: (r["sh"], r["mh"]) for r in kern.collect()}
     assert a == b
     assert len(a) > 0
+
+
+def _decl_assign(vecs, codebook, vec_col, cvec_col):
+    """The pre-r14 declarative assignment (broadcast n x k fan-out +
+    max_by re-fold), kept here as the parity reference."""
+    from risk_dashboard_database_spark.plans.dedup import _dot_spark
+
+    cos = _dot_spark(F.col(vec_col), F.col(cvec_col)) / (
+        F.sqrt(_dot_spark(F.col(vec_col), F.col(vec_col)))
+        * F.sqrt(_dot_spark(F.col(cvec_col), F.col(cvec_col)))
+    )
+    return (
+        vecs.join(F.broadcast(codebook))
+        .select("vec_id", "cid", cos.alias("__cos"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("cid"),
+                F.struct(F.col("__cos").alias("c"), (-F.col("cid")).alias("nc")),
+            ).alias("cell"),
+        )
+    )
+
+
+def test_assign_arrow_kernel_matches_declarative_d49(spark):
+    """_assign_arrow (r14) must reproduce the broadcast-join + max_by
+    assignment bit-for-bit: same left-fold cosine op order, first-max
+    argmax == (cos desc, cid asc) tie-break."""
+    from risk_dashboard_database_spark.plans import dedup
+
+    vecs = dedup._d49_vecs(spark, SF_DIR).select("vec_id", "v")
+    gen1 = dedup._d49_codebook(spark, SF_DIR)
+    kern = {
+        r["vec_id"]: r["cell"]
+        for r in dedup._d49_assign(spark, vecs, gen1).collect()
+    }
+    decl = {
+        r["vec_id"]: r["cell"]
+        for r in _decl_assign(vecs, gen1, "v", "c").collect()
+    }
+    assert kern == decl
+    assert len(kern) > 0
+
+
+def test_assign_arrow_kernel_matches_declarative_trained(spark, tmp_path, monkeypatch):
+    """The trained-index build (cell argmax + PQ_M sub-code argmins +
+    vnorm) must match the declarative fan-out row-for-row, including
+    every float: vnorm is the same left-fold + sqrt, sub-distances the
+    same (x-y)^2 fold, ties the same (dist, cid) ordering."""
+    from risk_dashboard_database_spark.plans import dedup, relcache
+    from risk_dashboard_database_spark.plans.dedup import (
+        PQ_M,
+        PQ_SUBDIM,
+        _dot_spark,
+        _sql2_spark,
+    )
+
+    monkeypatch.setattr(relcache, "MV_ROOT", str(tmp_path / "mv"))
+    relcache.clear()
+    try:
+        kern = dedup._trained_assigned(spark, SF_DIR).collect()
+        vecs = dedup._d49_vecs(spark, SF_DIR)
+        cm = dedup._trained_centroids(spark, SF_DIR)
+        cos = _dot_spark(F.col("v"), F.col("ce")) / (
+            F.sqrt(_dot_spark(F.col("v"), F.col("v")))
+            * F.sqrt(_dot_spark(F.col("ce"), F.col("ce")))
+        )
+        subdists = [
+            _sql2_spark(
+                F.slice(F.col("v"), (s - 1) * PQ_SUBDIM + 1, PQ_SUBDIM),
+                F.slice(F.col("ce"), (s - 1) * PQ_SUBDIM + 1, PQ_SUBDIM),
+            ).alias(f"d_{s}")
+            for s in range(1, PQ_M + 1)
+        ]
+        fan = vecs.join(F.broadcast(cm)).select(
+            "vec_id", "label", "v", "cid", cos.alias("__cos"), *subdists
+        )
+        decl = (
+            fan.groupBy("vec_id")
+            .agg(
+                F.any_value("label").alias("label"),
+                F.any_value("v").alias("v"),
+                F.max_by(
+                    F.col("cid"),
+                    F.struct(F.col("__cos").alias("c"), (-F.col("cid")).alias("nc")),
+                ).alias("cell"),
+                *[
+                    F.min_by(F.col("cid"), F.struct(F.col(f"d_{s}"), F.col("cid")))
+                    .alias(f"code_{s}")
+                    for s in range(1, PQ_M + 1)
+                ],
+            )
+            .withColumn("vnorm", F.sqrt(_dot_spark(F.col("v"), F.col("v"))))
+        ).collect()
+        key = lambda rows: {
+            r["vec_id"]: (
+                r["label"],
+                tuple(r["v"]),
+                r["cell"],
+                tuple(r[f"code_{s}"] for s in range(1, PQ_M + 1)),
+                r["vnorm"],
+            )
+            for r in rows
+        }
+        a, b = key(kern), key(decl)
+        assert a == b
+        assert len(a) > 0
+    finally:
+        relcache.clear()
+
+
+def test_ivf_assigned_kernel_matches_declarative_stub(spark, tmp_path, monkeypatch):
+    """_ivf_assigned (stub codebook) through the kernel: cell + norm
+    bit-identical to the old broadcast fan-out."""
+    from risk_dashboard_database_spark.plans import dedup, relcache
+    from risk_dashboard_database_spark.plans.dedup import _dot_spark
+    from risk_dashboard_database_spark.tables import load_table
+
+    monkeypatch.setattr(relcache, "MV_ROOT", str(tmp_path / "mv"))
+    relcache.clear()
+    try:
+        kern = dedup._ivf_assigned(spark, SF_DIR).collect()
+        emb = load_table(spark, SF_DIR, "embeddings")
+        centroids = dedup._ivf_centroids(spark, SF_DIR)
+        cos = _dot_spark(F.col("embedding"), F.col("ce")) / (
+            F.sqrt(_dot_spark(F.col("embedding"), F.col("embedding")))
+            * F.sqrt(_dot_spark(F.col("ce"), F.col("ce")))
+        )
+        decl = (
+            emb.join(centroids)
+            .select("vec_id", "label", "embedding", "cid", cos.alias("__cos"))
+            .groupBy("vec_id")
+            .agg(
+                F.any_value("label").alias("label"),
+                F.any_value("embedding").alias("embedding"),
+                F.max_by(
+                    F.col("cid"),
+                    F.struct(F.col("__cos").alias("c"), (-F.col("cid")).alias("nc")),
+                ).alias("cell"),
+            )
+            .withColumn(
+                "norm", F.sqrt(_dot_spark(F.col("embedding"), F.col("embedding")))
+            )
+        ).collect()
+        key = lambda rows: {
+            r["vec_id"]: (r["label"], tuple(r["embedding"]), r["cell"], r["norm"])
+            for r in rows
+        }
+        a, b = key(kern), key(decl)
+        assert a == b
+        assert len(a) > 0
+    finally:
+        relcache.clear()
