@@ -4185,47 +4185,116 @@ HARDNEG_TOPK = 3
 def d36_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k cross-label neighbors per probe, with the positive margin.
 
-    Spark shape: the probe set broadcasts against the stored normed
-    MV (one fold per pair — d3's layout); from the ONE scored
-    relation, two bounded reductions: the best same-label cosine is a
-    probe-grain hash-agg (map-side combined — probe-count rows, which
-    then re-broadcasts onto the negatives), and the negative top-k is
-    a per-probe rank. The margin is a difference of two fold-derived
-    doubles — the identical IEEE expression tree on both engines, so
-    raw doubles hash-match. At scale the rank-side pruning is d3's
-    vectorized local-top-k kernel seam; the per-probe window here is
-    the declarative statement of the same plan."""
+    Spark shape (r14: the d3 local-top-k kernel seam, previously named
+    in this docstring as the scale plan and now the plan itself): the
+    bounded probe set (md5-rank + LIMIT, D3_PROBES rows at any corpus
+    size) is collected and broadcast; each Arrow batch of the stored
+    normed MV scores its candidates against all probes in one
+    dimension-at-a-time float64 sweep (`acc += q[i]*c[i]` — exactly
+    `_dot_spark`'s left fold, then / (qnorm * cnorm), so cosines are
+    bit-identical to the declarative join) and emits only (a) its
+    LOCAL top-HARDNEG_TOPK cross-label rows per probe and (b) one
+    local best same-label cosine per probe. Top-k of a union of local
+    top-ks is the global top-k (candidate_id unique -> no ties to
+    lose) and MAX is associative, so the probes x corpus scored
+    relation is never materialized, shuffled, or windowed — the
+    per-probe rank and the best-pos re-aggregation run over
+    O(probes x k x batches) rows. The margin is a difference of two
+    fold-derived doubles — the identical IEEE expression tree on both
+    engines, so raw doubles hash-match. Self-pairs: excluded from the
+    positive side explicitly; the negative side excludes them by
+    label (a vector shares its own label). Probes with no same-label
+    candidate anywhere emit no best-pos row and take a NULL margin
+    through the left join, the oracle's semantics."""
+    import numpy as np
+    import pandas as pd
+
     normed = _normed_embeddings(spark, sf_dir)
-    probes = F.broadcast(
+    qpd = (
         normed.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(D3_PROBES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("label").alias("query_label"),
-            F.col("embedding").alias("qe"),
-            F.col("norm").alias("qnorm"),
+        .select("vec_id", "label", "embedding", "norm")
+        .toPandas()
+    )
+    assert len(qpd) <= D3_PROBES  # the plan-enforced probe bound
+    bq = spark.sparkContext.broadcast(
+        (
+            qpd["vec_id"].to_numpy(),
+            qpd["label"].to_numpy(),
+            np.stack(qpd["embedding"].to_numpy()).astype(np.float64)
+            if len(qpd)
+            else np.zeros((0, 0)),
+            qpd["norm"].to_numpy(),
         )
     )
-    cand = normed.select(
-        F.col("vec_id").alias("candidate_id"),
-        F.col("label").alias("cand_label"),
-        F.col("embedding").alias("ce"),
-        F.col("norm").alias("cnorm"),
-    )
-    scored = probes.join(
-        cand, F.col("candidate_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        "query_label",
-        "candidate_id",
-        "cand_label",
-        (
-            _dot_spark(F.col("qe"), F.col("ce"))
-            / (F.col("qnorm") * F.col("cnorm"))
-        ).alias("cosine"),
+    K = HARDNEG_TOPK
+
+    def mine(batches):
+        qids, qlabels, Q, qn = bq.value
+        nq = len(qids)
+        for pdf in batches:
+            if len(pdf) == 0 or nq == 0:
+                continue
+            # candidate-id-sorted batch: a STABLE descending argsort on
+            # cosine alone then realizes (cosine desc, candidate_id)
+            order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+            cids = pdf["vec_id"].to_numpy()[order]
+            C = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+            cn = pdf["norm"].to_numpy()[order]
+            labels = pdf["label"].to_numpy()[order]
+            acc = np.zeros((nq, len(cids)))
+            for i in range(Q.shape[1]):
+                acc += Q[:, i][:, None] * C[:, i][None, :]
+            cos = acc / (qn[:, None] * cn[None, :])
+            same = labels[None, :] == qlabels[:, None]
+            selfp = cids[None, :] == qids[:, None]
+            out = []
+            # (a) local best same-label cosine per probe (self excluded)
+            pos = np.where(same & ~selfp, cos, -np.inf)
+            pbest = pos.max(axis=1)
+            has = np.isfinite(pbest)
+            if has.any():
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[has].astype(np.int64),
+                            "candidate_id": np.zeros(int(has.sum()), dtype=np.int64),
+                            "cand_label": np.zeros(int(has.sum()), dtype=np.int32),
+                            "cosine": pbest[has],
+                            "is_pos": True,
+                        }
+                    )
+                )
+            # (b) local top-K cross-label rows per probe
+            neg = np.where(~same, cos, -np.inf)
+            kk = min(K, neg.shape[1])
+            top = np.argsort(-neg, axis=1, kind="stable")[:, :kk]
+            rows = np.repeat(np.arange(nq), kk)
+            cols = top.ravel()
+            keep = np.isfinite(neg[rows, cols])
+            rows, cols = rows[keep], cols[keep]
+            if len(rows):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[rows].astype(np.int64),
+                            "candidate_id": cids[cols].astype(np.int64),
+                            "cand_label": labels[cols],
+                            "cosine": neg[rows, cols],
+                            "is_pos": False,
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    mined = normed.select("vec_id", "label", "embedding", "norm").mapInPandas(
+        mine,
+        schema="query_id bigint, candidate_id bigint, cand_label int, "
+        "cosine double, is_pos boolean",
     )
     best_pos = (
-        scored.where(F.col("cand_label") == F.col("query_label"))
+        mined.where(F.col("is_pos"))
         .groupBy("query_id")
         .agg(F.max("cosine").alias("best_pos"))
     )
@@ -4233,7 +4302,7 @@ def d36_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cosine").desc(), F.col("candidate_id")
     )
     negs = (
-        scored.where(F.col("cand_label") != F.col("query_label"))
+        mined.where(~F.col("is_pos"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= HARDNEG_TOPK)
     )

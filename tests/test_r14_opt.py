@@ -179,3 +179,79 @@ def test_ivf_assigned_kernel_matches_declarative_stub(spark, tmp_path, monkeypat
         assert len(a) > 0
     finally:
         relcache.clear()
+
+
+def test_d36_mining_kernel_matches_declarative(spark):
+    """d36's local-top-k mining kernel must reproduce the declarative
+    probes x corpus join + window exactly — cosines, margins (NULL
+    when a probe has no same-label candidate), ranks, tie-breaks."""
+    from pyspark.sql import Window
+
+    from risk_dashboard_database_spark.plans import dedup
+    from risk_dashboard_database_spark.plans.dedup import (
+        D3_PROBES,
+        HARDNEG_TOPK,
+        _dot_spark,
+        _normed_embeddings,
+    )
+
+    normed = _normed_embeddings(spark, SF_DIR)
+    probes = F.broadcast(
+        normed.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(D3_PROBES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("query_label"),
+            F.col("embedding").alias("qe"),
+            F.col("norm").alias("qnorm"),
+        )
+    )
+    cand = normed.select(
+        F.col("vec_id").alias("candidate_id"),
+        F.col("label").alias("cand_label"),
+        F.col("embedding").alias("ce"),
+        F.col("norm").alias("cnorm"),
+    )
+    scored = probes.join(cand, F.col("candidate_id") != F.col("query_id")).select(
+        "query_id",
+        "query_label",
+        "candidate_id",
+        "cand_label",
+        (_dot_spark(F.col("qe"), F.col("ce")) / (F.col("qnorm") * F.col("cnorm"))).alias(
+            "cosine"
+        ),
+    )
+    best_pos = (
+        scored.where(F.col("cand_label") == F.col("query_label"))
+        .groupBy("query_id")
+        .agg(F.max("cosine").alias("best_pos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("candidate_id")
+    )
+    negs = (
+        scored.where(F.col("cand_label") != F.col("query_label"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= HARDNEG_TOPK)
+    )
+    decl = negs.join(F.broadcast(best_pos), "query_id", "left").select(
+        "query_id",
+        "candidate_id",
+        F.col("cand_label").alias("neg_label"),
+        "cosine",
+        (F.col("best_pos") - F.col("cosine")).alias("margin"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+    key = lambda rows: {
+        (r["query_id"], r["rank"]): (
+            r["candidate_id"],
+            r["neg_label"],
+            r["cosine"],
+            r["margin"],
+        )
+        for r in rows
+    }
+    a = key(dedup.d36_hard_negatives(spark, SF_DIR).collect())
+    b = key(decl.collect())
+    assert a == b
+    assert len(a) > 0
