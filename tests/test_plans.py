@@ -40,7 +40,9 @@ BNLJ_OK = {
                              # after-cursor OR predicate against the
                              # broadcast page cursor — e4's class)
     "d35_oov_rate",     # 1-row vocab-array crossJoin (same anchor pattern)
-    "d36_hard_negatives",  # broadcast probe set w/ <> residual (d3's layout)
+    # (d36_hard_negatives left the list in r14: the probes x corpus
+    # fan-out moved into the local-top-k mining kernel, so the plan is
+    # Scan -> MapInPandas -> tiny window/agg — no BNLJ remains.)
     "d42_embed_recall",  # deliberate quadratic exact-audit pair join
                          # (d4's class: sample-scale ground truth)
     "d24_ann_ivfpq",    # probe x codebook distance-table fan-out
