@@ -4205,7 +4205,7 @@ def d36_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     positive side explicitly; the negative side excludes them by
     label (a vector shares its own label). Probes with no same-label
     candidate anywhere emit no best-pos row and take a NULL margin
-    through the left join, the oracle's semantics."""
+    (max over an empty set), the oracle's semantics."""
     import numpy as np
     import pandas as pd
 
@@ -4293,26 +4293,36 @@ def d36_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="query_id bigint, candidate_id bigint, cand_label int, "
         "cosine double, is_pos boolean",
     )
-    best_pos = (
-        mined.where(F.col("is_pos"))
-        .groupBy("query_id")
-        .agg(F.max("cosine").alias("best_pos"))
+    # r15 (guide §2.4, VERDICT r14 #5 family): best_pos used to be a
+    # separate groupBy + broadcast-join leg, which re-evaluated the
+    # mining kernel (and its corpus scan) a second time — the two
+    # consumers hung off DIFFERENT exchanges (agg by query_id vs the
+    # rank window), so ReuseExchange never fired. Both are now windows
+    # over ONE query_id-keyed exchange: best_pos is max(cosine of the
+    # is_pos rows) over the whole partition, and the negative rank
+    # orders is_pos ASC first so the negatives' row_numbers (1..n_neg)
+    # are identical to the old negatives-only window. Probes with no
+    # same-label candidate get a NULL best_pos (max over an empty
+    # when() set), preserving the old left join's NULL margin.
+    wq = Window.partitionBy("query_id")
+    wrank = Window.partitionBy("query_id").orderBy(
+        F.col("is_pos").asc(), F.col("cosine").desc(), F.col("candidate_id")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("candidate_id")
-    )
-    negs = (
-        mined.where(~F.col("is_pos"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= HARDNEG_TOPK)
-    )
-    return negs.join(F.broadcast(best_pos), "query_id", "left").select(
-        "query_id",
-        "candidate_id",
-        F.col("cand_label").alias("neg_label"),
-        "cosine",
-        (F.col("best_pos") - F.col("cosine")).alias("margin"),
-        F.col("rank").cast("int").alias("rank"),
+    return (
+        mined.withColumn(
+            "best_pos",
+            F.max(F.when(F.col("is_pos"), F.col("cosine"))).over(wq),
+        )
+        .withColumn("rank", F.row_number().over(wrank))
+        .where((~F.col("is_pos")) & (F.col("rank") <= HARDNEG_TOPK))
+        .select(
+            "query_id",
+            "candidate_id",
+            F.col("cand_label").alias("neg_label"),
+            "cosine",
+            (F.col("best_pos") - F.col("cosine")).alias("margin"),
+            F.col("rank").cast("int").alias("rank"),
+        )
     )
 
 
@@ -7030,7 +7040,18 @@ def d57_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (starts x SPAN_L elements) and keep_pos is ONE hash-lookup pass:
     array_except(all_positions, covered) — O(tokens + starts x
     SPAN_L), order-preserving and duplicate-free because positions
-    are unique. The only corpus-scale shuffles remain the gram agg
+    are unique. r15 (guide §1.2/§5, VERDICT r14 #1): rows with NO
+    duplicated span — the common case on a span-sparse corpus — no
+    longer build keep_pos or rebuild the token array at all. For a
+    NULL `starts`, keep_pos would be the identity [0..n-1], so kept
+    == n_tokens, removed == 0, fully_removed == 0, and clean_text ==
+    array_join(tk, ' ') == the original text (split on the literal
+    single-space separator then join with it is the identity for
+    every string, empty tokens included). The CASE branches confine
+    the covered-set build, the position sequence, and the token-array
+    rebuild — the per-row allocations that thrashed 32 concurrent
+    tasks on the driver box — to the spanned rows that need them.
+    The only corpus-scale shuffles remain the gram agg
     and the doc-keyed join of the (usually sparse) dup-starts
     relation back to the corpus."""
     docs = load_table(spark, sf_dir, "documents")
@@ -7042,33 +7063,46 @@ def d57_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
     )
     t = docs.select(
-        "doc_id", F.split(F.col("text"), " ").alias("tk")
+        "doc_id", "text", F.split(F.col("text"), " ").alias("tk")
     ).join(dup, "doc_id", "left")
-    starts = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+    spanned = F.col("starts").isNotNull()
     covered = F.array_distinct(
         F.flatten(
-            F.transform(starts, lambda s: F.sequence(s, s + SPAN_L - 1))
+            F.transform(F.col("starts"), lambda s: F.sequence(s, s + SPAN_L - 1))
         )
     )
-    keep_pos = F.array_except(F.sequence(F.lit(0), F.size("tk") - 1), covered)
+    keep_expr = F.array_except(F.sequence(F.lit(0), F.size("tk") - 1), covered)
     s = t.select(
         "doc_id",
+        "text",
         F.size("tk").alias("n_tokens"),
-        keep_pos.alias("keep_pos"),
+        # NULL (not the identity sequence) on span-free rows: every
+        # consumer below branches on `spanned`, so the allocation
+        # happens only where a span was actually found.
+        F.when(spanned, keep_expr).alias("keep_pos"),
         "tk",
+        spanned.alias("spanned"),
+    )
+    kept = F.when(F.col("spanned"), F.size("keep_pos")).otherwise(
+        F.col("n_tokens")
     )
     return s.select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.size("keep_pos").cast("long").alias("kept_tokens"),
-        (F.col("n_tokens") - F.size("keep_pos")).cast("long").alias(
-            "removed_tokens"
-        ),
-        (F.size("keep_pos") == 0).cast("int").alias("fully_removed"),
-        F.array_join(
-            F.transform(F.col("keep_pos"), lambda p: F.element_at("tk", p + 1)),
-            " ",
-        ).alias("clean_text"),
+        kept.cast("long").alias("kept_tokens"),
+        (F.col("n_tokens") - kept).cast("long").alias("removed_tokens"),
+        (kept == 0).cast("int").alias("fully_removed"),
+        F.when(
+            F.col("spanned"),
+            F.array_join(
+                F.transform(
+                    F.col("keep_pos"), lambda p: F.element_at("tk", p + 1)
+                ),
+                " ",
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("clean_text"),
     )
 
 
@@ -8305,26 +8339,46 @@ def d66_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "candidate_id bigint, cosine double"
         ),
     )
-    wg = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("candidate_id")
-    )
-    gtt = (
-        local.where(F.col("cell") == -1)
-        .withColumn("rn", F.row_number().over(wg))
-        .where(F.col("rn") <= 3)
-        .select(
-            F.col("query_id").alias("true_qid"),
-            F.col("candidate_id").alias("true_id"),
-        )
-    )
+    # r15 (guide §2.4, VERDICT r14 #2): the old wiring hung THREE
+    # consumers (the truth top-3, the per-cell top-3, the truth count)
+    # off the kernel through DIFFERENT exchanges — and even with one
+    # shared window, per-leg `cell` filters get pushed below the
+    # Window/Exchange, recreating distinct subtrees — so the corpus
+    # scan + scoring kernel executed once PER CONSUMER. New shape:
+    # ONE window partitioned by (query_id, cell) ranks both legs (the
+    # global-truth rows all carry the cell = -1 sentinel, so their
+    # within-(query_id, -1) rank IS their within-query rank), then ONE
+    # filter-free (query_id, candidate_id)-grain aggregate folds the
+    # legs per pair: a candidate belongs to exactly one cell, so its
+    # probed-cell crank is MIN(crank of the cell rows) and its
+    # ground-truth membership is a boolean MAX over the sentinel rows;
+    # cosine is the identical kernel double on every leg, so MAX
+    # passes it through bit-exactly. The sweep, the hit counts, and
+    # true_k all derive from that one relation. true_k rides ALONG as
+    # a global-window sum over the tiny candidate relation (bounded by
+    # probes x (maxnp + 1) x 3 rows — the sanctioned tiny single-
+    # partition window class) instead of being a second aggregate
+    # consumer: a separate agg prunes different columns, which makes
+    # the exchanges non-identical and defeats ReuseExchange (measured:
+    # the kernel still ran twice that way). With ONE consumer chain
+    # the scoring kernel runs ONCE, and the old broadcast truth-join
+    # disappears (the gt flag rides the swept rows).
     wc = Window.partitionBy("query_id", "cell").orderBy(
         F.col("cosine").desc(), F.col("candidate_id")
     )
-    percell = (
-        local.where(F.col("cell") >= 0)
-        .withColumn("rn", F.row_number().over(wc))
+    ranked = (
+        local.withColumn("rn", F.row_number().over(wc))
         .where(F.col("rn") <= 3)
-        .select("query_id", "crank", "candidate_id", "cosine")
+    )
+    cand = ranked.groupBy("query_id", "candidate_id").agg(
+        F.max(F.col("cell") == -1).alias("gt"),
+        F.min(F.when(F.col("cell") >= 0, F.col("crank"))).alias("crank"),
+        F.max("cosine").alias("cosine"),
+    ).withColumn(
+        "true_k",
+        F.sum(F.when(F.col("gt"), F.lit(1)).otherwise(F.lit(0)))
+        .over(Window.partitionBy(F.lit(1)))
+        .cast("long"),
     )
     nps = spark.range(1).select(
         F.explode(
@@ -8335,33 +8389,24 @@ def d66_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cosine").desc(), F.col("candidate_id")
     )
     swept = (
-        nps.join(percell, F.col("crank") <= F.col("nprobe"))
+        nps.join(cand, F.col("crank") <= F.col("nprobe"))
         .withColumn("rn", F.row_number().over(ws))
         .where(F.col("rn") <= 3)
-        .select("nprobe", "query_id", "candidate_id")
+        .select("nprobe", "query_id", "candidate_id", "gt", "true_k")
     )
-    perq = (
-        swept.join(
-            F.broadcast(gtt),
-            (F.col("query_id") == F.col("true_qid"))
-            & (F.col("candidate_id") == F.col("true_id")),
-            "left",
-        )
-        .groupBy("nprobe", "query_id")
-        .agg(
-            F.count("*").alias("k_ret"),
-            F.count("true_id").alias("hits"),
-        )
+    perq = swept.groupBy("nprobe", "query_id").agg(
+        F.count("*").alias("k_ret"),
+        F.count_if(F.col("gt")).alias("hits"),
+        F.max("true_k").alias("true_k"),
     )
-    tk = gtt.agg(F.count("*").cast("long").alias("true_k"))
     return (
         perq.groupBy("nprobe")
         .agg(
             F.count("*").cast("long").alias("n_queries"),
             F.sum("k_ret").cast("long").alias("k_returned"),
             F.sum("hits").cast("long").alias("hits"),
+            F.max("true_k").alias("true_k"),
         )
-        .crossJoin(F.broadcast(tk))
         .select(
             "nprobe",
             "n_queries",
