@@ -6146,9 +6146,10 @@ def _d49_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     d9 connected-components discipline)."""
     from .relcache import cached_relation
 
-    vecs = _d49_vecs(spark, sf_dir).select("vec_id", "v")
-
     def _build() -> DataFrame:
+        # inputs constructed INSIDE the closure (r15): a store-warm
+        # call must cost a cache lookup, not a plan construction
+        vecs = _d49_vecs(spark, sf_dir).select("vec_id", "v")
         gen0 = (
             vecs.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
             .limit(_ivf_cells(spark, sf_dir))
@@ -6273,19 +6274,18 @@ def _trained_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     _normed_embeddings trick) so search joins fold one dot per pair."""
     from .relcache import cached_relation
 
-    vecs = _d49_vecs(spark, sf_dir)
-    cm = _trained_centroids(spark, sf_dir)
-
     def _build() -> DataFrame:
         # r14: _assign_arrow kernel — cell argmax AND all PQ_M sub-code
         # argmins in one batch sweep, one output row per vector, no
         # n x k fan-out and no re-fold exchange. Rows bit-identical to
         # the old broadcast-join + max_by/min_by form (pinned by
         # tests/test_r14_opt.py); vnorm keeps d3's store-the-norm trick.
+        # Inputs constructed INSIDE the closure (r15): a store-warm
+        # call must cost a cache lookup, not a plan construction.
         return _assign_arrow(
             spark,
-            vecs,
-            cm,
+            _d49_vecs(spark, sf_dir),
+            _trained_centroids(spark, sf_dir),
             cid_col="cid",
             cvec_col="ce",
             vec_col="v",

@@ -120,26 +120,77 @@ def _nanos_ts_columns(path: str) -> list[str]:
     ]
 
 
+# r15 (guide §5/§7.3 — driver-side overhead is real latency): load_table
+# used to pay ~70 ms of pure plan-construction cost on EVERY call even
+# when everything was warm — two conf round-trips, a pyarrow schema
+# probe, a pyarrow footer-metadata probe, and a fresh spark.read — and
+# the bench rebuilds each query's plan per timed run, so that tax landed
+# on every query multiple times. The file probes are now memoized per
+# (path, stat signature) — the same cheap revalidation discipline as the
+# relcache fingerprint, so a regenerated dataset re-probes immediately —
+# the conf guard runs once per session, and the raw reader DataFrame is
+# memoized on the session object (it dies with the session; DataFrames
+# are immutable, so handing the same instance out is safe). Re-laid-out
+# facts defer the raw read into the relayout build closure, which never
+# runs when the layout MV is store-warm.
+_META_MEMO: dict[tuple[str, str], tuple[list[str], int]] = {}
+
+
+def _stat_sig_one(path: str) -> str:
+    try:
+        st = os.stat(path)
+        return f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        return "<none>"
+
+
+def _session_memo(spark: SparkSession) -> dict:
+    memo = getattr(spark, "_graft_table_memo", None)
+    if memo is None:
+        memo = {}
+        spark._graft_table_memo = memo
+    return memo
+
+
+def _raw_reader(spark: SparkSession, path: str, ns_cols: list[str]) -> DataFrame:
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS LONG))"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    # The driver may hand us a session not built by get_spark(), so make
-    # sure the nanos-as-long guard is on before the first read (a no-op
-    # against the current timestamp[us] testdata). Set unconditionally
-    # (not per-table) so read behavior never flips mid-session based on
-    # which table loaded first. Session timezone is pinned too:
-    # `CAST(ts AS DATE)` is timezone-sensitive and the DuckDB oracle
-    # treats the stored instants as naive/UTC.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ns_cols = _nanos_ts_columns(path)
-    df = spark.read.parquet(path)
-    for c in ns_cols:
-        df = df.withColumn(c, F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS LONG))"))
-    n = _relayout_parts(path, name) if name in FACT_TABLES else 0
+    memo = _session_memo(spark)
+    if "confs_set" not in memo:
+        # The driver may hand us a session not built by get_spark(), so
+        # make sure the nanos-as-long guard is on before the first read
+        # (a no-op against the current timestamp[us] testdata). Set once
+        # per session (not per-table) so read behavior never flips
+        # mid-session based on which table loaded first. Session
+        # timezone is pinned too: `CAST(ts AS DATE)` is timezone-
+        # sensitive and the DuckDB oracle treats the stored instants as
+        # naive/UTC.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        memo["confs_set"] = True
+    sig = _stat_sig_one(path)
+    meta = _META_MEMO.get((path, sig))
+    if meta is None:
+        ns_cols = _nanos_ts_columns(path)
+        n = _relayout_parts(path, name) if name in FACT_TABLES else 0
+        _META_MEMO[(path, sig)] = (ns_cols, n)
+    else:
+        ns_cols, n = meta
     if n >= 2 and not os.environ.get("SPARK_GRAFT_NO_RELAYOUT"):
-        return _relayout(name, sf_dir, df, n)
+        return _relayout(spark, name, sf_dir, path, ns_cols, n)
+    key = ("reader", path, sig)
+    df = memo.get(key)
+    if df is None:
+        df = _raw_reader(spark, path, ns_cols)
+        memo[key] = df
     return df
 
 
@@ -167,17 +218,23 @@ def _relayout_parts(path: str, name: str) -> int:
     return min(_RELAYOUT_MAX_PARTS, max(2, rows // target))
 
 
-def _relayout(name: str, sf_dir: str, df: DataFrame, n: int) -> DataFrame:
+def _relayout(
+    spark: SparkSession, name: str, sf_dir: str, path: str,
+    ns_cols: list[str], n: int,
+) -> DataFrame:
     """Serve the table from a range-clustered n-file copy in the
     durable MV store (content-addressed: source regeneration
     invalidates it). Row order changes — safe because every query in
     plans/ orders windows and dedups by explicit keys, never by file
-    position (CI: the full oracle gate runs against this layout)."""
+    position (CI: the full oracle gate runs against this layout).
+    The raw source read happens inside the build closure, so a
+    store-warm call never constructs it."""
     from .plans.relcache import cached_relation
 
     key = _CLUSTER_KEY[name]
 
     def _build() -> DataFrame:
+        df = _raw_reader(spark, path, ns_cols)
         return df.repartitionByRange(n, F.col(key)).sortWithinPartitions(key)
 
     return cached_relation(f"layout_{name}", sf_dir, _build)
