@@ -208,16 +208,22 @@ def s_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stack() unpivots each row to (col_id, canonical string) pairs;
     the exact n_rows/n_nulls counts are a map-side-combinable agg on
-    that stream; the NDV branch hashes each value JVM-side (md5 ->
-    52-bit prefix, d26's convention), dedups (col_id, hv) through the
-    partial-agg map-side combine — the ONE corpus-sized exchange —
-    and ranks per column with a WindowGroupLimit window (the per-
-    partition top-K runs BEFORE the second exchange, which therefore
-    moves ~K x partitions rows per column). A mapInPandas partial
-    fold was measured and rejected (see the block comment above). The
-    estimate (K-1)/frac(h_K) uses one IEEE division of engine-exact
-    integers, so DuckDB reproduces it to the last bit. Columns with
-    NDV < K report the exact count (the sketch IS the value set)."""
+    that stream; the NDV branch dedups the (col_id, sval) pairs FIRST
+    (partial-agg map-side combine — the ONE corpus-sized exchange,
+    exactly the oracle's inner SELECT DISTINCT enc), so md5 runs once
+    per DISTINCT value (r15, guide §1.2: measured 754k distinct vs
+    6.6M stacked instances at sf0.1 — an 8.75x cut in hash work;
+    interleaved A/B med 1.04 -> 0.71 s, parity exact). The hash (md5
+    -> 52-bit prefix, d26's convention) then ranks per column with a
+    dense_rank window — dense_rank, not row_number, because two
+    distinct svals may collide to one hv and the oracle re-distincts
+    the hv stream; countDistinct(hv) under the rank cut reproduces
+    its COUNT(*) over DISTINCT hv LIMIT K exactly, with no extra
+    hv-grain exchange. A mapInPandas partial fold was measured and
+    rejected (see the block comment above). The estimate
+    (K-1)/frac(h_K) uses one IEEE division of engine-exact integers,
+    so DuckDB reproduces it to the last bit. Columns with NDV < K
+    report the exact count (the sketch IS the value set)."""
     from .dedup import _KMV_HEX_CHARS, _KMV_SCALE
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -261,16 +267,17 @@ def s_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("__n").alias("n_rows"),
     ).select("col_id", "n_rows", "n_nulls")
-    kmv_in = stacked.where(F.col("sval").isNotNull()).select(
+    vals = stacked.where(F.col("sval").isNotNull()).distinct()
+    kmv_in = vals.select(
         "col_id",
         F.conv(F.substring(F.md5(F.col("sval")), 1, _KMV_HEX_CHARS), 16, 10)
         .cast("long")
         .alias("hv"),
     )
-    rk = F.row_number().over(Window.partitionBy("col_id").orderBy("hv"))
-    kept = kmv_in.distinct().withColumn("rk", rk).where(F.col("rk") <= k)
+    rk = F.dense_rank().over(Window.partitionBy("col_id").orderBy("hv"))
+    kept = kmv_in.withColumn("rk", rk).where(F.col("rk") <= k)
     sketch = kept.groupBy("col_id").agg(
-        F.count(F.lit(1)).alias("k_kept"), F.max("hv").alias("hv_k")
+        F.countDistinct("hv").alias("k_kept"), F.max("hv").alias("hv_k")
     )
     est = F.when(
         F.col("k_kept") < k, F.col("k_kept").cast("double")
