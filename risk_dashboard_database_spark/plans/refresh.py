@@ -82,55 +82,69 @@ def refresh_aggregates(
 # needed. Steps whose MVs derive from other MVs declare deps so the
 # parent is always store-warm (and hence a plain scan) when the child
 # compiles its build plan.
+# r15 (guide §2.6, VERDICT r14 #7): the old single "layouts" step
+# warmed all five fact tables SEQUENTIALLY and gated nearly every
+# other step behind the whole batch, serializing the refresh start.
+# Each table's re-layout is now its own step (independent — they run
+# concurrently) and every consumer depends only on the table(s) its
+# build actually scans, so d2_sigs starts the moment documents'
+# layout exists instead of waiting for lineitem's. The layout_* key
+# names keep the wildcard convention: the re-layout seam is
+# scale-gated, so tiny datasets legitimately materialize nothing.
+_LAYOUT_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
+
 MV_STORE_DAG: list[tuple[str, tuple[str, ...], tuple[str, ...]]] = [
     # step            produces (relcache keys)            deps (steps)
-    ("layouts",       ("layout_*",),                      ()),
-    ("user_day",      ("user_day",),                      ("layouts",)),
-    ("override_items", ("override_items",),               ("layouts",)),
+    *[
+        (f"layout_{t}", (f"layout_{t}*",), ())
+        for t in _LAYOUT_TABLES
+    ],
+    ("user_day",      ("user_day",),                      ("layout_events",)),
+    ("override_items", ("override_items",),               ("layout_events",)),
     # narrative keys at _v2 since r14: the full-regex-surface port
     # changed the narr_cand build formula, and the two relations built
     # ON it re-key with it (the MV store content-addresses datasets,
     # not code — a stale key would silently serve pre-port tags).
-    ("narr_cand",     ("narr_cand_v2",),                  ("layouts",)),
+    ("narr_cand",     ("narr_cand_v2",),                  ("layout_events",)),
     ("narrative_rows", ("narrative_rows_v2",),            ("narr_cand",)),
     ("narr_anch90",   ("narr_anch90_v2",),                ("narrative_rows",)),
     # u3_evidence dropped in r14: the aligned union is no longer
     # stored — u3_codes/u3_enc fold it in-flight (see u3_evidence_union)
-    ("u3",            ("u3_codes", "u3_enc"),             ("layouts",)),
-    ("d2_sigs",       ("d2_toks", "d2_sigs"),             ("layouts",)),
+    ("u3",            ("u3_codes", "u3_enc"),
+     ("layout_lineitem", "layout_orders", "layout_events")),
+    ("d2_sigs",       ("d2_toks", "d2_sigs"),             ("layout_documents",)),
     ("d9_clusters",   ("d9_clusters",),                   ("d2_sigs",)),
     ("dup_edges",     ("dup_edges",),                     ("d2_sigs",)),
     ("d50_rank1",     ("d50_rank1",),                     ("dup_edges",)),
-    ("d3_normed",     ("d3_normed",),                     ()),
+    ("d3_normed",     ("d3_normed",),                     ("layout_embeddings",)),
     ("d19_clusters",  ("d19_clusters_v2",),               ("d3_normed",)),
     # d8_assigned stays warmed for its remaining registry consumers
     # (d44/d47 cell-local ops + the codebook="stub" flag paths); the
     # old d23_codes step dropped out with the trained default (r10) —
     # stub-only now, built lazily by a flagged run.
-    ("d8_assigned",   ("d8_assigned_v2",),                ()),
-    ("d49_codebook",  ("d49_codebook_v3",),               ()),
+    ("d8_assigned",   ("d8_assigned_v2",),                ("layout_embeddings",)),
+    ("d49_codebook",  ("d49_codebook_v3",),               ("layout_embeddings",)),
     ("trained_assigned", ("ivf_trained_assigned_v2",),       ("d49_codebook",)),
-    ("d15_grams",     ("d15_grams",),                     ("layouts",)),
-    ("d30_grams",     ("d30_grams",),                     ("layouts",)),
-    ("t_tri_grams",   ("t_tri_grams",),                   ("layouts",)),
-    ("t_word_tf",     ("t_word_tf",),                     ("layouts",)),
-    ("d43_lm_score",  ("d43_doc_lm_score",),              ("layouts",)),
+    ("d15_grams",     ("d15_grams",),                     ("layout_documents",)),
+    ("d30_grams",     ("d30_grams",),                     ("layout_documents",)),
+    ("t_tri_grams",   ("t_tri_grams",),                   ("layout_documents",)),
+    ("t_word_tf",     ("t_word_tf",),                     ("layout_documents",)),
+    ("d43_lm_score",  ("d43_doc_lm_score",),              ("layout_documents",)),
 ]
 
 
 def _mv_warmer(step: str):
     """Accessor that owns the step's relcache key(s). Imported lazily
     to keep module import light and avoid cycles."""
-    from ..tables import FACT_TABLES, load_table
+    from ..tables import load_table
     from . import dedup, endpoints, narrative, overrides, textstats, unions
     from .common import user_day as user_day_mv
 
-    def warm_layouts(spark, sf_dir):
-        for t in FACT_TABLES:
-            load_table(spark, sf_dir, t)
+    if step.startswith("layout_"):
+        table = step.removeprefix("layout_")
+        return lambda spark, sf_dir: load_table(spark, sf_dir, table)
 
     return {
-        "layouts": warm_layouts,
         "user_day": user_day_mv,
         "override_items": overrides.items,
         "narr_cand": narrative.narrative_candidates,
