@@ -258,7 +258,17 @@ def _assign_arrow(
     ``parallelize`` adds the d2_sigs guarded repartition for MV
     builds whose source arrives in fewer splits than cores (no-op at
     scale); query paths leave it off to keep their plans exchange-
-    free."""
+    free.
+
+    Invariants (ADVICE r14 #2/#4): every vector and centroid must
+    have a NONZERO norm — Spark's Divide yields NULL on a zero
+    divisor while numpy yields NaN and argmax would then pick the NaN
+    column, silently diverging from the declarative max_by; the
+    kernel raises loudly instead (guarded below). And this function
+    is EAGER at plan-construction time: the k-row codebook collect
+    runs a Spark job when the DataFrame is BUILT, not when it is
+    first evaluated — callers that construct plans speculatively pay
+    that job up front."""
     import numpy as np
     import pyarrow as pa
 
@@ -294,6 +304,11 @@ def _assign_arrow(
         for i in range(D):
             cacc += C[:, i] * C[:, i]
         cn = np.sqrt(cacc)
+        if k and not cn.all():
+            raise ValueError(
+                "_assign_arrow: zero-norm centroid — cosine undefined "
+                "(declarative Divide would yield NULL, numpy NaN)"
+            )
         for b in batches:
             if b.num_rows == 0:
                 continue
@@ -315,6 +330,11 @@ def _assign_arrow(
             for i in range(D):
                 vacc += V[:, i] * V[:, i]
             vn = np.sqrt(vacc)
+            if n_rows and not vn.all():
+                raise ValueError(
+                    "_assign_arrow: zero-norm vector — cosine undefined "
+                    "(declarative Divide would yield NULL, numpy NaN)"
+                )
             cos = acc / (vn[:, None] * cn[None, :])
             cols = [b.column(c) for c in passthrough]
             names = list(passthrough)
@@ -4212,7 +4232,15 @@ def d36_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     positive side explicitly; the negative side excludes them by
     label (a vector shares its own label). Probes with no same-label
     candidate anywhere emit no best-pos row and take a NULL margin
-    (max over an empty set), the oracle's semantics."""
+    (max over an empty set), the oracle's semantics.
+
+    Invariants (ADVICE r14 #3/#4): the kernel's label-match test
+    (labels == qlabels) treats NULL labels as EQUAL (None == None),
+    unlike the old declarative cand_label == query_label which
+    filtered NULL-label pairs from both branches — safe only while
+    the embeddings table guarantees non-null int labels (it does; the
+    loader schema pins it). And the function is EAGER: the bounded
+    probe collect runs a Spark job at plan-construction time."""
     import numpy as np
     import pandas as pd
 

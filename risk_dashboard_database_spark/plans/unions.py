@@ -244,10 +244,26 @@ def u3_evidence_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("w").cast("long") * F.lit(1 << 32) - F.col("code")).alias("pk"),
         )
 
-    enc = cached_relation("u3_enc", sf_dir, build_enc)
-    codes = cached_relation("u3_codes", sf_dir, build_codes)
-    if "df" in ev_state:
-        ev_state["df"].unpersist()
+    # try/finally (ADVICE r14 #1): if a build raises mid-way, the
+    # session-lifetime persist must still be released. In the
+    # read-only-store FALLBACK mode cached_relation hands back lazily
+    # persisted enc/codes plans that still reference the union —
+    # unpersisting it there would make each of them recompute the full
+    # 3-fact union on first materialization — so the union persist is
+    # kept (session-scoped, exactly the pre-durable-store behavior)
+    # whenever either returned relation is itself persisted.
+    enc = codes = None
+    try:
+        enc = cached_relation("u3_enc", sf_dir, build_enc)
+        codes = cached_relation("u3_codes", sf_dir, build_codes)
+    finally:
+        if "df" in ev_state:
+            fallback = any(
+                df is not None and df.storageLevel.useMemory
+                for df in (enc, codes)
+            )
+            if not fallback:
+                ev_state["df"].unpersist()
     best = enc.groupBy("entity_id", "d", "ucode").agg(F.max("pk").alias("pk"))
     # (4) decode and rebuild display strings. pk = w*2^32 - code with
     # code in [1, 2^32), so w = floor((pk-1)/2^32) + 1.
