@@ -8277,8 +8277,16 @@ def d66_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a-time float64 fold as the kernel below, so it is bit-identical
     # to the oracle's list_reduce cosine ordering — one Spark job
     # fewer than a window formulation over the same 40 x k rows.
-    qpd = probes.toPandas()
-    cmr = cm.collect()
+    # r15 (guide §2.6): the two independent collect jobs run
+    # concurrently — Spark's scheduler interleaves them, halving the
+    # eager plan-construction latency the bench pays per run.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _qf = _pool.submit(probes.toPandas)
+        _cf = _pool.submit(cm.collect)
+        qpd = _qf.result()
+        cmr = _cf.result()
     qids = qpd["query_id"].to_numpy().astype(np.int64)
     Q = (
         np.stack(qpd["qv"].to_numpy()).astype(np.float64)
