@@ -772,6 +772,40 @@ BUDGET_R14_OPT = {
     "d36_hard_negatives": 0.8,         # raw med 0.501 (was 1.0 —
                               # session-3 local-top-k mining kernel)
 }
+# ----------------------------------------------------------------
+# r15 OPTIMIZATION-round pin re-derivation. Receipts: bench run B
+# (2026-08-18, start scan_scale 1.00, scan_spread 0.238, windows
+# 1.0-1.73 — the calmest full run of the round) plus interleaved
+# same-process A/B medians per the measurement protocol. Uniform
+# recipe: pin = roundup05(1.5 x calm in-harness median). Downward
+# moves cover this round's rewrites (the old pins would let a
+# regression back to the pre-rewrite cost pass); the ONE upward move
+# (d65) follows VERDICT r14 item 3's explicit instruction — the old
+# 0.4 pin breached on every calm run since (run B median 0.446
+# normalized 0.424; interleaved solo 0.474 after the SortAggregate
+# fix) and predates the trained-index consolidation of its MV.
+BUDGET_R15 = {
+    "d57_span_strip": 0.95,        # run-B med 0.586 / run-A 0.636
+                              # (was 1.15; r15 span-free-skip rewrite;
+                              # recipe off the worse calm median).
+                              # LEAVES the >1 s registry.
+    "d36_hard_negatives": 0.65,    # run-B med 0.339, run-A 0.421
+                              # (was 0.8; single-exchange wiring —
+                              # kernel evaluated once, recipe off the
+                              # worse calm median)
+    "s_table_profile_approx": 1.2, # run-B med 0.785 (was 1.6;
+                              # dedup-before-md5 KMV leg)
+    "d65_cluster_purity": 0.7,     # run-B med 0.446, solo A/B 0.474
+                              # (was 0.4 — breached every calm run
+                              # this round BEFORE and after the
+                              # SortAggregate fix; re-derived per
+                              # VERDICT r14 #3 with run B as receipt)
+    # d66_nprobe_sweep stays at 1.2: calm medians now 0.86-0.91 (was
+    # 1.888 on the r14 driver record) — the recipe would give 1.35,
+    # keeping the existing TIGHTER pin instead.
+    # d8_ann_ivf stays at 0.7: calm medians 0.59-0.65 — the r14
+    # breach (0.792) did not reproduce on a calm run.
+}
 BUDGET = {
     **BUDGET_GENERATED,
     **BUDGET,
@@ -780,6 +814,7 @@ BUDGET = {
     **BUDGET_R13,
     **BUDGET_R14,
     **BUDGET_R14_OPT,
+    **BUDGET_R15,
 }
 
 # ----------------------------------------------------------------
@@ -813,12 +848,15 @@ PINS_ABOVE_WORKING_BUDGET = {
                               "(r12: calm median now UNDER the line "
                               "after the xxhash64 gram key; only the "
                               "1.5x pin remains above it)",
-    "s_table_profile_approx": "KMV NDV card: stack->string + md5 + "
-                              "one distinct-volume exchange (the "
-                              "bounded-reduce-state serving form; "
-                              "A/B table in plans/sources_q.py)",
-    "d57_span_strip": "emits the full cleaned corpus (string-volume-bound "
-                      "rebuild over d30's gram agg)",
+    # r15: d57_span_strip LEFT the registry — the span-free-skip
+    # rewrite re-derived its pin to 0.95 (BUDGET_R15).
+    "s_table_profile_approx": "KMV NDV card: stack->string + "
+                              "distinct-volume exchange + md5 over the "
+                              "distinct values (the bounded-reduce-"
+                              "state serving form; r15 pin 1.2 off the "
+                              "dedup-before-hash rewrite, still over "
+                              "the line because the 11-column encode "
+                              "pass is corpus-sized)",
     "t_ngram_docfreq": "corpus trigram doc-frequency profile",
     # plan-depth (many small broadcast joins) rather than data volume
     "d60_dsir_select": "corpus bigram stream folded against the broadcast "
