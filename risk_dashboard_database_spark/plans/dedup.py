@@ -362,15 +362,31 @@ def _assign_arrow(
 def _shingle_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The (doc_id, shingle-set) relation through the MV seam
     (`d2_toks`) — shared by d2's signature build and d59's
-    within-cluster exact-Jaccard audit."""
+    within-cluster exact-Jaccard audit.
+
+    r15 (guide §2.5): the build carries the d2_sigs-style guarded
+    defaultParallelism repartition — the shingle extraction is the
+    refresh DAG's critical path (3.5-4 s of interpreted split/
+    transform work serialized on ONE task when documents arrives as a
+    single split; the documents re-layout was measured and rejected in
+    r14 precisely because its heavy consumers should parallelize
+    INTERNALLY). No-op at scale, where the corpus arrives in >= cores
+    splits. Content is row-order-independent downstream (every
+    consumer aggregates/joins by doc_id)."""
     from .relcache import cached_relation
 
     docs = load_table(spark, sf_dir, "documents")
-    return cached_relation(
-        "d2_toks",
-        sf_dir,
-        lambda: docs.select("doc_id", _shingles_spark(F.col("text")).alias("sh")),
-    )
+
+    def _build() -> DataFrame:
+        base = docs.select("doc_id", "text")
+        n = spark.sparkContext.defaultParallelism
+        if base.rdd.getNumPartitions() < n:
+            base = base.repartition(n)
+        return base.select(
+            "doc_id", _shingles_spark(F.col("text")).alias("sh")
+        )
+
+    return cached_relation("d2_toks", sf_dir, _build)
 
 
 _JACCARD_SQL = """
@@ -3227,13 +3243,9 @@ def d27_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_id, so the doubles that survive are pair-deterministic."""
     from .relcache import cached_relation
 
-    toks = cached_relation(
-        "d2_toks",
-        sf_dir,
-        lambda: load_table(spark, sf_dir, "documents").select(
-            "doc_id", _shingles_spark(F.col("text")).alias("sh")
-        ),
-    )
+    # r15: route through _shingle_toks so a cold-store first touch via
+    # d27 pays the same guarded-parallel shingle build as d2.
+    toks = _shingle_toks(spark, sf_dir)
     # build via the same Arrow kernel as d2 (r14): a cold-store first
     # touch must pay the cheap parallel build, not the single-task
     # interpreted md5 storm the kernel replaced.
@@ -4430,12 +4442,9 @@ def d37_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-candidate-row expressions and a fixed-grain reduce."""
     from .relcache import cached_relation
 
-    docs = load_table(spark, sf_dir, "documents")
-    toks = cached_relation(
-        "d2_toks",
-        sf_dir,
-        lambda: docs.select("doc_id", _shingles_spark(F.col("text")).alias("sh")),
-    )
+    # r15: route through _shingle_toks so a cold-store first touch via
+    # d37 pays the same guarded-parallel shingle build as d2.
+    toks = _shingle_toks(spark, sf_dir)
     # build via the same Arrow kernel as d2 (r14): a cold-store first
     # touch must pay the cheap parallel build, not the single-task
     # interpreted md5 storm the kernel replaced.
