@@ -6372,8 +6372,18 @@ def d25b_ann_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook) builds the stored index (cell argmax + all PQ_M sub-code
     argmins in one map-side-combinable groupBy); probes are the
     family's bounded md5-rank set; the per-probe distance table folds
-    to a broadcast map (d24's layout); both the ADC and exact rankings
-    are in-cell windows over cell-local joins."""
+    to a broadcast map (d24's layout). r15 (guide §2.4): the ADC and
+    exact rankings used to be two SEPARATE probe x candidate joins —
+    same join condition, different scored expression — so the index
+    MV was scanned and joined twice and each leg paid its own
+    query_id exchange; both scores are now columns of ONE joined
+    relation and the two rankings are two windows over ONE exchange,
+    with the recall join-back replaced by a conditional count
+    (rank_adc <= 3 rows counted, hits = those also rank_cos <= 3 —
+    identical pair sets, proven by full-row parity). The exchange now
+    carries the full in-cell scored relation instead of two
+    WindowGroupLimit-pruned legs, but that relation is probe-bounded
+    (IVF_PROBES x in-cell candidates) at any corpus size."""
     cm = _trained_centroids(spark, sf_dir)
     assigned = _trained_assigned(spark, sf_dir)
     probes = _ivf_probe_set(assigned).select(
@@ -6413,7 +6423,7 @@ def d25b_ann_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(f"code_{s}") for s in range(1, PQ_M + 1)],
     )
     joined = (
-        F.broadcast(probes.select("query_id", "qcell"))
+        F.broadcast(probes)
         .join(
             cand,
             (F.col("cell") == F.col("qcell"))
@@ -6425,50 +6435,28 @@ def d25b_ann_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in range(1, PQ_M + 1):
         term = F.element_at(F.col("tdm"), F.col(f"code_{s}"))[s - 1]
         adc = term if adc is None else adc + term
+    cosine = (
+        _dot_spark(F.col("qv"), F.col("v"))
+        / (
+            F.sqrt(_dot_spark(F.col("qv"), F.col("qv")))
+            * F.sqrt(_dot_spark(F.col("v"), F.col("v")))
+        )
+    )
+    scored = joined.select(
+        "query_id", "candidate_id", adc.alias("adc"), cosine.alias("cosine")
+    )
     wq = Window.partitionBy("query_id").orderBy(F.col("adc"), F.col("candidate_id"))
-    pq_top = (
-        joined.select("query_id", "candidate_id", adc.alias("adc"))
-        .withColumn("rank", F.row_number().over(wq))
-        .where(F.col("rank") <= 3)
-        .select("query_id", "candidate_id")
-    )
-    exact_scored = F.broadcast(probes).join(
-        cand.select("candidate_id", "cell", F.col("v").alias("cv")),
-        (F.col("cell") == F.col("qcell"))
-        & (F.col("candidate_id") != F.col("query_id")),
-    ).select(
-        "query_id",
-        "candidate_id",
-        (
-            _dot_spark(F.col("qv"), F.col("cv"))
-            / (
-                F.sqrt(_dot_spark(F.col("qv"), F.col("qv")))
-                * F.sqrt(_dot_spark(F.col("cv"), F.col("cv")))
-            )
-        ).alias("cosine"),
-    )
     we = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("candidate_id")
     )
-    exact_top = (
-        exact_scored.withColumn("rank", F.row_number().over(we))
-        .where(F.col("rank") <= 3)
-        .select(
-            F.col("query_id").alias("true_qid"),
-            F.col("candidate_id").alias("true_id"),
-        )
-    )
     return (
-        pq_top.join(
-            F.broadcast(exact_top),
-            (F.col("query_id") == F.col("true_qid"))
-            & (F.col("candidate_id") == F.col("true_id")),
-            "left",
-        )
+        scored.withColumn("rank_adc", F.row_number().over(wq))
+        .withColumn("rank_cos", F.row_number().over(we))
+        .where(F.col("rank_adc") <= 3)
         .groupBy("query_id")
         .agg(
             F.count("*").cast("long").alias("k_returned"),
-            F.count("true_id").cast("long").alias("hits"),
+            F.count_if(F.col("rank_cos") <= 3).cast("long").alias("hits"),
         )
     )
 
